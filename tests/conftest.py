@@ -1,0 +1,27 @@
+"""Test harness: force an 8-device CPU platform so mesh/sharding tests run
+without TPU hardware (SURVEY.md §4: the reference cannot test distributed
+code below a real cluster; JAX host-device virtualization fixes that)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import vavae_tpu.utils.jax_cache  # noqa: E402,F401  (persistent compile cache)
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from vavae_tpu.parallel.mesh import make_mesh
+
+    return make_mesh()
+
+
+@pytest.fixture()
+def rng():
+    return jax.random.PRNGKey(0)

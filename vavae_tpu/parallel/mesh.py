@@ -1,0 +1,99 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's NCCL/DDP/Accelerate/Lightning runtime stack.
+
+The reference reaches NCCL three ways (SURVEY.md §2.6: raw torch.distributed,
+HF Accelerate, Lightning DDP). Here the entire distributed runtime is a
+``jax.sharding.Mesh`` with named axes plus ``NamedSharding`` annotations;
+XLA lowers the implicit gradient reductions to ICI/DCN collectives.
+
+Mesh axes:
+  - "data":  batch (data-parallel) axis — always present.
+  - "fsdp":  optional parameter-sharding axis (ZeRO-style) for the 1B+ DiT
+             variants; folded into "data" for gradient reduction.
+  - "tensor": optional tensor-parallel axis for very large models.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+TENSOR_AXIS = "tensor"
+
+
+def multihost_init() -> None:
+    """Initialize the multi-host JAX runtime if launched under a cluster.
+
+    Replaces torch.dist init_process_group("nccl") (reference
+    extract_features.py:23). No-ops when single-host (the common case for
+    tests and single-slice runs, where jax discovers all local devices).
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(
+    data: int | None = None,
+    fsdp: int = 1,
+    tensor: int = 1,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build a (data, fsdp, tensor) mesh over the available devices.
+
+    ``data=None`` uses all remaining devices after fsdp/tensor are carved out.
+    Axis order puts ``tensor`` innermost so tensor-parallel collectives ride
+    the fastest ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, (
+        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(data, fsdp, tensor)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim over data+fsdp; replicate the rest."""
+    spec = P((DATA_AXIS, FSDP_AXIS), *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host-local pytree of arrays onto the mesh, batch-sharded.
+
+    For single-host runs this scatters the global batch across local devices;
+    multi-host callers should pass per-host shards and use
+    ``jax.make_array_from_process_local_data`` semantics (handled here via
+    jax.device_put with a NamedSharding, which jax resolves per-process).
+    """
+    def put(x):
+        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+@functools.cache
+def cpu_mesh(n: int = 8) -> Mesh:
+    """A CPU-device test mesh; requires XLA_FLAGS=--xla_force_host_platform_device_count=n."""
+    devs = [d for d in jax.devices() if d.platform == "cpu"][:n]
+    return Mesh(np.asarray(devs).reshape(len(devs), 1, 1), (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
+
+
+def process_fname(prefix: str, suffix: str, shard: int) -> str:
+    """Per-process shard filename, replacing the reference's rank-interleaved
+    naming (extract_features.py:115: latents_rank{rank}_shard{k})."""
+    return f"{prefix}_rank{jax.process_index():02d}_shard{shard:03d}{suffix}"

@@ -1,0 +1,167 @@
+"""ODE integrators compiled as single XLA programs.
+
+Parity target: LightningDiT/transport/integrators.py:77-126 (fixed-grid
+euler/heun over a FLUX-style time-shifted grid, plus torchdiffeq dopri5).
+
+TPU-first design: the fixed-step samplers are a ``lax.scan`` over the time
+grid — the whole 250-step sampling trajectory is ONE compiled program (the
+reference does a Python loop of 250 CUDA launches through torchdiffeq).
+The adaptive dopri5 is a bounded ``lax.while_loop`` with PI step-size
+control, matching torchdiffeq's defaults closely enough for trajectory
+parity at the reference tolerances.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timestep_shift_grid(t: np.ndarray, shift: float) -> np.ndarray:
+    """FLUX time warp t' = s·t / (1 + (s-1)·t) (integrators.py:96-101)."""
+    if shift <= 0:
+        return t
+    return shift * t / (1.0 + (shift - 1.0) * t)
+
+
+def time_grid(t0: float, t1: float, num_steps: int, timestep_shift: float = 0.0) -> np.ndarray:
+    t = np.linspace(t0, t1, num_steps, dtype=np.float64)
+    return timestep_shift_grid(t, timestep_shift).astype(np.float32)
+
+
+def odeint_euler(drift: Callable, x: jax.Array, t: jax.Array) -> jax.Array:
+    """Euler over the given grid; returns the final state.
+
+    drift(x, t_batched) -> dx/dt with t broadcast to (B,).
+    """
+    B = x.shape[0]
+
+    def step(carry, tt):
+        x = carry
+        t_cur, t_next = tt
+        dt = t_next - t_cur
+        v = drift(x, jnp.full((B,), t_cur, x.dtype))
+        return x + dt.astype(x.dtype) * v, None
+
+    pairs = jnp.stack([t[:-1], t[1:]], axis=-1)
+    x, _ = jax.lax.scan(step, x, pairs)
+    return x
+
+
+def odeint_heun(drift: Callable, x: jax.Array, t: jax.Array) -> jax.Array:
+    B = x.shape[0]
+
+    def step(carry, tt):
+        x = carry
+        t_cur, t_next = tt
+        dt = (t_next - t_cur).astype(x.dtype)
+        k1 = drift(x, jnp.full((B,), t_cur, x.dtype))
+        k2 = drift(x + dt * k1, jnp.full((B,), t_next, x.dtype))
+        return x + dt * 0.5 * (k1 + k2), None
+
+    pairs = jnp.stack([t[:-1], t[1:]], axis=-1)
+    x, _ = jax.lax.scan(step, x, pairs)
+    return x
+
+
+# -- adaptive Dormand-Prince 5(4) --------------------------------------------
+
+# Butcher tableau (same coefficients as torchdiffeq dopri5)
+_DOPRI_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DOPRI_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+]
+_DOPRI_B5 = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DOPRI_B4 = np.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
+)
+
+
+def odeint_dopri5(
+    drift: Callable,
+    x: jax.Array,
+    t0: float,
+    t1: float,
+    rtol: float = 1e-3,
+    atol: float = 1e-6,
+    max_steps: int = 1000,
+) -> jax.Array:
+    """Adaptive RK45 with PI step control inside a bounded while_loop.
+
+    Returns the state at t1. All math in fp32 regardless of x dtype (error
+    control needs the precision); the model is still called at x's dtype.
+    """
+    B = x.shape[0]
+    dtype = jnp.float32
+    xf = x.astype(dtype)
+
+    def f(xv, tv):
+        return drift(xv.astype(x.dtype), jnp.full((B,), tv, x.dtype)).astype(dtype)
+
+    def error_ratio(x_new, x_old, err):
+        tol = atol + rtol * jnp.maximum(jnp.abs(x_old), jnp.abs(x_new))
+        return jnp.sqrt(jnp.mean(jnp.square(err / tol)))
+
+    def initial_dt(x0, f0, t0v):
+        # simple heuristic (Hairer-Norsett-Wanner style)
+        scale = atol + jnp.abs(x0) * rtol
+        d0 = jnp.sqrt(jnp.mean(jnp.square(x0 / scale)))
+        d1 = jnp.sqrt(jnp.mean(jnp.square(f0 / scale)))
+        h0 = jnp.where(jnp.minimum(d0, d1) < 1e-5, 1e-6, 0.01 * d0 / d1)
+        return jnp.minimum(h0, jnp.abs(t1 - t0))
+
+    f0 = f(xf, t0)
+    state = (
+        xf,
+        jnp.asarray(t0, dtype),
+        initial_dt(xf, f0, t0).astype(dtype),
+        f0,  # FSAL cache
+        jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(state):
+        _, t, _, _, n = state
+        return (t < t1 - 1e-8) & (n < max_steps)
+
+    def body(state):
+        xv, t, dt, f0, n = state
+        dt = jnp.minimum(dt, t1 - t)
+
+        ks = [f0]
+        for i in range(1, 7):
+            xi = xv
+            for j, aij in enumerate(_DOPRI_A[i]):
+                xi = xi + dt * dtype(aij) * ks[j]
+            ks.append(f(xi, t + dtype(_DOPRI_C[i]) * dt))
+
+        x5 = xv
+        err = jnp.zeros_like(xv)
+        for i in range(7):
+            if _DOPRI_B5[i] != 0.0:
+                x5 = x5 + dt * dtype(_DOPRI_B5[i]) * ks[i]
+            db = _DOPRI_B5[i] - _DOPRI_B4[i]
+            if db != 0.0:
+                err = err + dt * dtype(db) * ks[i]
+
+        ratio = error_ratio(x5, xv, err)
+        accept = ratio <= 1.0
+        # PI controller: dt *= clip(0.9 * ratio^(-1/5), 0.2, 10)
+        factor = jnp.clip(0.9 * ratio ** (-0.2), 0.2, 10.0)
+        new_dt = dt * factor
+
+        x_next = jnp.where(accept, x5, xv)
+        t_next = jnp.where(accept, t + dt, t)
+        f_next = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, a, b), ks[6], f0)
+        return (x_next, t_next, new_dt.astype(dtype), f_next, n + 1)
+
+    xf, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return xf.astype(x.dtype)
