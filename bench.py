@@ -1,0 +1,108 @@
+"""Headline benchmark: DiT-XL/1 256×256 CFG sampling throughput per chip.
+
+Matches the reference's production sampling path (inference.py:200-228):
+250 euler ODE steps with classifier-free guidance (cond+uncond batched), on
+f16d32 latents (16×16×32, 256 tokens), model in bf16.
+
+Baseline for vs_baseline: an A100 running the PyTorch reference at the same
+settings. Estimated from FLOPs: one CFG step is 2·B model forwards of a
+675M-param / 256-token DiT (~1.4 GFLOP/token), 250 steps/image batch; at a
+generous 45% MFU on A100 bf16 (312 TFLOP/s peak) that is ~0.8 samples/s/chip.
+We use 0.8 as the A100 reference point (documented assumption; the reference
+repo publishes no per-chip sampling throughput — BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+A100_BASELINE_SAMPLES_PER_SEC = 0.8
+
+
+def main() -> None:
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+
+    from vavae_tpu.models.dit import LightningDiT_models
+    from vavae_tpu.transport import Sampler, create_transport
+
+    on_tpu = jax.default_backend() == "tpu"
+    # full config on TPU; tiny proxy on CPU so the script stays runnable
+    model_name = "LightningDiT-XL/1" if on_tpu else "LightningDiT-S/2"
+    batch = 16 if on_tpu else 2
+    num_steps = 250 if on_tpu else 4
+
+    model = LightningDiT_models[model_name](
+        input_size=16,
+        in_channels=32,
+        num_classes=1000,
+        use_swiglu=True,
+        use_rope=True,
+        use_rmsnorm=True,
+        dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    zshape = (batch, 16, 16, 32)
+    params = model.init(
+        {"params": rng},
+        jnp.zeros(zshape, jnp.bfloat16),
+        jnp.zeros((batch,)),
+        jnp.zeros((batch,), jnp.int32),
+    )["params"]
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+
+    transport = create_transport("Linear", "velocity")
+    sampler = Sampler(transport)
+    sample_fn = sampler.sample_ode(
+        sampling_method="euler", num_steps=num_steps, timestep_shift=0.3
+    )
+
+    cfg_scale, interval_start = 10.0, 0.11
+    null_class = 1000 if on_tpu else 0
+
+    def model_fn(x, t):
+        # CFG duplicate-half layout: [cond | uncond]
+        y = jnp.concatenate(
+            [
+                jnp.arange(batch, dtype=jnp.int32) % 32,
+                jnp.full((batch,), null_class, jnp.int32),
+            ]
+        )
+        return model.forward_with_cfg(
+            params, x, t, y, cfg_scale, cfg_interval=True,
+            cfg_interval_start=interval_start,
+        )
+
+    @jax.jit
+    def generate(rng):
+        z = jax.random.normal(rng, zshape, jnp.bfloat16)
+        z = jnp.concatenate([z, z], axis=0)
+        return sample_fn(z, model_fn)
+
+    # warmup/compile
+    generate(jax.random.PRNGKey(1)).block_until_ready()
+
+    n_iters = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        generate(jax.random.PRNGKey(2 + i)).block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    samples_per_sec_chip = (batch * n_iters) / dt / n_chips
+    value = round(samples_per_sec_chip, 4)
+    result = {
+        "metric": f"dit_xl1_cfg_sampling_throughput[{model_name},{num_steps}steps,b{batch}]",
+        "value": value,
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(value / A100_BASELINE_SAMPLES_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,12 +14,18 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# parity tests compare against fp32 references; don't let the TPU backend
+# silently drop matmuls to bf16
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @pytest.fixture(scope="session")
 def mesh8():
     from vavae_tpu.parallel.mesh import make_mesh
 
-    return make_mesh()
+    # select the CPU host platform explicitly: in some environments a TPU
+    # plugin forces itself as default backend regardless of JAX_PLATFORMS
+    return make_mesh(devices=jax.devices("cpu"))
 
 
 @pytest.fixture()

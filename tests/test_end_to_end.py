@@ -1,0 +1,97 @@
+"""Minimum end-to-end slice (SURVEY.md §7 gate 5): synthetic latent shards →
+ImgLatentDataset (stats, normalization, flips) → DiT training steps on the
+mesh → CFG sampling — all tiny shapes."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from safetensors.numpy import save_file
+
+from vavae_tpu.data.latent_dataset import ImgLatentDataset
+from vavae_tpu.models.dit import LightningDiT
+from vavae_tpu.train.dit_trainer import DiTTrainer
+from vavae_tpu.transport import Sampler, create_transport
+
+
+@pytest.fixture(scope="module")
+def latent_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("latents")
+    rng = np.random.default_rng(0)
+    for shard in range(2):
+        n = 16
+        save_file(
+            {
+                "latents": (rng.normal(size=(n, 4, 8, 8)) * 3 + 1).astype(np.float32),
+                "latents_flip": (rng.normal(size=(n, 4, 8, 8)) * 3 + 1).astype(np.float32),
+                "labels": rng.integers(0, 4, size=(n,)).astype(np.int64),
+            },
+            str(d / f"latents_rank00_shard{shard:03d}.safetensors"),
+        )
+    return str(d)
+
+
+def test_latent_dataset(latent_dir):
+    ds = ImgLatentDataset(latent_dir, latent_norm=True)
+    assert len(ds) == 32
+    lat, label = ds[0]
+    assert lat.shape == (8, 8, 4)  # NHWC single
+    assert 0 <= int(label) < 4
+    # stats cache created
+    assert os.path.exists(os.path.join(latent_dir, "latents_stats.safetensors"))
+    mean, std = ds.latent_stats
+    assert mean.shape == (1, 4, 1, 1) and std.shape == (1, 4, 1, 1)
+    # normalized data is ~N(0,1) per channel
+    batch, labels = next(ds.batches(32, seed=1))
+    assert batch.shape == (32, 8, 8, 4) and labels.shape == (32,)
+    assert abs(float(batch.mean())) < 0.3
+    assert 0.6 < float(batch.std()) < 1.4
+
+
+def test_train_then_sample(latent_dir, mesh8):
+    ds = ImgLatentDataset(latent_dir, latent_norm=True)
+    model = LightningDiT(
+        input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,
+        num_heads=2, num_classes=4, class_dropout_prob=0.1,
+        use_swiglu=True, use_rope=True, use_rmsnorm=True,
+    )
+    transport = create_transport("Linear", "velocity", use_cosine_loss=True, use_lognorm=True)
+    trainer = DiTTrainer(model, transport, mesh8, lr=1e-3, max_grad_norm=1.0,
+                         ema_decay=0.99)
+    rng = jax.random.PRNGKey(0)
+    state = trainer.replicate(trainer.init_state(rng, (16, 8, 8, 4)))
+
+    it = ds.batches(16, seed=0)
+    losses = []
+    for _ in range(6):
+        batch = trainer.shard_batch(next(it))
+        state, metrics = trainer.train_step(state, rng, batch)
+        losses.append(float(jax.device_get(metrics["loss"])))
+    assert int(jax.device_get(state.step)) == 6
+    assert all(np.isfinite(l) for l in losses)
+    # EMA params differ from raw params after updates but stay close
+    p = jax.device_get(state.params)
+    e = jax.device_get(state.ema_params)
+    diffs = jax.tree_util.tree_map(lambda a, b: np.abs(a - b).max(), p, e)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+    # CFG sampling with the EMA weights
+    sampler = Sampler(transport)
+    sample_fn = sampler.sample_ode(sampling_method="euler", num_steps=8,
+                                   timestep_shift=0.3)
+    B = 4
+    labels = jnp.arange(B, dtype=jnp.int32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 8, 4))
+    z_in = jnp.concatenate([z, z])
+    y_in = jnp.concatenate([labels, jnp.full((B,), 4, jnp.int32)])
+
+    ema = state.ema_params
+
+    def model_fn(x, t):
+        return model.forward_with_cfg(ema, x, t, y_in, cfg_scale=4.0,
+                                      cfg_interval=True, cfg_interval_start=0.11)
+
+    out = jax.jit(lambda z: sample_fn(z, model_fn))(z_in)
+    assert out.shape == (2 * B, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,152 @@
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vavae_tpu.transport import Sampler, create_transport
+from vavae_tpu.transport import paths as jpaths
+from vavae_tpu.transport.ode import time_grid
+
+
+def test_factory_eps_defaults():
+    assert create_transport("Linear", "velocity").train_eps == 0.0
+    assert create_transport("VP", "velocity").train_eps == 1e-5
+    assert create_transport("Linear", "noise").train_eps == 1e-3
+
+
+def test_linear_path_plan():
+    p = jpaths.LinearPath()
+    t = jnp.array([0.25, 0.75])
+    x0 = jnp.ones((2, 2, 2, 2))
+    x1 = jnp.zeros((2, 2, 2, 2)) + 3.0
+    _, xt, ut = jpaths.plan(p, t, x0, x1)
+    # xt = t*x1 + (1-t)*x0 ; ut = x1 - x0
+    assert np.allclose(np.asarray(xt[0]), 0.25 * 3 + 0.75)
+    assert np.allclose(np.asarray(ut), 2.0)
+
+
+@pytest.mark.parametrize("path_name", ["Linear", "GVP", "VP"])
+def test_path_parity_vs_reference(path_name):
+    """Compare path math against the reference's torch implementation
+    (LightningDiT/transport/path.py imports cleanly: torch+numpy only)."""
+    sys.path.insert(0, "/root/reference/LightningDiT")
+    try:
+        import torch
+        from transport import path as ref_path
+    except Exception:
+        pytest.skip("reference path.py unavailable")
+    finally:
+        sys.path.pop(0)
+
+    ref = {"Linear": ref_path.ICPlan, "GVP": ref_path.GVPCPlan, "VP": ref_path.VPCPlan}[
+        path_name
+    ]()
+    ours = {
+        "Linear": jpaths.LinearPath(),
+        "GVP": jpaths.GVPPath(),
+        "VP": jpaths.VPPath(),
+    }[path_name]
+
+    rng = np.random.default_rng(0)
+    t = rng.uniform(0.05, 0.95, size=(4,)).astype(np.float32)
+    x0 = rng.normal(size=(4, 2, 3, 3)).astype(np.float32)
+    x1 = rng.normal(size=(4, 2, 3, 3)).astype(np.float32)
+
+    tt = torch.from_numpy(t)
+    _, xt_ref, ut_ref = ref.plan(tt, torch.from_numpy(x0), torch.from_numpy(x1))
+    _, xt_j, ut_j = jpaths.plan(ours, jnp.asarray(t), jnp.asarray(x0), jnp.asarray(x1))
+    np.testing.assert_allclose(np.asarray(xt_j), xt_ref.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ut_j), ut_ref.numpy(), rtol=1e-5, atol=1e-5)
+
+    # velocity → score conversion parity
+    v = rng.normal(size=x0.shape).astype(np.float32)
+    s_ref = ref.get_score_from_velocity(
+        torch.from_numpy(v), torch.from_numpy(x0), tt
+    ).numpy()
+    s_j = jpaths.score_from_velocity(ours, jnp.asarray(v), jnp.asarray(x0), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(s_j), s_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_timestep_shift_grid():
+    t = time_grid(0.0, 1.0, 5, timestep_shift=0.3)
+    # t' = s t / (1 + (s-1) t); endpoints preserved
+    assert t[0] == 0.0 and abs(t[-1] - 1.0) < 1e-6
+    expect = 0.3 * 0.5 / (1 + (0.3 - 1) * 0.5)
+    assert abs(t[2] - expect) < 1e-6
+
+
+def test_lognorm_t_distribution(rng):
+    tr = create_transport("Linear", "velocity", use_lognorm=True)
+    t = tr.sample_t(rng, 20000)
+    t = np.asarray(t)
+    assert (t > 0).all() and (t < 1).all()
+    # logit-normal(0,1): median 0.5, symmetric
+    assert abs(np.median(t) - 0.5) < 0.02
+    # heavier mass in the middle than uniform
+    assert ((t > 0.25) & (t < 0.75)).mean() > 0.6
+
+
+def test_partial_range_t(rng):
+    tr = create_transport(
+        "Linear", "velocity", use_lognorm=True, partial_train=(0.2, 0.6), partial_ratio=1.0
+    )
+    t = np.asarray(tr.sample_t(rng, 5000))
+    assert (t >= 0.2).all() and (t <= 0.6).all()
+
+
+def test_training_losses_zero_for_perfect_model(rng):
+    tr = create_transport("Linear", "velocity", use_cosine_loss=True)
+    x1 = jax.random.normal(rng, (8, 4, 4, 2))
+
+    # the exact velocity field is ut = x1 - x0; recover x0 from xt:
+    # xt = t x1 + (1-t) x0 → x0 = (xt - t x1)/(1-t). Build the perfect model
+    # by closing over x1 and inverting (works since t<1 a.s.)
+    def perfect(xt, t):
+        te = t.reshape(-1, 1, 1, 1)
+        x0 = (xt - te * x1) / (1 - te)
+        return x1 - x0
+
+    terms = tr.training_losses(rng, perfect, x1)
+    assert float(terms["loss"].mean()) < 1e-8
+    assert float(terms["cos_loss"].mean()) < 1e-5
+
+
+def test_euler_sampler_exact_for_constant_velocity(rng):
+    """With a constant velocity field v, euler integration is exact:
+    x(1) = x(0) + v regardless of grid shift."""
+    tr = create_transport("Linear", "velocity")
+    s = Sampler(tr)
+    v = jax.random.normal(rng, (2, 4, 4, 2))
+    f = s.sample_ode(sampling_method="euler", num_steps=17, timestep_shift=0.3)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), v.shape)
+    out = f(x0, lambda x, t: v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0 + v), rtol=1e-5, atol=1e-5)
+
+
+def test_dopri5_matches_euler_on_smooth_field(rng):
+    tr = create_transport("Linear", "velocity")
+    s = Sampler(tr)
+    x1 = jax.random.normal(rng, (2, 4, 4, 2))
+    vel = lambda x, t: x1 - x  # smooth contraction field
+    x0 = jax.random.normal(jax.random.PRNGKey(1), x1.shape)
+    out_euler = s.sample_ode(sampling_method="euler", num_steps=500)(x0, vel)
+    out_dopri = s.sample_ode(sampling_method="dopri5")(x0, vel)
+    np.testing.assert_allclose(
+        np.asarray(out_dopri), np.asarray(out_euler), rtol=1e-3, atol=2e-3
+    )
+
+
+def test_sde_sampler_runs(rng):
+    tr = create_transport("Linear", "velocity", sample_eps=1e-3, train_eps=1e-3)
+    assert tr.sample_eps == 1e-3  # explicit eps is honored (reference zeroes it)
+    s = Sampler(tr)
+    x1 = jax.random.normal(rng, (2, 4, 4, 2))
+    # "sigma" diffusion is bounded (the reference-default SBDM form has a 1/t
+    # singularity at t→0 that NaNs the reference sampler too)
+    f = s.sample_sde(num_steps=50, diffusion_form="sigma", diffusion_norm=0.5)
+    out = f(jax.random.PRNGKey(2), jax.random.normal(jax.random.PRNGKey(1), x1.shape),
+            lambda x, t: x1 - x)
+    assert out.shape == x1.shape
+    assert np.isfinite(np.asarray(out)).all()

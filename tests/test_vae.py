@@ -1,0 +1,77 @@
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vavae_tpu.models.vae import AutoencoderKL, DiagonalGaussian
+from vavae_tpu.utils.torch_convert import vae_params_from_torch
+
+
+def test_diagonal_gaussian():
+    rng = jax.random.PRNGKey(0)
+    moments = jax.random.normal(rng, (2, 4, 4, 8))
+    d = DiagonalGaussian.from_moments(moments)
+    assert d.mean.shape == (2, 4, 4, 4)
+    assert np.allclose(np.asarray(d.mode()), np.asarray(d.mean))
+    kl = d.kl()
+    assert kl.shape == (2,) and (np.asarray(kl) >= 0).all()
+    s = d.sample(rng)
+    assert s.shape == d.mean.shape
+
+
+def test_vae_shapes_small():
+    """f16 geometry: 64×64 input → 4×4 latent with 2·embed_dim moments."""
+    model = AutoencoderKL(embed_dim=8, ch_mult=(1, 1, 2, 2, 4), resolution=64)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init({"params": rng}, x, sample=False)
+    post = model.apply(variables, x, method=AutoencoderKL.encode)
+    assert post.mean.shape == (1, 4, 4, 8)
+    dec = model.apply(variables, post.mode(), method=AutoencoderKL.decode)
+    assert dec.shape == (1, 64, 64, 3)
+
+
+@pytest.mark.slow
+def test_vae_parity_vs_reference_torch():
+    """Bit-level (fp32 tolerance) parity with the reference AutoencoderKL:
+    random torch init → convert weights → compare encode moments and decode
+    output on a fixed input. Gate #2 of the build plan (SURVEY.md §7)."""
+    sys.path.insert(0, "/root/reference/LightningDiT")
+    try:
+        import torch
+        from tokenizer.autoencoder import AutoencoderKL as RefVAE
+    except Exception:
+        pytest.skip("reference tokenizer unavailable")
+    finally:
+        sys.path.pop(0)
+
+    torch.manual_seed(0)
+    ref = RefVAE(embed_dim=8, ch_mult=(1, 2)).eval()  # 2-level, cheap on CPU
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = vae_params_from_torch(sd, ch_mult=(1, 2), resolution=256)
+
+    ours = AutoencoderKL(embed_dim=8, ch_mult=(1, 2), resolution=256)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)  # NCHW for torch
+
+    with torch.no_grad():
+        post_ref = ref.encode(torch.from_numpy(x))
+        moments_ref = torch.cat([post_ref.mean, post_ref.logvar], dim=1).numpy()
+        dec_ref = ref.decode(post_ref.mode()).numpy()
+
+    x_j = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    post_j = ours.apply({"params": params}, x_j, method=AutoencoderKL.encode)
+    moments_j = np.concatenate(
+        [np.asarray(post_j.mean), np.asarray(post_j.logvar)], axis=-1
+    )
+    np.testing.assert_allclose(
+        moments_j, np.transpose(moments_ref, (0, 2, 3, 1)), rtol=1e-4, atol=1e-4
+    )
+
+    dec_j = ours.apply({"params": params}, post_j.mode(), method=AutoencoderKL.decode)
+    np.testing.assert_allclose(
+        np.asarray(dec_j), np.transpose(dec_ref, (0, 2, 3, 1)), rtol=1e-4, atol=1e-4
+    )

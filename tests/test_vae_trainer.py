@@ -1,0 +1,79 @@
+"""VA-VAE GAN+VF training step: smoke + behavior tests on a tiny model."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vavae_tpu.models.vae import AutoencoderKL
+from vavae_tpu.parallel.mesh import shard_batch
+from vavae_tpu.train.vae_loss import VAELossConfig, vf_loss
+from vavae_tpu.train.vae_trainer import VAETrainer
+
+
+@pytest.fixture(scope="module")
+def tiny_trainer(request):
+    mesh8 = request.getfixturevalue("mesh8")
+    vae = AutoencoderKL(embed_dim=4, ch=32, ch_mult=(1, 2), resolution=32)
+
+    def aux_fn(x):
+        # stand-in foundation model: average-pool the image into a (B,h,w,16)
+        # feature map (the real DINOv2 plugs in via the same signature)
+        B, H, W, _ = x.shape
+        f = jax.image.resize(x, (B, H // 2, W // 2, 3), "bilinear")
+        return jnp.tile(f, (1, 1, 1, 6))[..., :16]
+
+    cfg = VAELossConfig(
+        disc_start=2, kl_weight=1e-6, vf_weight=0.1, adaptive_vf=True,
+        distmat_margin=0.25, cos_margin=0.5, perceptual_weight=0.0,
+    )
+    return VAETrainer(
+        vae, mesh8, loss_cfg=cfg, lr=1e-4, use_vf=True, vf_dim=16,
+        aux_feature_fn=aux_fn, lpips_fn=None, disc_layers=2,
+    )
+
+
+def test_vf_loss_zero_for_identical_features():
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
+    cfg = VAELossConfig(distmat_margin=0.0, cos_margin=0.0)
+    total, dm, cos = vf_loss(z, z, cfg)
+    assert float(dm) < 1e-6
+    assert float(cos) < 1e-6
+    # margins only relax the loss
+    cfg2 = VAELossConfig(distmat_margin=0.25, cos_margin=0.5)
+    z2 = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 8))
+    t1, _, _ = vf_loss(z, z2, VAELossConfig(distmat_margin=0.0, cos_margin=0.0))
+    t2, _, _ = vf_loss(z, z2, cfg2)
+    assert float(t2) <= float(t1)
+
+
+def test_vae_train_step_runs_and_descends(tiny_trainer):
+    trainer = tiny_trainer
+    rng = jax.random.PRNGKey(0)
+    state = trainer.replicate(trainer.init_state(rng))
+    x = np.random.default_rng(0).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.5
+    xs = shard_batch(trainer.mesh, x)
+
+    state, m0 = trainer.train_step(state, rng, xs)
+    assert int(jax.device_get(state.step)) == 1
+    for k in ("total_loss", "rec_loss", "kl_loss", "g_loss", "vf_loss", "disc_loss"):
+        assert np.isfinite(float(jax.device_get(m0[k]))), k
+    # disc warmup: at step 0 (< disc_start=2) the GAN terms are gated off
+    assert float(jax.device_get(m0["disc_factor"])) == 0.0
+
+    losses = [float(jax.device_get(m0["rec_loss"]))]
+    for i in range(4):
+        state, m = trainer.train_step(state, rng, xs)
+        losses.append(float(jax.device_get(m["rec_loss"])))
+    # after disc_start the gate opens
+    assert float(jax.device_get(m["disc_factor"])) == 1.0
+    # reconstruction should improve on a fixed batch
+    assert losses[-1] < losses[0]
+
+
+def test_vae_eval_step(tiny_trainer):
+    trainer = tiny_trainer
+    rng = jax.random.PRNGKey(0)
+    state = trainer.replicate(trainer.init_state(rng))
+    x = np.random.default_rng(0).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.5
+    m = trainer.eval_step(state, rng, shard_batch(trainer.mesh, x))
+    assert np.isfinite(float(jax.device_get(m["val/rec_loss"])))

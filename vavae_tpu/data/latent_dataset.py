@@ -1,0 +1,143 @@
+"""Latent-shard dataset over safetensors files.
+
+Parity target: LightningDiT/datasets/img_latent_dataset.py:16-90 — shards
+hold {latents, latents_flip, labels} (latents stored CHW for on-disk format
+compatibility with the reference), per-item lazy slice reads, a random
+original/flip choice, channel-wise normalization (x − μ)/σ · multiplier,
+and channel stats computed from ≤10k random samples then cached.
+
+Differences by design:
+  - returns NHWC numpy (the TPU layout); the CHW→HWC transpose happens at
+    read time.
+  - stats cache is ``latents_stats.safetensors`` (pure numpy I/O); the
+    reference's torch ``latents_stats.pt`` is read transparently if present
+    so reference-produced shard dirs work as-is.
+  - batching is an explicit seeded iterator (replaces DataLoader+sampler);
+    per-host sharding for multi-process runs is index-striped.
+"""
+from __future__ import annotations
+
+import os
+from glob import glob
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+from safetensors import safe_open
+from safetensors.numpy import save_file
+
+
+class ImgLatentDataset:
+    def __init__(
+        self,
+        data_dir: str,
+        latent_norm: bool = True,
+        latent_multiplier: float = 1.0,
+        seed: int = 0,
+    ):
+        self.data_dir = data_dir
+        self.latent_norm = latent_norm
+        self.latent_multiplier = float(latent_multiplier)
+        self._rng = np.random.default_rng(seed)
+
+        self.files = sorted(glob(os.path.join(data_dir, "*.safetensors")))
+        self.files = [f for f in self.files if not f.endswith("latents_stats.safetensors")]
+        if not self.files:
+            raise FileNotFoundError(f"no latent shards in {data_dir}")
+
+        # index -> (file, offset) map
+        self._index: list[tuple[str, int]] = []
+        for path in self.files:
+            with safe_open(path, framework="numpy") as f:
+                n = f.get_slice("labels").get_shape()[0]
+            self._index.extend((path, i) for i in range(n))
+
+        self._mean: Optional[np.ndarray] = None
+        self._std: Optional[np.ndarray] = None
+        if latent_norm:
+            self._mean, self._std = self._latent_stats()
+
+    # -- stats ---------------------------------------------------------------
+
+    def _latent_stats(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Channel stats (1, C, 1, 1) matching the reference cache layout."""
+        np_cache = os.path.join(self.data_dir, "latents_stats.safetensors")
+        pt_cache = os.path.join(self.data_dir, "latents_stats.pt")
+        if os.path.exists(np_cache):
+            with safe_open(np_cache, framework="numpy") as f:
+                return f.get_tensor("mean"), f.get_tensor("std")
+        if os.path.exists(pt_cache):
+            import torch
+
+            stats = torch.load(pt_cache, map_location="cpu", weights_only=False)
+            return stats["mean"].numpy(), stats["std"].numpy()
+        mean, std = self.compute_latent_stats()
+        save_file({"mean": mean, "std": std}, np_cache)
+        return mean, std
+
+    def compute_latent_stats(self, num_samples: int = 10000) -> Tuple[np.ndarray, np.ndarray]:
+        n = min(num_samples, len(self._index))
+        idxs = self._rng.choice(len(self._index), n, replace=False)
+        lats = np.stack([self._read("latents", int(i)) for i in idxs])  # (n, C, H, W)
+        mean = lats.mean(axis=(0, 2, 3), keepdims=True)[0][None]  # (1, C, 1, 1)
+        std = lats.std(axis=(0, 2, 3), keepdims=True, ddof=1)[0][None]
+        return mean.astype(np.float32), std.astype(np.float32)
+
+    @property
+    def latent_stats(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(mean, std) each (1, C, 1, 1) — used by sampling to un-normalize."""
+        if self._mean is None:
+            return (
+                np.zeros((1, 1, 1, 1), np.float32),
+                np.ones((1, 1, 1, 1), np.float32),
+            )
+        return self._mean, self._std
+
+    # -- item access -----------------------------------------------------------
+
+    def _read(self, key: str, idx: int) -> np.ndarray:
+        path, off = self._index[idx]
+        with safe_open(path, framework="numpy") as f:
+            return np.asarray(f.get_slice(key)[off : off + 1])[0]
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (latent NHWC-single (H, W, C) float32, label int32)."""
+        flip = self._rng.random() > 0.5
+        lat = self._read("latents_flip" if flip else "latents", idx).astype(np.float32)
+        label = self._read("labels", idx)
+        if self.latent_norm:
+            lat = (lat - self._mean[0]) / self._std[0]
+        lat = lat * self.latent_multiplier
+        return np.transpose(lat, (1, 2, 0)), np.asarray(label, np.int32)
+
+    # -- batching ---------------------------------------------------------------
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        epochs: Optional[int] = None,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yields (latents (B, H, W, C), labels (B,)) numpy batches forever
+        (or for ``epochs`` passes). ``batch_size`` is the PER-PROCESS size."""
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.arange(len(self))
+            if shuffle:
+                np.random.default_rng(seed + epoch).shuffle(order)
+            order = order[process_index::process_count]
+            stop = len(order) - (len(order) % batch_size) if drop_last else len(order)
+            for s in range(0, stop, batch_size):
+                idxs = order[s : s + batch_size]
+                items = [self[int(i)] for i in idxs]
+                lats = np.stack([it[0] for it in items])
+                labels = np.stack([it[1] for it in items]).reshape(-1)
+                yield lats, labels
+            epoch += 1

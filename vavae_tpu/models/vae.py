@@ -217,6 +217,7 @@ class AutoencoderKL(nn.Module):
     """
 
     embed_dim: int = 32
+    ch: int = 128
     ch_mult: Sequence[int] = (1, 1, 2, 2, 4)
     resolution: int = 256
     use_variational: bool = True
@@ -225,6 +226,7 @@ class AutoencoderKL(nn.Module):
 
     def setup(self) -> None:
         self.encoder = Encoder(
+            ch=self.ch,
             ch_mult=tuple(self.ch_mult),
             z_channels=self.embed_dim,
             resolution=self.resolution,
@@ -232,6 +234,7 @@ class AutoencoderKL(nn.Module):
         )
         dec_attn = (16,) if self.model_type == "vavae" else ()
         self.decoder = Decoder(
+            ch=self.ch,
             ch_mult=tuple(self.ch_mult),
             z_channels=self.embed_dim,
             attn_resolutions=dec_attn,

@@ -1,0 +1,209 @@
+"""Frozen ViT-L foundation models (DINOv2 / MAE) for VF alignment, in flax.
+
+Parity target: vavae/ldm/models/foundation_models.py:12-64 — timm
+``vit_large_patch14_dinov2.lvd142m`` (LayerScale, patch 14) and
+``vit_large_patch16_224.mae`` (patch 16), used frozen: resize input to 224
+(dinov2 path, bilinear align_corners=False ≈ jax.image half-pixel),
+forward_features, drop the cls token, reshape patch tokens to a spatial
+feature map (B, h, w, 1024) [reference returns NCHW; we keep NHWC].
+
+Weights: converted from a timm/torch state dict provided locally
+(VAVAE_DINOV2_WEIGHTS / VAVAE_MAE_WEIGHTS) — no downloads here.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    use_layerscale: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        qkv = nn.Dense(3 * C, name="qkv")(h).reshape(B, N, 3, self.num_heads, -1)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = (C // self.num_heads) ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, N, C)
+        attn = nn.Dense(C, name="proj")(attn)
+        if self.use_layerscale:
+            attn = attn * self.param("ls1", nn.initializers.constant(1e-5), (C,))
+        x = x + attn
+
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.Dense(int(C * self.mlp_ratio), name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(C, name="fc2")(h)
+        if self.use_layerscale:
+            h = h * self.param("ls2", nn.initializers.constant(1e-5), (C,))
+        return x + h
+
+
+class TimmViT(nn.Module):
+    """timm-compatible ViT encoder returning normed tokens (B, 1+N, D)."""
+
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    use_layerscale: bool = True
+    pretrain_grid: int = 37  # pos-embed grid of the pretrained ckpt (518/14)
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, _ = x.shape
+        gh, gw = H // self.patch_size, W // self.patch_size
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=self.patch_size,
+            name="patch_embed",
+        )(x)
+        x = x.reshape(B, gh * gw, self.embed_dim)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim)
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, 1 + self.pretrain_grid**2, self.embed_dim),
+        )
+        pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
+        if (gh, gw) != (self.pretrain_grid, self.pretrain_grid):
+            # timm resample_abs_pos_embed: bicubic, antialias
+            g = self.pretrain_grid
+            grid = pos_patch.reshape(1, g, g, self.embed_dim)
+            grid = jax.image.resize(grid, (1, gh, gw, self.embed_dim), "bicubic")
+            pos_patch = grid.reshape(1, gh * gw, self.embed_dim)
+
+        x = x + pos_patch
+        cls_tok = jnp.tile(cls + pos_cls, (B, 1, 1))
+        x = jnp.concatenate([cls_tok, x], axis=1)
+
+        for i in range(self.depth):
+            x = ViTBlock(
+                self.embed_dim,
+                self.num_heads,
+                self.mlp_ratio,
+                self.use_layerscale,
+                name=f"block_{i}",
+            )(x)
+        return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+
+
+@dataclasses.dataclass
+class FoundationModel:
+    """aux_foundation_model equivalent: images [-1,1] NHWC → feature map."""
+
+    kind: str = "dinov2"  # or "mae"
+    feature_dim: int = 1024
+
+    def __post_init__(self):
+        if self.kind == "dinov2":
+            self.model = TimmViT(patch_size=14, use_layerscale=True, pretrain_grid=37)
+        elif self.kind == "mae":
+            self.model = TimmViT(patch_size=16, use_layerscale=False, pretrain_grid=14)
+        else:
+            raise ValueError(self.kind)
+        self.params: Optional[dict] = None
+
+    def load(self, weights_path: Optional[str] = None) -> "FoundationModel":
+        env = "VAVAE_DINOV2_WEIGHTS" if self.kind == "dinov2" else "VAVAE_MAE_WEIGHTS"
+        weights_path = weights_path or os.environ.get(env)
+        if not (weights_path and os.path.exists(weights_path)):
+            raise FileNotFoundError(
+                f"{self.kind} ViT-L weights not found; set {env}=/path/to/ckpt"
+            )
+        import torch
+
+        sd = torch.load(weights_path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        self.params = jax.tree_util.tree_map(
+            jnp.asarray, vit_params_from_timm({k: v.numpy() for k, v in sd.items()})
+        )
+        return self
+
+    def init_random(self, rng) -> "FoundationModel":
+        """Random-init fallback (tests / smoke runs without weights)."""
+        size = 224 if self.kind == "dinov2" else 224
+        x = jnp.zeros((1, size, size, 3))
+        self.params = self.model.init({"params": rng}, x)["params"]
+        return self
+
+    def feature_fn(self):
+        """Returns a jit-friendly fn(images NHWC [-1,1]) -> (B, h, w, 1024)."""
+        assert self.params is not None, "call load() or init_random() first"
+        model, params, kind = self.model, self.params, self.kind
+
+        def fn(x):
+            B, H, W, _ = x.shape
+            gh, gw = H // 16, W // 16  # reference reshapes by original/16
+            if kind == "dinov2":
+                x = jax.image.resize(x, (B, 224, 224, 3), "bilinear")
+            tokens = model.apply({"params": params}, x)
+            patch = tokens[:, 1:]
+            return jax.lax.stop_gradient(patch.reshape(B, gh, gw, -1))
+
+        return fn
+
+
+def vit_params_from_timm(sd) -> dict:
+    """Convert a timm ViT state dict to the TimmViT param tree."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "patch_embed": {
+            "kernel": np.transpose(sd["patch_embed.proj.weight"], (2, 3, 1, 0)),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+    }
+    depth = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+    )
+    for i in range(depth):
+        p = f"blocks.{i}"
+        blk = {
+            "norm1": {"scale": sd[f"{p}.norm1.weight"], "bias": sd[f"{p}.norm1.bias"]},
+            "norm2": {"scale": sd[f"{p}.norm2.weight"], "bias": sd[f"{p}.norm2.bias"]},
+            "qkv": {
+                "kernel": np.transpose(sd[f"{p}.attn.qkv.weight"], (1, 0)),
+                "bias": sd[f"{p}.attn.qkv.bias"],
+            },
+            "proj": {
+                "kernel": np.transpose(sd[f"{p}.attn.proj.weight"], (1, 0)),
+                "bias": sd[f"{p}.attn.proj.bias"],
+            },
+            "fc1": {
+                "kernel": np.transpose(sd[f"{p}.mlp.fc1.weight"], (1, 0)),
+                "bias": sd[f"{p}.mlp.fc1.bias"],
+            },
+            "fc2": {
+                "kernel": np.transpose(sd[f"{p}.mlp.fc2.weight"], (1, 0)),
+                "bias": sd[f"{p}.mlp.fc2.bias"],
+            },
+        }
+        if f"{p}.ls1.gamma" in sd:
+            blk["ls1"] = sd[f"{p}.ls1.gamma"]
+            blk["ls2"] = sd[f"{p}.ls2.gamma"]
+        params[f"block_{i}"] = blk
+    return params

@@ -88,8 +88,12 @@ def shard_batch(mesh: Mesh, batch):
 
 @functools.cache
 def cpu_mesh(n: int = 8) -> Mesh:
-    """A CPU-device test mesh; requires XLA_FLAGS=--xla_force_host_platform_device_count=n."""
-    devs = [d for d in jax.devices() if d.platform == "cpu"][:n]
+    """A CPU-device test mesh; requires XLA_FLAGS=--xla_force_host_platform_device_count=n.
+
+    Works even when another platform (TPU) is the default backend — the CPU
+    host platform always exists alongside it.
+    """
+    devs = jax.devices("cpu")[:n]
     return Mesh(np.asarray(devs).reshape(len(devs), 1, 1), (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
 
 

@@ -1,0 +1,213 @@
+"""Sampling pipeline: CFG ODE sampling → VAE decode → PNG folder (+FID).
+
+Parity target: LightningDiT/inference.py:27-296 — EMA weights preferred,
+euler/dopri5 ODE with timestep shift, CFG with interval gating, latent
+un-normalization (x·σ/multiplier + μ), rank-interleaved PNG naming, demo
+grid mode, and the final FID against a reference npz.
+
+TPU-native: the entire 250-step CFG trajectory is one jitted program; batch
+generation loops only on the host for PNG writes.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import vavae_tpu.utils.jax_cache  # noqa: F401
+from vavae_tpu.data.latent_dataset import ImgLatentDataset
+from vavae_tpu.models.dit import create_dit
+from vavae_tpu.parallel.mesh import make_mesh, multihost_init
+from vavae_tpu.tokenizer import VA_VAE
+from vavae_tpu.train import checkpoint as ckpt_lib
+from vavae_tpu.train.dit_trainer import TrainState
+from vavae_tpu.transport import Sampler
+from vavae_tpu.utils.config import Config, load_config
+from vavae_tpu.utils.torch_convert import dit_params_from_torch
+from vavae_tpu.pipelines.train_dit import build_transport, create_logger
+
+
+def load_dit_params(cfg: Config, model, ckpt_path: str, prefer_ema: bool = True):
+    """EMA-preferred load from torch .pt or our .msgpack (inference.py:88-91)."""
+    if str(ckpt_path).endswith(".msgpack"):
+        import jax
+
+        dummy = jax.eval_shape(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros((1, model.input_size, model.input_size, model.in_channels)),
+                jnp.zeros((1,)),
+                jnp.zeros((1,), jnp.int32),
+            )["params"]
+        )
+        zeros = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), dummy)
+        state = TrainState(step=np.zeros((), np.int32), params=zeros,
+                           ema_params=zeros, opt_state=None)
+        # restore only params/ema from a full train checkpoint
+        restored = ckpt_lib.restore_checkpoint(ckpt_path, state)
+        return restored.ema_params if prefer_ema else restored.params
+    sd = ckpt_lib.load_torch_dit_checkpoint(ckpt_path, prefer_ema=prefer_ema)
+    return jax.tree_util.tree_map(
+        jnp.asarray,
+        dit_params_from_torch(
+            sd, model.depth, use_swiglu=model.use_swiglu, use_rmsnorm=model.use_rmsnorm
+        ),
+    )
+
+
+def build_sample_fn(cfg: Config, model, params, latent_stats=None):
+    """Returns jitted fn(rng, labels) -> decoded-ready latents (B, h, w, C)."""
+    sc = cfg.sample
+    transport = build_transport(cfg)
+    sampler = Sampler(transport)
+    use_cfg = sc.get("cfg_scale", 1.0) > 1.0
+    num_classes = cfg.data.num_classes
+
+    mode = sc.get("mode", "ODE")
+    if mode.upper() == "ODE":
+        sample_fn = sampler.sample_ode(
+            sampling_method=sc.get("sampling_method", "euler"),
+            num_steps=sc.get("num_sampling_steps", 250),
+            atol=sc.get("atol", 1e-6),
+            rtol=sc.get("rtol", 1e-3),
+            reverse=sc.get("reverse", False),
+            timestep_shift=sc.get("timestep_shift", 0.0),
+        )
+    else:
+        raise NotImplementedError("SDE sampling pipeline: use Sampler.sample_sde")
+
+    latent_size = cfg.data.image_size // cfg.get("vae", {}).get("downsample_ratio", 16)
+    C = model.in_channels
+
+    if latent_stats is not None:
+        mean = jnp.asarray(latent_stats[0].reshape(1, 1, 1, -1))  # (1,C,1,1)→NHWC
+        std = jnp.asarray(latent_stats[1].reshape(1, 1, 1, -1))
+    else:
+        mean, std = jnp.zeros((1, 1, 1, C)), jnp.ones((1, 1, 1, C))
+    multiplier = cfg.data.get("latent_multiplier", 1.0)
+
+    def generate(rng, labels):
+        B = labels.shape[0]
+        z = jax.random.normal(rng, (B, latent_size, latent_size, C), jnp.float32)
+        if use_cfg:
+            z_in = jnp.concatenate([z, z], axis=0)
+            y_in = jnp.concatenate(
+                [labels, jnp.full((B,), num_classes, labels.dtype)]
+            )
+
+            def model_fn(x, t):
+                return model.forward_with_cfg(
+                    params,
+                    x,
+                    t,
+                    y_in,
+                    sc.get("cfg_scale", 1.0),
+                    cfg_interval=True,
+                    cfg_interval_start=sc.get("cfg_interval_start", 0.0),
+                    cfg_channels=sc.get("cfg_channels"),
+                )
+
+            samples = sample_fn(z_in, model_fn)[:B]
+        else:
+
+            def model_fn(x, t):
+                return model.apply({"params": params}, x, t, labels)
+
+            samples = sample_fn(z, model_fn)
+        # un-normalize (inference.py:220)
+        return samples * std / multiplier + mean
+
+    return jax.jit(generate)
+
+
+def do_sample(cfg: Config, demo: bool = False) -> str:
+    multihost_init()
+    logger = create_logger()
+    latent_size = cfg.data.image_size // cfg.get("vae", {}).get("downsample_ratio", 16)
+    model = create_dit(cfg.model, latent_size, cfg.data.num_classes)
+    params = load_dit_params(cfg, model, cfg.ckpt_path)
+
+    latent_stats = None
+    if cfg.data.get("latent_norm", False) and cfg.data.get("data_path") and \
+            os.path.isdir(cfg.data.data_path):
+        ds = ImgLatentDataset(cfg.data.data_path, latent_norm=True)
+        latent_stats = ds.latent_stats
+
+    vae = VA_VAE(
+        cfg.get("vae", {}).get("config"),
+        ckpt_path=cfg.get("vae", {}).get("ckpt_path"),
+        img_size=cfg.data.image_size,
+    )
+    generate = build_sample_fn(cfg, model, params, latent_stats)
+
+    sc = cfg.sample
+    exp_name = cfg.train.get("exp_name", "samples")
+    folder = cfg.get(
+        "sample_folder",
+        os.path.join(cfg.train.get("output_dir", "output"), f"{exp_name}_samples"),
+    )
+    os.makedirs(folder, exist_ok=True)
+
+    from PIL import Image
+
+    rng = jax.random.PRNGKey(cfg.train.get("global_seed", 0) + jax.process_index())
+    if demo:
+        labels = jnp.asarray(
+            cfg.get("demo_labels", list(range(8))), jnp.int32
+        )
+        lat = generate(rng, labels)
+        imgs = vae.decode_to_images(lat)
+        n = len(imgs)
+        cols = min(4, n)
+        rows = math.ceil(n / cols)
+        S = imgs.shape[1]
+        grid = np.zeros((rows * S, cols * S, 3), np.uint8)
+        for i, im in enumerate(imgs):
+            r, c = divmod(i, cols)
+            grid[r * S : (r + 1) * S, c * S : (c + 1) * S] = im
+        out = os.path.join(folder, "demo_grid.png")
+        Image.fromarray(grid).save(out)
+        logger.info(f"saved demo grid to {out}")
+        return folder
+
+    per_batch = sc.get("per_proc_batch_size", 4)
+    fid_num = sc.get("fid_num", 50000)
+    n_proc = jax.process_count()
+    total = int(math.ceil(fid_num / (per_batch * n_proc))) * per_batch * n_proc
+    iters = total // (per_batch * n_proc)
+    logger.info(f"sampling {total} images ({iters} iters × {per_batch}/proc)")
+    idx = jax.process_index()
+    for i in range(iters):
+        rng, lrng, srng = jax.random.split(rng, 3)
+        labels = jax.random.randint(lrng, (per_batch,), 0, cfg.data.num_classes)
+        lat = generate(srng, labels)
+        imgs = vae.decode_to_images(lat)
+        for j, im in enumerate(imgs):
+            n = (i * n_proc + idx) * per_batch + j
+            Image.fromarray(im).save(os.path.join(folder, f"{n:06d}.png"))
+        if (i + 1) % 50 == 0:
+            logger.info(f"{(i + 1) * per_batch} images done on proc {idx}")
+    return folder
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--demo", action="store_true")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+    cfg = load_config(args.config, overrides=args.overrides)
+    folder = do_sample(cfg, demo=args.demo)
+    if not args.demo and cfg.data.get("fid_reference_file") and jax.process_index() == 0:
+        from vavae_tpu.eval.fid import fid_folder_vs_npz
+
+        score = fid_folder_vs_npz(folder, cfg.data.fid_reference_file)
+        print(f"FID: {score:.4f}")
+
+
+if __name__ == "__main__":
+    main()

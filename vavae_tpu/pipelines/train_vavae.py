@@ -1,0 +1,250 @@
+"""VA-VAE training pipeline: epoch loop + the official 3-stage recipe.
+
+Parity targets:
+  - vavae/main.py (Lightning launcher: config-driven model, auto-resume,
+    val/rec_loss checkpointing, ImageLogger) — collapsed to one plain loop.
+  - vavae/configs/f16d32_vfdinov2_long.yaml:1-9 — the staged recipe:
+      stage 1: 100 ep, vf_weight 0.5, no margins
+      stage 2:  15 ep, vf_weight 0.1, no margins
+      stage 3:  15 ep, vf_weight 0.1, margins distmat 0.25 / cos 0.5
+  - microdoppler_finetune/step4_train_vavae.py:506-552 — per-stage params
+    (disc_start, vf_weight, margins, lr, epochs) and best-val ckpt chaining.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+import vavae_tpu.utils.jax_cache  # noqa: F401
+from vavae_tpu.models.vae import AutoencoderKL
+from vavae_tpu.parallel.mesh import make_mesh, multihost_init, shard_batch
+from vavae_tpu.train import checkpoint as ckpt_lib
+from vavae_tpu.train.vae_loss import VAELossConfig
+from vavae_tpu.train.vae_trainer import VAETrainer, VAETrainState
+from vavae_tpu.utils.config import Config, load_config
+from vavae_tpu.pipelines.train_dit import create_logger
+
+# the official 3-stage recipe (f16d32_vfdinov2_long.yaml)
+OFFICIAL_STAGES = [
+    dict(epochs=100, vf_weight=0.5, distmat_margin=0.0, cos_margin=0.0),
+    dict(epochs=15, vf_weight=0.1, distmat_margin=0.0, cos_margin=0.0),
+    dict(epochs=15, vf_weight=0.1, distmat_margin=0.25, cos_margin=0.5),
+]
+
+
+def build_vae_trainer(
+    cfg: Config,
+    mesh,
+    stage_overrides: Optional[dict] = None,
+    aux_feature_fn=None,
+    lpips_fn=None,
+) -> VAETrainer:
+    p = cfg.model.params
+    lc = dict(p.lossconfig.params)
+    if stage_overrides:
+        lc.update({k: v for k, v in stage_overrides.items() if k != "epochs" and k != "lr"})
+    loss_cfg = VAELossConfig(
+        disc_start=lc.get("disc_start", 5001),
+        kl_weight=lc.get("kl_weight", 1e-6),
+        disc_weight=lc.get("disc_weight", 0.5),
+        vf_weight=lc.get("vf_weight", 0.1),
+        adaptive_vf=lc.get("adaptive_vf", True),
+        distmat_margin=lc.get("distmat_margin", 0.0),
+        cos_margin=lc.get("cos_margin", 0.0),
+        perceptual_weight=lc.get("perceptual_weight", 1.0 if lpips_fn else 0.0),
+    )
+    dd = p.ddconfig
+    vae = AutoencoderKL(
+        embed_dim=p.embed_dim,
+        ch=dd.get("ch", 128),
+        ch_mult=tuple(dd.ch_mult),
+        resolution=dd.get("resolution", 256),
+    )
+    lr = (stage_overrides or {}).get("lr") or cfg.model.get("base_learning_rate", 1e-4)
+    use_vf = p.get("use_vf") is not None
+    return VAETrainer(
+        vae,
+        mesh,
+        loss_cfg=loss_cfg,
+        lr=lr,
+        use_vf=use_vf,
+        aux_feature_fn=aux_feature_fn,
+        lpips_fn=lpips_fn,
+    )
+
+
+def make_aux_feature_fn(kind: str, weights_path: Optional[str] = None, allow_random: bool = False):
+    from vavae_tpu.models.vit import FoundationModel
+
+    fm = FoundationModel(kind=kind)
+    try:
+        fm.load(weights_path)
+    except FileNotFoundError:
+        if not allow_random:
+            raise
+        fm.init_random(jax.random.PRNGKey(0))
+    return fm.feature_fn()
+
+
+def make_lpips_fn(weights_path: Optional[str] = None):
+    try:
+        from vavae_tpu.models.lpips import load_lpips
+
+        model, variables = load_lpips(weights_path)
+        return lambda a, b: model.apply(variables, a, b)
+    except FileNotFoundError:
+        return None
+
+
+def train_epochs(
+    trainer: VAETrainer,
+    state: VAETrainState,
+    dataset,
+    *,
+    epochs: int,
+    batch_size: int,
+    logger,
+    ckpt_dir: str,
+    log_every: int = 100,
+    seed: int = 0,
+    val_dataset=None,
+):
+    """Returns (state, best_val_path). dataset yields (B, H, W, 3) in [-1,1]."""
+    rng = jax.random.PRNGKey(seed)
+    best_val = float("inf")
+    best_path = None
+    running, log_steps, t0 = 0.0, 0, time.time()
+    for epoch in range(epochs):
+        for batch in dataset.batches(
+            batch_size,
+            seed=seed + epoch,
+            epochs=1,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        ):
+            images = batch[0] if isinstance(batch, tuple) else batch
+            state, metrics = trainer.train_step(
+                state, rng, shard_batch(trainer.mesh, images)
+            )
+            running += float(jax.device_get(metrics["rec_loss"]))
+            log_steps += 1
+            if log_steps % log_every == 0:
+                dt = time.time() - t0
+                logger.info(
+                    f"epoch {epoch} step {int(jax.device_get(state.step))}: "
+                    f"rec {running / log_steps:.4f}, {log_steps / dt:.2f} it/s"
+                )
+                running, log_steps, t0 = 0.0, 0, time.time()
+
+        # end-of-epoch validation + best-ckpt (monitor val/rec_loss)
+        if val_dataset is not None:
+            vals = []
+            for batch in val_dataset.batches(
+                batch_size, shuffle=False, epochs=1,
+                process_index=jax.process_index(), process_count=jax.process_count(),
+            ):
+                images = batch[0] if isinstance(batch, tuple) else batch
+                m = trainer.eval_step(state, rng, shard_batch(trainer.mesh, images))
+                vals.append(float(jax.device_get(m["val/rec_loss"])))
+            val = float(np.mean(vals)) if vals else float("nan")
+            logger.info(f"epoch {epoch}: val/rec_loss {val:.4f}")
+            if val < best_val:
+                best_val = val
+                best_path = ckpt_lib.save_checkpoint(
+                    os.path.join(ckpt_dir, "best"), int(jax.device_get(state.step)),
+                    jax.device_get(state),
+                )
+        ckpt_lib.save_checkpoint(
+            ckpt_dir, int(jax.device_get(state.step)), jax.device_get(state)
+        )
+    return state, best_path
+
+
+def run_stages(
+    cfg: Config,
+    dataset,
+    val_dataset=None,
+    stages: Sequence[dict] = OFFICIAL_STAGES,
+    output_dir: str = "output/vavae",
+    batch_size: int = 8,
+    allow_random_foundation: bool = False,
+):
+    """The 3-stage VF-alignment recipe with best-ckpt chaining between stages."""
+    multihost_init()
+    mesh = make_mesh()
+    logger = create_logger(output_dir)
+
+    use_vf = cfg.model.params.get("use_vf")
+    aux_fn = (
+        make_aux_feature_fn(use_vf, allow_random=allow_random_foundation)
+        if use_vf
+        else None
+    )
+    lpips_fn = make_lpips_fn()
+
+    state = None
+    for si, stage in enumerate(stages):
+        trainer = build_vae_trainer(
+            cfg, mesh, stage_overrides=stage, aux_feature_fn=aux_fn, lpips_fn=lpips_fn
+        )
+        if state is None:
+            state = trainer.replicate(trainer.init_state(jax.random.PRNGKey(0)))
+        else:
+            # chain: keep params, fresh optimizers per stage
+            fresh = trainer.init_state(jax.random.PRNGKey(si))
+            state = trainer.replicate(
+                fresh.replace(
+                    gen_params=jax.device_get(state.gen_params),
+                    disc_params=jax.device_get(state.disc_params),
+                    disc_batch_stats=jax.device_get(state.disc_batch_stats),
+                    step=jax.device_get(state.step),
+                )
+            )
+        logger.info(f"=== stage {si + 1}/{len(stages)}: {stage} ===")
+        state, _ = train_epochs(
+            trainer,
+            state,
+            dataset,
+            epochs=stage["epochs"],
+            batch_size=batch_size,
+            logger=logger,
+            ckpt_dir=os.path.join(output_dir, f"stage{si + 1}"),
+            val_dataset=val_dataset,
+        )
+    return state
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", required=True, help="VAE config yaml (OmegaConf format)")
+    ap.add_argument("--data_path", required=True)
+    ap.add_argument("--val_path", default=None)
+    ap.add_argument("--output_dir", default="output/vavae")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--stages", default="official", choices=["official", "single"])
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+    cfg = load_config(args.base, overrides=args.overrides)
+
+    from vavae_tpu.data.image_folder import ImageFolderDataset
+
+    dataset = ImageFolderDataset(args.data_path, image_size=cfg.model.params.ddconfig.resolution)
+    val_dataset = (
+        ImageFolderDataset(args.val_path, image_size=cfg.model.params.ddconfig.resolution)
+        if args.val_path
+        else None
+    )
+    stages = OFFICIAL_STAGES if args.stages == "official" else [dict(epochs=50)]
+    run_stages(
+        cfg, dataset, val_dataset, stages=stages,
+        output_dir=args.output_dir, batch_size=args.batch_size,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""VA_VAE / MAR_VAE tokenizer facades: config-driven, jit-compiled encode/decode.
+
+Parity target: LightningDiT/tokenizer/vavae.py:20-82 and marvae.py:8-44 —
+ADM center-crop preprocessing, [-1, 1] normalization, ``encode_images``
+(posterior sample), ``decode_to_images`` (uint8 HWC via clamp(127.5·x+128)).
+
+Checkpoints: accepts either a reference torch ``.pt/.ckpt`` (converted on
+load via utils/torch_convert.py) or this framework's ``.msgpack``.
+Images flow NHWC end to end.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from vavae_tpu.models.vae import AutoencoderKL, DiagonalGaussian
+from vavae_tpu.utils.torch_convert import vae_params_from_torch
+
+
+def center_crop_arr(img, image_size: int) -> np.ndarray:
+    """ADM center crop (reference tokenizer/autoencoder.py:501-519): BOX
+    downsample by 2 while ≥2× target, BICUBIC resize to target on the short
+    side, center crop. ``img`` is a PIL Image; returns (S, S, 3) uint8."""
+    from PIL import Image
+
+    while min(*img.size) >= 2 * image_size:
+        img = img.resize(tuple(x // 2 for x in img.size), resample=Image.BOX)
+    scale = image_size / min(*img.size)
+    img = img.resize(tuple(round(x * scale) for x in img.size), resample=Image.BICUBIC)
+    arr = np.array(img)
+    cy = (arr.shape[0] - image_size) // 2
+    cx = (arr.shape[1] - image_size) // 2
+    return arr[cy : cy + image_size, cx : cx + image_size]
+
+
+def preprocess_images(pil_images, image_size: int, hflip: bool = False) -> np.ndarray:
+    """PIL list → (B, S, S, 3) float32 in [-1, 1], optional horizontal flip."""
+    arrs = [center_crop_arr(im.convert("RGB"), image_size) for im in pil_images]
+    x = np.stack(arrs).astype(np.float32) / 255.0
+    if hflip:
+        x = x[:, :, ::-1, :]
+    return (x - 0.5) / 0.5
+
+
+class VA_VAE:
+    """Vision-foundation-model-aligned VAE (f16d32 by default)."""
+
+    model_type = "vavae"
+
+    def __init__(
+        self,
+        config: Optional[str] = None,
+        *,
+        embed_dim: int = 32,
+        ckpt_path: Optional[str] = None,
+        img_size: int = 256,
+        dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        if config is not None:
+            with open(config) as f:
+                cfg = yaml.safe_load(f)
+            embed_dim = cfg["model"]["params"]["embed_dim"]
+            ckpt_path = cfg.get("ckpt_path", ckpt_path)
+        self.embed_dim = embed_dim
+        self.img_size = img_size
+        self.downsample = 16
+        self.model = AutoencoderKL(
+            embed_dim=embed_dim,
+            ch_mult=(1, 1, 2, 2, 4),
+            resolution=img_size,
+            model_type=self.model_type,
+            dtype=dtype,
+        )
+        self._rng = jax.random.PRNGKey(seed)
+        self.params = self._load_params(ckpt_path)
+
+        self._encode = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x, method=AutoencoderKL.encode)
+        )
+        self._decode = jax.jit(
+            lambda p, z: self.model.apply({"params": p}, z, method=AutoencoderKL.decode)
+        )
+
+    def _fresh_params(self):
+        # param shapes don't depend on input resolution; init with a small
+        # (16-divisible) image to keep the init trace cheap
+        z = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        return self.model.init({"params": self._rng}, z, sample=False)["params"]
+
+    def _load_params(self, ckpt_path: Optional[str]):
+        if ckpt_path is None or not os.path.exists(str(ckpt_path)):
+            return self._fresh_params()  # tests / training-from-scratch
+        if str(ckpt_path).endswith(".msgpack"):
+            from vavae_tpu.train.checkpoint import restore_checkpoint
+
+            return restore_checkpoint(str(ckpt_path), self._fresh_params())
+        # torch checkpoint (reference format)
+        import torch
+
+        sd = torch.load(str(ckpt_path), map_location="cpu", weights_only=False)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        sd = {
+            k: v.numpy()
+            for k, v in sd.items()
+            if hasattr(v, "numpy") and not k.startswith(("loss.", "foundation_model.", "linear_proj"))
+        }
+        dec_attn = (16,) if self.model_type == "vavae" else ()
+        return jax.tree_util.tree_map(
+            jnp.asarray,
+            vae_params_from_torch(sd, resolution=self.img_size, dec_attn_resolutions=dec_attn),
+        )
+
+    # -- API (reference vavae.py:61-82) ---------------------------------------
+
+    def encode_images(self, images: np.ndarray, rng: Optional[jax.Array] = None) -> jax.Array:
+        """images: (B, H, W, 3) in [-1, 1] → sampled latents (B, h, w, C)."""
+        posterior: DiagonalGaussian = self._encode(self.params, jnp.asarray(images))
+        if rng is None:
+            self._rng, rng = jax.random.split(self._rng)
+        return posterior.sample(rng)
+
+    def encode_moments(self, images: np.ndarray) -> DiagonalGaussian:
+        return self._encode(self.params, jnp.asarray(images))
+
+    def decode_to_images(self, z: jax.Array) -> np.ndarray:
+        """latents → (B, H, W, 3) uint8 (clamp(127.5·x + 128))."""
+        dec = self._decode(self.params, jnp.asarray(z))
+        img = jnp.clip(127.5 * dec + 128.0, 0, 255).astype(jnp.uint8)
+        return np.asarray(img)
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        return self._decode(self.params, jnp.asarray(z))
+
+
+class MAR_VAE(VA_VAE):
+    """MAR's f16d16 VAE (no decoder attention; reference tokenizer/marvae.py)."""
+
+    model_type = "marvae"
+
+    def __init__(self, ckpt_path: Optional[str] = None, img_size: int = 256, **kw):
+        super().__init__(None, embed_dim=16, ckpt_path=ckpt_path, img_size=img_size, **kw)

@@ -267,8 +267,13 @@ def create_transport(
     elif model_type != ModelType.VELOCITY:
         train_eps = 1e-3 if train_eps is None else train_eps
         sample_eps = 1e-3 if sample_eps is None else sample_eps
-    else:  # velocity on Linear/GVP is stable everywhere
-        train_eps, sample_eps = 0.0, 0.0
+    else:  # velocity on Linear/GVP is stable everywhere (for the ODE)
+        # NOTE: the reference zeroes user-passed eps here
+        # (transport/__init__.py:56-57), which makes its SDE sampler hit the
+        # 1/t singularity of the SBDM diffusion at t0=0. We honor an
+        # explicitly-passed eps so SDE sampling is usable.
+        train_eps = 0.0 if train_eps is None else train_eps
+        sample_eps = 0.0 if sample_eps is None else sample_eps
 
     return Transport(
         model_type=model_type,
