@@ -1,0 +1,229 @@
+"""Unit tests for the application layer: LoRA, int8 quant, regularization,
+domain adaptation, filtering metrics, dataset split."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vavae_tpu.apps.domain_adaptation import (
+    build_prototypes,
+    hyperparameter_search,
+    lccs_fuse_stats,
+    pnc_probs,
+)
+from vavae_tpu.apps.generate_and_filter import (
+    FilterConfig,
+    feature_diversity,
+    generate_and_filter_for_user,
+    pixel_sanity,
+)
+from vavae_tpu.apps.generation_evaluator import (
+    ComprehensiveGenerationEvaluator,
+    knn_coverage,
+)
+from vavae_tpu.apps.prepare_dataset_split import create_dataset_split, validate_split
+from vavae_tpu.apps.regularization import (
+    expected_calibration_error,
+    focal_loss,
+    label_smoothing_loss,
+    mixup,
+    supcon_loss,
+)
+from vavae_tpu.ops.quant import dequantize_params, int8_matmul, quantize_kernel, quantize_params
+from vavae_tpu.train.lora import init_lora, lora_size, merge_lora
+
+
+def test_lora_init_and_merge():
+    params = {
+        "blocks": {
+            "block": {
+                "attn": {
+                    "qkv": {"kernel": jnp.zeros((2, 16, 48)), "bias": jnp.zeros((2, 48))},
+                    "proj": {"kernel": jnp.zeros((2, 16, 16)), "bias": jnp.zeros((2, 16))},
+                },
+                "mlp": {"w12": {"kernel": jnp.zeros((2, 16, 64))}},
+                "norm1": {"weight": jnp.ones((2, 16))},
+            }
+        }
+    }
+    lora = init_lora(jax.random.PRNGKey(0), params, rank=4, alpha=8.0)
+    # targets qkv/proj/w12 kernels only; stacked depth axis preserved
+    qkv = lora["blocks"]["block"]["attn"]["qkv"]["kernel"]
+    assert qkv["a"].shape == (2, 16, 4) and qkv["b"].shape == (2, 4, 48)
+    assert "norm1" not in lora["blocks"]["block"]
+
+    # B=0 at init → merge is identity
+    merged = merge_lora(params, lora, rank=4)
+    np.testing.assert_allclose(
+        np.asarray(merged["blocks"]["block"]["attn"]["qkv"]["kernel"]), 0.0
+    )
+    # after perturbing B, merge adds (alpha/rank)·A·B
+    lora2 = jax.tree_util.tree_map(lambda x: x + 0.1, lora)
+    merged2 = merge_lora(params, lora2, rank=4)
+    a = np.asarray(lora2["blocks"]["block"]["attn"]["qkv"]["kernel"]["a"])
+    b = np.asarray(lora2["blocks"]["block"]["attn"]["qkv"]["kernel"]["b"])
+    alpha = float(lora2["blocks"]["block"]["attn"]["qkv"]["kernel"]["alpha"])
+    expect = alpha / 4 * np.einsum("dir,dro->dio", a, b)
+    np.testing.assert_allclose(
+        np.asarray(merged2["blocks"]["block"]["attn"]["qkv"]["kernel"]),
+        expect,
+        rtol=1e-5,
+    )
+    assert lora_size(lora) > 0
+
+
+def test_int8_quant_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.1
+    q = quantize_kernel(w)
+    assert q["values"].dtype == jnp.int8
+    w_hat = q["values"].astype(jnp.float32) * q["scales"]
+    assert float(jnp.abs(w - w_hat).max()) < float(jnp.abs(w).max()) / 100
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+    exact = x @ w
+    approx = int8_matmul(x, q)
+    rel = float(jnp.abs(exact - approx).mean() / jnp.abs(exact).mean())
+    assert rel < 0.05
+
+    params = {"mlp": {"fc1": {"kernel": w, "bias": jnp.zeros((32,))}}}
+    qp, layout = quantize_params(params)
+    assert qp["mlp"]["fc1"]["kernel"]["values"].dtype == jnp.int8
+    deq = dequantize_params(qp)
+    assert float(jnp.abs(deq["mlp"]["fc1"]["kernel"] - w).max()) < 0.01
+
+
+def test_regularization_losses(rng):
+    logits = jax.random.normal(rng, (16, 5))
+    labels = jax.random.randint(rng, (16,), 0, 5)
+    ls = float(label_smoothing_loss(logits, labels, 0.1))
+    fl = float(focal_loss(logits, labels))
+    assert np.isfinite(ls) and np.isfinite(fl)
+
+    x = jax.random.normal(rng, (16, 8, 8, 3))
+    xm, ym = mixup(rng, x, labels, 5, alpha=0.2)
+    assert xm.shape == x.shape and ym.shape == (16, 5)
+    np.testing.assert_allclose(np.asarray(ym.sum(-1)), 1.0, rtol=1e-5)
+
+    feats = jax.random.normal(rng, (16, 32))
+    feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    sc = float(supcon_loss(feats, labels))
+    assert np.isfinite(sc) and sc > 0
+
+    probs = jax.nn.softmax(logits)
+    ece = float(expected_calibration_error(probs, labels))
+    assert 0 <= ece <= 1
+
+
+def test_lccs_fusion():
+    src = {"bn1": {"mean": np.zeros(4), "var": np.ones(4)}}
+    tgt = {"bn1": {"mean": np.ones(4) * 2, "var": np.ones(4) * 3}}
+    fused = lccs_fuse_stats(src, tgt, alpha=0.25)
+    np.testing.assert_allclose(fused["bn1"]["mean"], 0.5)
+    np.testing.assert_allclose(fused["bn1"]["var"], 1.5)
+
+
+def test_pnc_prototypes_and_fusion():
+    rng = np.random.default_rng(0)
+    feats = np.concatenate([
+        rng.normal(loc=+2, size=(20, 8)),
+        rng.normal(loc=-2, size=(20, 8)),
+    ]).astype(np.float32)
+    labels = np.array([0] * 20 + [1] * 20)
+    protos = build_prototypes(feats, labels, 2)
+    assert protos.shape == (2, 8)
+    assert protos[0].mean() > 0 > protos[1].mean()
+
+    # uniform classifier → prototypes decide
+    probs = np.full((40, 2), 0.5, np.float32)
+    fused = pnc_probs(feats, probs, protos, temperature=0.1, fusion_weight=1.0,
+                      confidence_adaptive=False)
+    assert (fused.argmax(-1) == labels).mean() > 0.95
+
+
+def test_hyperparameter_search():
+    best, acc, allr = hyperparameter_search(
+        lambda cfg: 1.0 - abs(cfg["a"] - 0.3) - abs(cfg["b"] - 2),
+        {"a": [0.1, 0.3, 0.5], "b": [1, 2]},
+    )
+    assert best == {"a": 0.3, "b": 2}
+    assert len(allr) == 6
+
+
+def test_filter_metrics():
+    f_same = np.tile(np.ones((1, 8), np.float32), (10, 1))
+    assert feature_diversity(f_same) < 1e-5
+    f_rand = np.random.default_rng(0).normal(size=(10, 8)).astype(np.float32)
+    assert feature_diversity(f_rand) > 0.5
+
+    imgs = np.full((4, 8, 8, 3), 128, np.uint8)
+    ok = pixel_sanity(imgs + np.random.default_rng(0).integers(0, 20, imgs.shape).astype(np.uint8), 5, 250)
+    assert ok.all()
+    black = np.zeros((2, 8, 8, 3), np.uint8)
+    assert not pixel_sanity(black, 5, 250).any()
+
+
+def test_generate_and_filter_loop():
+    """Host rejection loop with stub sampler/decoder/classifier."""
+    rng_np = np.random.default_rng(0)
+
+    def generate_fn(rng, labels):
+        return jnp.zeros((len(labels), 2, 2, 4))
+
+    def decode_fn(latents):
+        n = len(latents)
+        return rng_np.integers(30, 220, size=(n, 8, 8, 3)).astype(np.uint8)
+
+    def classifier_fn(x):
+        # ~60% confident-correct for user 1
+        n = len(x)
+        probs = np.full((n, 3), 0.01, np.float32)
+        conf = rng_np.uniform(0.5, 1.0, n)
+        probs[:, 1] = conf
+        probs[:, 0] = 1 - conf - 0.01
+        return probs
+
+    cfg = FilterConfig(confidence_threshold=0.9, target_per_user=20,
+                       batch_size=16, max_batches=50)
+    stats = generate_and_filter_for_user(
+        1, generate_fn, decode_fn, classifier_fn, cfg, jax.random.PRNGKey(0)
+    )
+    assert stats["accepted"] == 20
+    assert 0 < stats["acceptance_rate"] <= 1
+
+
+def test_knn_coverage_and_evaluator():
+    rng = np.random.default_rng(0)
+    real = rng.normal(size=(50, 16)).astype(np.float32)
+    gen_close = real + 0.01 * rng.normal(size=real.shape).astype(np.float32)
+    cov = knn_coverage(gen_close, real)
+    assert cov["coverage"] > 0.9
+    gen_far = rng.normal(loc=10, size=(50, 16)).astype(np.float32)
+    assert knn_coverage(gen_far, real)["coverage"] < cov["coverage"]
+
+    ev = ComprehensiveGenerationEvaluator()
+    probs = np.zeros((50, 3), np.float32)
+    probs[:, 2] = 0.99
+    probs[:, 0] = 0.01
+    out = ev.evaluate_user(probs, gen_close, real, target_user=2)
+    assert out["identity_acc"] == 1.0
+    assert 0 <= out["overall_score"] <= 1.0
+
+
+def test_dataset_split(tmp_path):
+    root = tmp_path / "users"
+    for u in range(3):
+        d = root / f"ID_{u+1}"
+        d.mkdir(parents=True)
+        for i in range(10):
+            (d / f"img_{i}.png").write_bytes(b"\x89PNG\r\n\x1a\n")
+    out = str(tmp_path / "split.json")
+    split = create_dataset_split(str(root), out, train_ratio=0.8, seed=42)
+    assert len(split["train"]) == 24 and len(split["val"]) == 6
+    stats = validate_split(out)
+    assert stats["overlap"] == 0 and stats["num_users"] == 3
+    # determinism with the same seed
+    split2 = create_dataset_split(str(root), out, train_ratio=0.8, seed=42)
+    assert split["train"] == split2["train"]

@@ -31,14 +31,18 @@ def test_linear_path_plan():
 def test_path_parity_vs_reference(path_name):
     """Compare path math against the reference's torch implementation
     (LightningDiT/transport/path.py imports cleanly: torch+numpy only)."""
-    sys.path.insert(0, "/root/reference/LightningDiT")
+    import importlib.util
+
     try:
         import torch
-        from transport import path as ref_path
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_path", "/root/reference/LightningDiT/transport/path.py"
+        )
+        ref_path = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_path)
     except Exception:
         pytest.skip("reference path.py unavailable")
-    finally:
-        sys.path.pop(0)
 
     ref = {"Linear": ref_path.ICPlan, "GVP": ref_path.GVPCPlan, "VP": ref_path.VPCPlan}[
         path_name

@@ -38,14 +38,27 @@ def test_vae_parity_vs_reference_torch():
     """Bit-level (fp32 tolerance) parity with the reference AutoencoderKL:
     random torch init → convert weights → compare encode moments and decode
     output on a fixed input. Gate #2 of the build plan (SURVEY.md §7)."""
-    sys.path.insert(0, "/root/reference/LightningDiT")
+    import importlib.util
+    import types
+
     try:
         import torch
-        from tokenizer.autoencoder import AutoencoderKL as RefVAE
+
+        # autoencoder.py imports torchvision.transforms at module top but the
+        # code paths we exercise never touch it — stub it out
+        if "torchvision" not in sys.modules:
+            tv = types.ModuleType("torchvision")
+            tv.transforms = types.ModuleType("torchvision.transforms")
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tv.transforms
+        spec = importlib.util.spec_from_file_location(
+            "ref_autoencoder", "/root/reference/LightningDiT/tokenizer/autoencoder.py"
+        )
+        ref_ae = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_ae)
+        RefVAE = ref_ae.AutoencoderKL
     except Exception:
         pytest.skip("reference tokenizer unavailable")
-    finally:
-        sys.path.pop(0)
 
     torch.manual_seed(0)
     ref = RefVAE(embed_dim=8, ch_mult=(1, 2)).eval()  # 2-level, cheap on CPU

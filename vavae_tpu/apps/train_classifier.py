@@ -1,0 +1,232 @@
+"""User-ID classifier training (baseline / improved-contrastive / calibrated).
+
+Parity targets:
+  - train_user_classifier.py (baseline ResNet18, 31 classes)
+  - improved_classifier_training.py:480-557+ (256-d head, 64-d projection,
+    SupCon auxiliary loss, freeze tiers, DDP → mesh DP here)
+  - train_calibrated_classifier.py (label smoothing / focal / mixup, ECE)
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+import vavae_tpu.utils.jax_cache  # noqa: F401
+from vavae_tpu.apps.regularization import (
+    expected_calibration_error,
+    focal_loss,
+    label_smoothing_loss,
+    mixup,
+    supcon_loss,
+)
+from vavae_tpu.models.resnet import ResNet18
+from vavae_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_batch
+
+
+class ClassifierState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class ClassifierTrainer:
+    num_classes: int = 31
+    mode: str = "baseline"  # baseline | improved | calibrated
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    supcon_weight: float = 0.5
+    smoothing: float = 0.1
+    focal_gamma: float = 2.0
+    use_mixup: bool = False
+    mixup_alpha: float = 0.2
+    mesh: Any = None
+
+    def __post_init__(self):
+        head = 256 if self.mode == "improved" else 0
+        proj = 64 if self.mode == "improved" else 0
+        self.model = ResNet18(num_classes=self.num_classes, head_dim=head, proj_dim=proj)
+        self.tx = optax.adamw(self.lr, weight_decay=self.weight_decay)
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        self._jit_train = None
+        self._jit_eval = None
+
+    def init_state(self, rng: jax.Array, image_size: int = 224) -> ClassifierState:
+        x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        variables = self.model.init({"params": rng}, x, train=True)
+        return ClassifierState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+        )
+
+    def _loss(self, params, batch_stats, rng, x, y):
+        y_soft = None
+        if self.use_mixup:
+            x, y_soft = mixup(rng, x, y, self.num_classes, self.mixup_alpha)
+
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, updates = self.model.apply(
+            variables, x, train=True, return_all=True, mutable=["batch_stats"]
+        )
+        logits, feat, proj = out
+
+        if self.mode == "calibrated":
+            if y_soft is not None:
+                loss = -jnp.mean(jnp.sum(y_soft * jax.nn.log_softmax(logits), axis=-1))
+            else:
+                loss = 0.5 * label_smoothing_loss(logits, y, self.smoothing)
+                loss = loss + 0.5 * focal_loss(logits, y, self.focal_gamma)
+        elif y_soft is not None:
+            loss = -jnp.mean(jnp.sum(y_soft * jax.nn.log_softmax(logits), axis=-1))
+        else:
+            loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+        if self.mode == "improved" and proj is not None:
+            loss = loss + self.supcon_weight * supcon_loss(proj, y)
+
+        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+        return loss, (updates["batch_stats"], {"loss": loss, "acc": acc})
+
+    def _train_step(self, state: ClassifierState, rng: jax.Array, x, y):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(self._loss, has_aux=True)
+        (loss, (bn, metrics)), grads = grad_fn(state.params, state.batch_stats, rng, x, y)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            ClassifierState(state.step + 1, params, bn, opt_state),
+            metrics,
+        )
+
+    def train_step(self, state, rng, batch):
+        if self._jit_train is None:
+            rep = replicated(self.mesh)
+            ds = lambda n: data_sharding(self.mesh, n)
+            self._jit_train = jax.jit(
+                self._train_step,
+                in_shardings=(rep, rep, ds(4), ds(1)),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+        x, y = batch
+        return self._jit_train(state, rng, x, y)
+
+    def _eval_step(self, state: ClassifierState, x, y):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits = self.model.apply(variables, x, train=False)
+        probs = jax.nn.softmax(logits)
+        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+        ece = expected_calibration_error(probs, y)
+        return {"acc": acc, "ece": ece}
+
+    def eval_step(self, state, batch):
+        if self._jit_eval is None:
+            rep = replicated(self.mesh)
+            ds = lambda n: data_sharding(self.mesh, n)
+            self._jit_eval = jax.jit(
+                self._eval_step, in_shardings=(rep, ds(4), ds(1)), out_shardings=rep
+            )
+        x, y = batch
+        return self._jit_eval(state, x, y)
+
+    def predict_fn(self, state):
+        """Jitted (images NHWC [-1,1]) -> softmax probs — the filter gate."""
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        model = self.model
+
+        @jax.jit
+        def predict(x):
+            return jax.nn.softmax(model.apply(variables, x, train=False))
+
+        return predict
+
+    def feature_fn(self, state):
+        """Jitted (images) -> 512-d backbone features (filter metrics)."""
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        model = self.model
+
+        @jax.jit
+        def features(x):
+            return model.apply(variables, x, train=False, features=True)
+
+        return features
+
+
+def train_classifier(
+    dataset,
+    val_dataset=None,
+    *,
+    mode: str = "baseline",
+    num_classes: int = 31,
+    epochs: int = 30,
+    batch_size: int = 64,
+    lr: float = 1e-3,
+    seed: int = 0,
+    log_every: int = 50,
+    image_size: int = 224,
+) -> tuple:
+    trainer = ClassifierTrainer(num_classes=num_classes, mode=mode, lr=lr)
+    rng = jax.random.PRNGKey(seed)
+    state = jax.device_put(trainer.init_state(rng, image_size), replicated(trainer.mesh))
+    best_acc = 0.0
+    for epoch in range(epochs):
+        t0, steps = time.time(), 0
+        for batch in dataset.batches(batch_size, seed=seed + epoch, epochs=1):
+            state, metrics = trainer.train_step(state, rng, shard_batch(trainer.mesh, batch))
+            steps += 1
+            if steps % log_every == 0:
+                print(
+                    f"epoch {epoch} step {steps}: loss {float(metrics['loss']):.4f} "
+                    f"acc {float(metrics['acc']):.3f} ({steps / (time.time() - t0):.1f} it/s)"
+                )
+        if val_dataset is not None:
+            accs = []
+            for batch in val_dataset.batches(batch_size, shuffle=False, epochs=1):
+                m = trainer.eval_step(state, shard_batch(trainer.mesh, batch))
+                accs.append(float(m["acc"]))
+            acc = float(np.mean(accs)) if accs else 0.0
+            best_acc = max(best_acc, acc)
+            print(f"epoch {epoch}: val acc {acc:.4f} (best {best_acc:.4f})")
+    return trainer, state
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--split_file", required=True)
+    ap.add_argument("--mode", default="baseline", choices=["baseline", "improved", "calibrated"])
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--num_classes", type=int, default=31)
+    ap.add_argument("--image_size", type=int, default=224)
+    ap.add_argument("--out", default="classifier.msgpack")
+    args = ap.parse_args()
+
+    from vavae_tpu.data.image_folder import SplitFileDataset
+    from vavae_tpu.train.checkpoint import save_checkpoint
+
+    train_ds = SplitFileDataset(args.split_file, "train", image_size=args.image_size)
+    val_ds = SplitFileDataset(args.split_file, "val", image_size=args.image_size)
+    trainer, state = train_classifier(
+        train_ds, val_ds, mode=args.mode, num_classes=args.num_classes,
+        epochs=args.epochs, batch_size=args.batch_size, image_size=args.image_size,
+    )
+    import os
+
+    save_checkpoint(os.path.dirname(os.path.abspath(args.out)) or ".", 0, state)
+    print(f"saved classifier state")
+
+
+if __name__ == "__main__":
+    main()

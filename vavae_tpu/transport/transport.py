@@ -162,14 +162,16 @@ class Transport:
             )
             if self.use_cosine_loss:
                 # cosine over the channel axis at each spatial site
-                # (reference: cosine_similarity(..., dim=1) on NCHW -> axis=-1 NHWC)
+                # (reference: cosine_similarity(..., dim=1) on NCHW -> axis=-1 NHWC).
+                # smooth safe-norms: at init the DiT output is exactly 0
+                # (zero-init final layer) and a plain norm has a NaN gradient
+                # at 0, which would poison the first backward pass.
                 p = pred.astype(jnp.float32)
                 u = ut.astype(jnp.float32)
                 dot = jnp.sum(p * u, axis=-1)
-                denom = jnp.maximum(
-                    jnp.linalg.norm(p, axis=-1) * jnp.linalg.norm(u, axis=-1), 1e-8
-                )
-                cos = dot / denom
+                pn = jnp.sqrt(jnp.sum(p * p, axis=-1) + 1e-16)
+                un = jnp.sqrt(jnp.sum(u * u, axis=-1) + 1e-16)
+                cos = dot / (pn * un)
                 terms["cos_loss"] = jnp.mean(1.0 - cos, axis=tuple(range(1, cos.ndim)))
         else:
             _, drift_var = self.path.drift(xt, t)
