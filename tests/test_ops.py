@@ -1,0 +1,71 @@
+"""Compute-op tests: attention backends, quant matmul, metrics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vavae_tpu.eval.metrics import psnr, ssim
+from vavae_tpu.ops.attention import _xla_attention, dot_product_attention
+
+
+def _reference_attention(q, k, v):
+    """fp64 numpy softmax attention (ground truth)."""
+    q, k, v = (np.asarray(x, np.float64) for x in (q, k, v))
+    scale = q.shape[-1] ** -0.5
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    logits -= logits.max(axis=-1, keepdims=True)
+    probs = np.exp(logits)
+    probs /= probs.sum(axis=-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def test_xla_attention_matches_reference(rng):
+    q = jax.random.normal(rng, (2, 16, 4, 8))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (2, 16, 4, 8))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (2, 16, 4, 8))
+    out = _xla_attention(q, k, v)
+    ref = _reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_flash_attention_matches_xla():
+    if jax.default_backend() != "tpu":
+        pytest.skip("pallas TPU kernel needs a TPU")
+    from vavae_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    # XL-like geometry: head_dim 72 (non-lane-aligned → padded inside)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(2, 256, 4, 72)), jnp.float32) for _ in range(3)
+    )
+    out = flash_attention(q, k, v)
+    ref = _reference_attention(q, k, v)
+    # TPU matmuls are bf16-pass-based at default precision → ~1e-3 tolerance
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=5e-3)
+
+
+def test_psnr_ssim():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    assert float(psnr(jnp.asarray(a), jnp.asarray(a), data_range=1.0).min()) > 80
+    s_same = ssim(jnp.asarray(a), jnp.asarray(a), data_range=1.0)
+    np.testing.assert_allclose(np.asarray(s_same), 1.0, atol=1e-5)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape).astype(np.float32), 0, 1)
+    p = psnr(jnp.asarray(a), jnp.asarray(b), data_range=1.0)
+    assert 15 < float(p.mean()) < 25  # ~0.1 noise → ≈20 dB
+    s = ssim(jnp.asarray(a), jnp.asarray(b), data_range=1.0)
+    assert 0 < float(s.mean()) < 1
+
+
+def test_frechet_distance():
+    from vavae_tpu.eval.fid import activation_statistics, frechet_distance
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 8)).astype(np.float64)
+    mu1, s1 = activation_statistics(a)
+    assert frechet_distance(mu1, s1, mu1, s1) < 1e-6
+    b = rng.normal(loc=2.0, size=(500, 8)).astype(np.float64)
+    mu2, s2 = activation_statistics(b)
+    d = frechet_distance(mu1, s1, mu2, s2)
+    assert 25 < d < 45  # ≈ ||2·1||² = 32 plus cov noise

@@ -114,6 +114,7 @@ def generate_and_filter_for_user(
         stats["accepted"] = len(kept)
 
     kept = kept[: cfg.target_per_user]
+    stats["accepted"] = len(kept)
     if save_dir:
         from PIL import Image
 

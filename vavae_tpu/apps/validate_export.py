@@ -1,0 +1,115 @@
+"""VA-VAE validation + export tools.
+
+Parity target: microdoppler_finetune/step5_validate_export.py —
+  - per-user reconstruction quality (:336)
+  - VF-alignment check (:464): cosine between projected latents and frozen
+    foundation features
+  - latent user-discrimination (:592): class separability of latents
+    (silhouette-style between/within distance ratio + linear probe accuracy)
+  - latent statistics extraction (:733, :943)
+  - encoder export for DiT training (:1015): a standalone msgpack with the
+    encoder+quant_conv params.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vavae_tpu.eval.metrics import psnr, ssim
+
+
+def per_user_reconstruction(
+    vae, dataset, num_users: int, batch_size: int = 16, max_per_user: int = 32
+) -> Dict[int, Dict[str, float]]:
+    """PSNR/SSIM per user over the validation set."""
+    by_user: Dict[int, list] = {u: [] for u in range(num_users)}
+    for img, label in (dataset[i] for i in range(len(dataset))):
+        if len(by_user.setdefault(int(label), [])) < max_per_user:
+            by_user[int(label)].append(img)
+    results = {}
+    for uid, imgs in by_user.items():
+        if not imgs:
+            continue
+        x = np.stack(imgs)
+        z = vae.encode_moments(x).mode()
+        dec = np.asarray(vae.decode(z))
+        a = np.clip((x + 1) / 2, 0, 1)
+        b = np.clip((dec + 1) / 2, 0, 1)
+        results[uid] = {
+            "psnr": float(np.mean(np.asarray(psnr(jnp.asarray(a), jnp.asarray(b), 1.0)))),
+            "ssim": float(np.mean(np.asarray(ssim(jnp.asarray(a), jnp.asarray(b), 1.0)))),
+            "n": len(imgs),
+        }
+    return results
+
+
+def vf_alignment_check(
+    vae, proj_params, aux_feature_fn: Callable, images: np.ndarray
+) -> Dict[str, float]:
+    """Mean channel-cosine between projected latents and foundation features
+    (step5_validate_export.py:464)."""
+    z = vae.encode_moments(images).mode()
+    z_proj = jnp.einsum("bhwc,cd->bhwd", z, proj_params["kernel"][0, 0])
+    aux = aux_feature_fn(jnp.asarray(images))
+    zf = z_proj / jnp.maximum(jnp.linalg.norm(z_proj, axis=-1, keepdims=True), 1e-12)
+    af = aux / jnp.maximum(jnp.linalg.norm(aux, axis=-1, keepdims=True), 1e-12)
+    cos = jnp.sum(zf * af, axis=-1)
+    return {
+        "mean_cosine": float(jnp.mean(cos)),
+        "min_cosine": float(jnp.min(cos)),
+        "frac_above_0.5": float(jnp.mean((cos > 0.5).astype(jnp.float32))),
+    }
+
+
+def latent_user_discrimination(
+    latents: np.ndarray, labels: np.ndarray
+) -> Dict[str, float]:
+    """Separability of per-user latent clusters (step5:592): between/within
+    distance ratio and a nearest-centroid probe accuracy."""
+    flat = latents.reshape(len(latents), -1)
+    users = np.unique(labels)
+    centroids = np.stack([flat[labels == u].mean(axis=0) for u in users])
+    within = np.mean(
+        [np.linalg.norm(flat[labels == u] - c, axis=-1).mean()
+         for u, c in zip(users, centroids)]
+    )
+    d_cc = np.linalg.norm(centroids[:, None] - centroids[None], axis=-1)
+    between = d_cc[np.triu_indices(len(users), 1)].mean() if len(users) > 1 else 0.0
+    # nearest-centroid accuracy
+    d = np.linalg.norm(flat[:, None] - centroids[None], axis=-1)
+    pred = users[d.argmin(axis=-1)]
+    return {
+        "between_within_ratio": float(between / max(within, 1e-12)),
+        "nearest_centroid_acc": float((pred == labels).mean()),
+    }
+
+
+def latent_statistics(latents_nhwc: np.ndarray) -> Dict[str, np.ndarray]:
+    """Channel stats over dims (batch, h, w) — reference step6:243-247 computes
+    over torch dims [0,2,3] on NCHW, i.e. the same channel axis."""
+    mean = latents_nhwc.mean(axis=(0, 1, 2))
+    std = latents_nhwc.std(axis=(0, 1, 2), ddof=1)
+    return {
+        "mean": mean.astype(np.float32).reshape(1, -1, 1, 1),  # reference layout
+        "std": std.astype(np.float32).reshape(1, -1, 1, 1),
+        "global_mean": np.float32(latents_nhwc.mean()),
+        "global_std": np.float32(latents_nhwc.std()),
+    }
+
+
+def export_encoder(vae, out_path: str) -> str:
+    """Standalone encoder+quant_conv export (step5:1015) for DiT extraction."""
+    from flax import serialization
+
+    subset = {
+        "encoder": jax.device_get(vae.params["encoder"]),
+        "quant_conv": jax.device_get(vae.params["quant_conv"]),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(serialization.to_bytes(subset))
+    return out_path

@@ -56,6 +56,18 @@ class ImgLatentDataset:
         if latent_norm:
             self._mean, self._std = self._latent_stats()
 
+        # native (C++/mmap/threaded) batch assembler; pure-Python fallback
+        self._native = None
+        if os.environ.get("VAVAE_NATIVE_LOADER", "1") != "0":
+            try:
+                from vavae_tpu.data.native_loader import NativeShardReader
+
+                self._native = NativeShardReader(self.files)
+                if len(self._native) != len(self._index):
+                    self._native = None
+            except Exception:
+                self._native = None
+
     # -- stats ---------------------------------------------------------------
 
     def _latent_stats(self) -> Tuple[np.ndarray, np.ndarray]:
@@ -134,10 +146,22 @@ class ImgLatentDataset:
                 np.random.default_rng(seed + epoch).shuffle(order)
             order = order[process_index::process_count]
             stop = len(order) - (len(order) % batch_size) if drop_last else len(order)
+            flip_rng = np.random.default_rng(seed + epoch + 1)
+            mean, std = self.latent_stats if self.latent_norm else (
+                np.zeros((1, self._native.C if self._native else 1, 1, 1), np.float32),
+                np.ones((1, self._native.C if self._native else 1, 1, 1), np.float32),
+            )
             for s in range(0, stop, batch_size):
                 idxs = order[s : s + batch_size]
-                items = [self[int(i)] for i in idxs]
-                lats = np.stack([it[0] for it in items])
-                labels = np.stack([it[1] for it in items]).reshape(-1)
-                yield lats, labels
+                if self._native is not None:
+                    flips = (flip_rng.random(len(idxs)) > 0.5).astype(np.uint8)
+                    lats, labels = self._native.batch(
+                        idxs.astype(np.int64), flips, mean, std, self.latent_multiplier
+                    )
+                    yield lats, labels
+                else:
+                    items = [self[int(i)] for i in idxs]
+                    lats = np.stack([it[0] for it in items])
+                    labels = np.stack([it[1] for it in items]).reshape(-1)
+                    yield lats, labels
             epoch += 1

@@ -47,17 +47,32 @@ class DiTTrainer:
     weight_decay: float = 0.0
     max_grad_norm: Optional[float] = None
     ema_decay: float = 0.9999
+    # cosine LR schedule (reference config_dit_base.yaml:70-74); None = constant
+    lr_schedule: Optional[str] = None
+    warmup_steps: int = 0
+    total_steps: int = 0
+    min_lr: float = 0.0
+    # gradient accumulation (reference step12:355 / Lightning accumulate_grad_batches)
+    grad_accum: int = 1
 
     def __post_init__(self):
+        if self.lr_schedule == "cosine":
+            lr = optax.warmup_cosine_decay_schedule(
+                0.0, self.lr, max(self.warmup_steps, 1),
+                max(self.total_steps, self.warmup_steps + 1), self.min_lr,
+            )
+        else:
+            lr = self.lr
         chain = []
         if self.max_grad_norm:
             chain.append(optax.clip_by_global_norm(self.max_grad_norm))
         chain.append(
-            optax.adamw(
-                self.lr, b1=0.9, b2=self.beta2, weight_decay=self.weight_decay
-            )
+            optax.adamw(lr, b1=0.9, b2=self.beta2, weight_decay=self.weight_decay)
         )
-        self.tx = optax.chain(*chain)
+        tx = optax.chain(*chain)
+        if self.grad_accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.grad_accum)
+        self.tx = tx
         self._jit_train = None
         self._jit_eval = None
 
