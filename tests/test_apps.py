@@ -212,6 +212,58 @@ def test_knn_coverage_and_evaluator():
     assert 0 <= out["overall_score"] <= 1.0
 
 
+def test_iterative_training_injects_synthetic():
+    """Accepted samples must be re-encoded and mixed into the training set
+    (iterative_finetune_dit.py:490 behavior)."""
+    from vavae_tpu.apps.iterative_finetune import IterativeTraining
+
+    rng_np = np.random.default_rng(0)
+    calls = {"steps": 0, "extra": []}
+
+    class StubTrainer:
+        def shard_batch(self, b):
+            return b
+
+        def train_step(self, state, rng, batch):
+            calls["steps"] += 1
+            return state + 1, {"loss": jnp.asarray(0.5)}
+
+    def generate_fn(rng, labels):
+        return jnp.zeros((len(labels), 2, 2, 4))
+
+    def decode_fn(latents):
+        return rng_np.integers(30, 220, size=(len(latents), 8, 8, 3)).astype(np.uint8)
+
+    def encode_fn(x):
+        return np.zeros((len(x), 2, 2, 4), np.float32)
+
+    def classifier_fn(x):
+        probs = np.zeros((len(x), 2), np.float32)
+        probs[:, 1] = 0.99
+        probs[:, 0] = 0.01
+        return probs
+
+    def real_batches_fn(extra_z, extra_y):
+        calls["extra"].append(None if extra_z is None else len(extra_z))
+        z = np.zeros((4, 2, 2, 4), np.float32)
+        y = np.zeros((4,), np.int32)
+        while True:
+            yield (z, y)
+
+    it = IterativeTraining(
+        trainer=StubTrainer(), generate_fn_builder=lambda s: generate_fn,
+        decode_fn=decode_fn, encode_fn=encode_fn, classifier_fn=classifier_fn,
+        num_users=2, iterations=2, steps_per_iteration=3,
+        samples_per_user=8, confidence=0.9,
+    )
+    state, history = it.run(0, real_batches_fn)
+    assert state == 6 and calls["steps"] == 6
+    # user 1 accepted 8 each iter, user 0 accepted 0 → 8 synthetic latents injected
+    assert calls["extra"] == [8, 8]
+    assert [h["accepted"] for h in history] == [8, 8]
+    assert all(np.isfinite(h["final_loss"]) for h in history)
+
+
 def test_dataset_split(tmp_path):
     root = tmp_path / "users"
     for u in range(3):

@@ -68,6 +68,7 @@ def generate_and_filter_for_user(
     feature_fn: Optional[Callable] = None,
     prototypes: Optional[np.ndarray] = None,
     save_dir: Optional[str] = None,
+    return_images: bool = False,
 ) -> Dict:
     """Rejection-sample until cfg.target_per_user accepted for this user.
 
@@ -123,6 +124,10 @@ def generate_and_filter_for_user(
         for i, im in enumerate(kept):
             Image.fromarray(im).save(os.path.join(user_dir, f"{i:05d}.png"))
     stats["acceptance_rate"] = stats["accepted"] / max(stats["generated"], 1)
+    if return_images:
+        stats["images"] = np.stack(kept) if kept else np.zeros(
+            (0,) + (images.shape[1:] if stats["batches"] else (0,)), np.uint8
+        )
     return stats
 
 

@@ -239,7 +239,14 @@ def main() -> None:
         if args.val_path
         else None
     )
-    stages = OFFICIAL_STAGES if args.stages == "official" else [dict(epochs=50)]
+    if "stages" in cfg:
+        # staged recipe from the config file (configs/vavae_f16d32_long.yaml,
+        # configs/vavae_microdoppler_finetune.yaml)
+        stages = [dict(s) for s in cfg.stages]
+    elif args.stages == "official":
+        stages = OFFICIAL_STAGES
+    else:
+        stages = [dict(epochs=cfg.get("train", {}).get("max_epochs", 50))]
     run_stages(
         cfg, dataset, val_dataset, stages=stages,
         output_dir=args.output_dir, batch_size=args.batch_size,
