@@ -26,6 +26,7 @@ def main() -> None:
     import vavae_tpu.utils.jax_cache  # noqa: F401
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from vavae_tpu.models.dit import LightningDiT_models
     from vavae_tpu.transport import Sampler, create_transport
@@ -57,39 +58,43 @@ def main() -> None:
 
     transport = create_transport("Linear", "velocity")
     sampler = Sampler(transport)
-    sample_fn = sampler.sample_ode(
-        sampling_method="euler", num_steps=num_steps, timestep_shift=0.3
-    )
-
     cfg_scale, interval_start = 10.0, 0.11
     null_class = 1000 if on_tpu else 0
-
-    def model_fn(x, t):
-        # CFG duplicate-half layout: [cond | uncond]
-        y = jnp.concatenate(
-            [
-                jnp.arange(batch, dtype=jnp.int32) % 32,
-                jnp.full((batch,), null_class, jnp.int32),
-            ]
-        )
-        return model.forward_with_cfg(
-            params, x, t, y, cfg_scale, cfg_interval=True,
-            cfg_interval_start=interval_start,
-        )
+    # CFG-interval split sampler: the below-interval phase runs the
+    # conditional model at half batch (numerically identical for euler)
+    sample_fn = sampler.sample_ode_cfg(
+        num_steps=num_steps, timestep_shift=0.3, cfg_interval_start=interval_start
+    )
+    labels = jnp.arange(batch, dtype=jnp.int32) % 32
+    y_cfg = jnp.concatenate([labels, jnp.full((batch,), null_class, jnp.int32)])
 
     @jax.jit
-    def generate(rng):
+    def generate(p, rng):
+        # params as a jit ARGUMENT — closing over them would inline ~1.35 GB
+        # of constants into the module and blow up trace/compile time.
+        def model_cond_fn(x, t):
+            return model.apply({"params": p}, x, t, labels)
+
+        def model_cfg_fn(x, t):
+            # [cond | uncond] halves
+            return model.forward_with_cfg(p, x, t, y_cfg, cfg_scale)
+
         z = jax.random.normal(rng, zshape, jnp.bfloat16)
-        z = jnp.concatenate([z, z], axis=0)
-        return sample_fn(z, model_fn)
+        return sample_fn(z, model_cond_fn, model_cfg_fn)
+
+    def run(rng):
+        # fetch a value: on async backends block_until_ready alone can
+        # return before the computation has actually finished
+        out = np.asarray(generate(params, rng))
+        assert np.isfinite(out.astype(np.float32)).all()
 
     # warmup/compile
-    generate(jax.random.PRNGKey(1)).block_until_ready()
+    run(jax.random.PRNGKey(1))
 
     n_iters = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for i in range(n_iters):
-        generate(jax.random.PRNGKey(2 + i)).block_until_ready()
+        run(jax.random.PRNGKey(2 + i))
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()

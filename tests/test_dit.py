@@ -190,6 +190,46 @@ def test_sincos_matches_reference_formula():
     np.testing.assert_allclose(pos[D // 2 : D // 2 + D // 4], np.sin(1 * omega), rtol=1e-5)
 
 
+def test_rope_split_layout_matches_interleaved_reference():
+    """Our split-half RoPE (TPU-friendly) must produce the same attention
+    scores as the reference's interleaved rotation (pos_embed.py:96-135) once
+    q,k are permuted by rope_permutation (torch-weight conversion path)."""
+    from vavae_tpu.models.layers import rotate_half
+    from vavae_tpu.models.posembed import rope_permutation
+
+    D, S = 16, 4
+    N = S * S
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(N, D)).astype(np.float32)
+    k = rng.normal(size=(N, D)).astype(np.float32)
+
+    # reference interleaved tables + rotation, built independently here
+    dim = D // 2
+    freqs = 1.0 / (10000 ** (np.arange(0, dim, 2)[: dim // 2] / dim))
+    f = np.repeat(np.outer(np.arange(S, dtype=np.float64), freqs), 2, axis=-1)
+    fh = np.broadcast_to(f[:, None, :], (S, S, dim))
+    fw = np.broadcast_to(f[None, :, :], (S, S, dim))
+    ang = np.concatenate([fh, fw], axis=-1).reshape(N, D)
+    cos_i, sin_i = np.cos(ang), np.sin(ang)
+
+    def rot_interleaved(x):
+        xr = x.reshape(N, D // 2, 2)
+        return np.stack([-xr[..., 1], xr[..., 0]], axis=-1).reshape(N, D)
+
+    q_ref = q * cos_i + rot_interleaved(q) * sin_i
+    k_ref = k * cos_i + rot_interleaved(k) * sin_i
+    scores_ref = q_ref @ k_ref.T
+
+    # ours: permute q,k then apply split-half tables
+    perm = rope_permutation(D)
+    cos_s, sin_s = rope_2d_freqs(D, S)
+    qp, kp = q[:, perm], k[:, perm]
+    q_ours = qp * cos_s + np.asarray(rotate_half(jnp.asarray(qp))) * sin_s
+    k_ours = kp * cos_s + np.asarray(rotate_half(jnp.asarray(kp))) * sin_s
+    scores_ours = q_ours @ k_ours.T
+    np.testing.assert_allclose(scores_ours, scores_ref, rtol=1e-4, atol=1e-4)
+
+
 def test_rope_freqs_shape_and_unit_norm():
     cos, sin = rope_2d_freqs(16, 4)
     assert cos.shape == (16, 16) and sin.shape == (16, 16)

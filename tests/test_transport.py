@@ -154,3 +154,57 @@ def test_sde_sampler_runs(rng):
             lambda x, t: x1 - x)
     assert out.shape == x1.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cfg_interval_split_matches_duplicated_batch(rng):
+    """sample_ode_cfg (cond-only phase at half batch) must equal the
+    duplicated-batch sampler with the reference's cfg_interval gate."""
+    transport = create_transport("Linear", "velocity")
+    sampler = Sampler(transport)
+    num_steps, start, shift = 12, 0.3, 0.3
+    B, shape = 3, (3, 2, 2, 4)
+
+    # a label-dependent synthetic velocity field so cond != uncond
+    w = jax.random.normal(rng, shape[1:])
+
+    def field(x, t, y):
+        scale = (y.astype(jnp.float32) + 1.0)[:, None, None, None]
+        return jnp.sin(3.0 * t)[:, None, None, None] * scale * (w[None] - 0.3 * x)
+
+    labels = jnp.array([0, 1, 2], jnp.int32)
+    y_cfg = jnp.concatenate([labels, jnp.full((B,), 7, jnp.int32)])
+    cfg_scale = 4.0
+
+    def apply_guidance(cond, uncond):
+        return uncond + cfg_scale * (cond - uncond)
+
+    def model_cfg_fn_gated(x, t):
+        # reference semantics: both halves computed, guidance gated by t<start
+        half = x[:B]
+        both = field(jnp.concatenate([half, half]), jnp.tile(t[:B], 2), y_cfg)
+        cond, uncond = both[:B], both[B:]
+        guided = apply_guidance(cond, uncond)
+        guided = jnp.where(t[0] < start, cond, guided)
+        return jnp.concatenate([guided, guided])
+
+    def model_cond_fn(x, t):
+        return field(x, t, labels)
+
+    def model_cfg_fn(x, t):
+        half = x[:B]
+        both = field(jnp.concatenate([half, half]), jnp.tile(t[:B], 2), y_cfg)
+        guided = apply_guidance(both[:B], both[B:])
+        return jnp.concatenate([guided, guided])
+
+    z = jax.random.normal(jax.random.fold_in(rng, 1), shape)
+
+    ref_fn = sampler.sample_ode(
+        sampling_method="euler", num_steps=num_steps, timestep_shift=shift
+    )
+    ref = ref_fn(jnp.concatenate([z, z]), model_cfg_fn_gated)[:B]
+
+    split_fn = sampler.sample_ode_cfg(
+        num_steps=num_steps, timestep_shift=shift, cfg_interval_start=start
+    )
+    got = split_fn(z, model_cond_fn, model_cfg_fn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)

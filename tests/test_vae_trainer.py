@@ -15,9 +15,10 @@ def tiny_trainer(request):
     mesh8 = request.getfixturevalue("mesh8")
     vae = AutoencoderKL(embed_dim=4, ch=32, ch_mult=(1, 2), resolution=32)
 
-    def aux_fn(x):
-        # stand-in foundation model: average-pool the image into a (B,h,w,16)
-        # feature map (the real DINOv2 plugs in via the same signature)
+    def aux_fn(aux_params, x):
+        # stand-in foundation model (param-explicit signature, like the real
+        # DINOv2 via FoundationModel.feature_fn_p): average-pool the image
+        # into a (B,h,w,16) feature map
         B, H, W, _ = x.shape
         f = jax.image.resize(x, (B, H // 2, W // 2, 3), "bilinear")
         return jnp.tile(f, (1, 1, 1, 6))[..., :16]

@@ -142,15 +142,16 @@ class ClassifierTrainer:
         return self._jit_eval(state, x, y)
 
     def predict_fn(self, state):
-        """Jitted (images NHWC [-1,1]) -> softmax probs — the filter gate."""
+        """Jitted (images NHWC [-1,1]) -> softmax probs — the filter gate.
+        Variables ride as jit arguments (not closure constants)."""
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         model = self.model
 
         @jax.jit
-        def predict(x):
-            return jax.nn.softmax(model.apply(variables, x, train=False))
+        def predict(v, x):
+            return jax.nn.softmax(model.apply(v, x, train=False))
 
-        return predict
+        return lambda x: predict(variables, x)
 
     def feature_fn(self, state):
         """Jitted (images) -> 512-d backbone features (filter metrics)."""
@@ -158,10 +159,10 @@ class ClassifierTrainer:
         model = self.model
 
         @jax.jit
-        def features(x):
-            return model.apply(variables, x, train=False, features=True)
+        def features(v, x):
+            return model.apply(v, x, train=False, features=True)
 
-        return features
+        return lambda x: features(variables, x)
 
 
 def train_classifier(

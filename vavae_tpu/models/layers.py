@@ -151,10 +151,13 @@ class LabelEmbedder(nn.Module):
 
 
 def rotate_half(x: jax.Array) -> jax.Array:
-    """Pairwise rotation over the last dim: (x1,x2) -> (-x2,x1), interleaved."""
-    x = x.reshape(*x.shape[:-1], -1, 2)
-    x1, x2 = x[..., 0], x[..., 1]
-    return jnp.stack([-x2, x1], axis=-1).reshape(*x.shape[:-2], -1)
+    """Rotation partner in SPLIT-HALF RoPE layout: (x1 | x2) -> (-x2 | x1).
+
+    One contiguous half-swap on the lane dim instead of the reference's
+    per-pair interleave (a lane shuffle XLA can't fuse away; see
+    posembed.rope_2d_freqs for the layout equivalence)."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
 
 
 def apply_rope(x: jax.Array, freqs_cos: jax.Array, freqs_sin: jax.Array) -> jax.Array:

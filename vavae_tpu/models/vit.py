@@ -148,12 +148,16 @@ class FoundationModel:
         self.params = self.model.init({"params": rng}, x)["params"]
         return self
 
-    def feature_fn(self):
-        """Returns a jit-friendly fn(images NHWC [-1,1]) -> (B, h, w, 1024)."""
-        assert self.params is not None, "call load() or init_random() first"
-        model, params, kind = self.model, self.params, self.kind
+    def feature_fn_p(self):
+        """Param-explicit feature fn for use INSIDE jit: fn(params, x).
 
-        def fn(x):
+        Pass ``self.params`` as a jit argument rather than closing over it —
+        a closed-over param tree gets embedded into the compiled module as
+        inline constants (ViT-L is ~1.2 GB of them), exploding trace/compile
+        time."""
+        model, kind = self.model, self.kind
+
+        def fn(params, x):
             B, H, W, _ = x.shape
             gh, gw = H // 16, W // 16  # reference reshapes by original/16
             if kind == "dinov2":
@@ -163,6 +167,16 @@ class FoundationModel:
             return jax.lax.stop_gradient(patch.reshape(B, gh, gw, -1))
 
         return fn
+
+    def feature_fn(self):
+        """Convenience host-side fn(images NHWC [-1,1]) -> (B, h, w, 1024).
+
+        For calls inside a jitted step use ``feature_fn_p`` and pass
+        ``self.params`` explicitly."""
+        assert self.params is not None, "call load() or init_random() first"
+        fn_p = self.feature_fn_p()
+        params = self.params
+        return lambda x: fn_p(params, x)
 
 
 def vit_params_from_timm(sd) -> dict:

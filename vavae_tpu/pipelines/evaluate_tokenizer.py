@@ -43,7 +43,8 @@ def evaluate_tokenizer(
         from vavae_tpu.models.lpips import load_lpips
 
         lp_model, lp_vars = load_lpips(lpips_weights)
-        lpips_fn = jax.jit(lambda a, b: lp_model.apply(lp_vars, a, b))
+        _lpips_jit = jax.jit(lambda v, a, b: lp_model.apply(v, a, b))
+        lpips_fn = lambda a, b: _lpips_jit(lp_vars, a, b)  # vars as jit arg
     except FileNotFoundError:
         pass
 

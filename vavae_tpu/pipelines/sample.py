@@ -54,7 +54,9 @@ def load_dit_params(cfg: Config, model, ckpt_path: str, prefer_ema: bool = True)
     return jax.tree_util.tree_map(
         jnp.asarray,
         dit_params_from_torch(
-            sd, model.depth, use_swiglu=model.use_swiglu, use_rmsnorm=model.use_rmsnorm
+            sd, model.depth, use_swiglu=model.use_swiglu,
+            use_rmsnorm=model.use_rmsnorm,
+            rope_heads=model.num_heads if model.use_rope else 0,
         ),
     )
 
@@ -90,38 +92,66 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None):
         mean, std = jnp.zeros((1, 1, 1, C)), jnp.ones((1, 1, 1, C))
     multiplier = cfg.data.get("latent_multiplier", 1.0)
 
-    def generate(rng, labels):
+    # CFG-interval split: run the below-interval phase with the conditional
+    # model at half batch (numerically identical for euler; ~15% fewer FLOPs)
+    interval_start = sc.get("cfg_interval_start", 0.0)
+    use_split_cfg = (
+        use_cfg
+        and mode.upper() == "ODE"
+        and sc.get("sampling_method", "euler").lower() == "euler"
+        and interval_start > 0.0
+    )
+    if use_split_cfg:
+        cfg_sample_fn = sampler.sample_ode_cfg(
+            num_steps=sc.get("num_sampling_steps", 250),
+            timestep_shift=sc.get("timestep_shift", 0.0),
+            cfg_interval_start=interval_start,
+            reverse=sc.get("reverse", False),
+        )
+
+    def generate(p, rng, labels):
+        # p rides as a jit ARGUMENT: closing over the param tree would embed
+        # it into the module as inline constants (675M params ≈ GBs of
+        # literals), exploding trace+compile time.
         B = labels.shape[0]
         z = jax.random.normal(rng, (B, latent_size, latent_size, C), jnp.float32)
         if use_cfg:
-            z_in = jnp.concatenate([z, z], axis=0)
             y_in = jnp.concatenate(
                 [labels, jnp.full((B,), num_classes, labels.dtype)]
             )
 
             def model_fn(x, t):
                 return model.forward_with_cfg(
-                    params,
+                    p,
                     x,
                     t,
                     y_in,
                     sc.get("cfg_scale", 1.0),
-                    cfg_interval=True,
-                    cfg_interval_start=sc.get("cfg_interval_start", 0.0),
+                    cfg_interval=not use_split_cfg,
+                    cfg_interval_start=interval_start,
                     cfg_channels=sc.get("cfg_channels"),
                 )
 
-            samples = sample_fn(z_in, model_fn)[:B]
+            if use_split_cfg:
+                def model_cond_fn(x, t):
+                    return model.apply({"params": p}, x, t, labels)
+
+                samples = cfg_sample_fn(z, model_cond_fn, model_fn)
+            else:
+                z_in = jnp.concatenate([z, z], axis=0)
+                samples = sample_fn(z_in, model_fn)[:B]
         else:
 
             def model_fn(x, t):
-                return model.apply({"params": params}, x, t, labels)
+                return model.apply({"params": p}, x, t, labels)
 
             samples = sample_fn(z, model_fn)
         # un-normalize (inference.py:220)
         return samples * std / multiplier + mean
 
-    return jax.jit(generate)
+    jit_generate = jax.jit(generate)
+    params = jax.device_put(params)
+    return lambda rng, labels: jit_generate(params, rng, labels)
 
 
 def do_sample(cfg: Config, demo: bool = False) -> str:

@@ -125,6 +125,7 @@ def do_train(cfg: Config) -> TrainState:
                     model.depth,
                     use_swiglu=model.use_swiglu,
                     use_rmsnorm=model.use_rmsnorm,
+                    rope_heads=model.num_heads if model.use_rope else 0,
                 ),
             )
             state = state.replace(params=params, ema_params=params)

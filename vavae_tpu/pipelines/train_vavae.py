@@ -41,8 +41,10 @@ def build_vae_trainer(
     cfg: Config,
     mesh,
     stage_overrides: Optional[dict] = None,
-    aux_feature_fn=None,
-    lpips_fn=None,
+    aux_feature_fn=None,     # param-explicit: (aux_params, x) -> features
+    aux_params=None,
+    lpips_fn=None,           # param-explicit: (lpips_params, a, b) -> dists
+    lpips_params=None,
 ) -> VAETrainer:
     p = cfg.model.params
     lc = dict(p.lossconfig.params)
@@ -74,11 +76,15 @@ def build_vae_trainer(
         lr=lr,
         use_vf=use_vf,
         aux_feature_fn=aux_feature_fn,
+        aux_params=aux_params,
         lpips_fn=lpips_fn,
+        lpips_params=lpips_params,
     )
 
 
 def make_aux_feature_fn(kind: str, weights_path: Optional[str] = None, allow_random: bool = False):
+    """Returns (param-explicit feature fn, frozen params) — the params are
+    passed into the jitted train step as arguments, never closure constants."""
     from vavae_tpu.models.vit import FoundationModel
 
     fm = FoundationModel(kind=kind)
@@ -88,17 +94,18 @@ def make_aux_feature_fn(kind: str, weights_path: Optional[str] = None, allow_ran
         if not allow_random:
             raise
         fm.init_random(jax.random.PRNGKey(0))
-    return fm.feature_fn()
+    return fm.feature_fn_p(), fm.params
 
 
 def make_lpips_fn(weights_path: Optional[str] = None):
+    """Returns (param-explicit lpips fn, variables) or (None, None)."""
     try:
         from vavae_tpu.models.lpips import load_lpips
 
         model, variables = load_lpips(weights_path)
-        return lambda a, b: model.apply(variables, a, b)
+        return (lambda v, a, b: model.apply(v, a, b)), variables
     except FileNotFoundError:
-        return None
+        return None, None
 
 
 def train_epochs(
@@ -180,17 +187,19 @@ def run_stages(
     logger = create_logger(output_dir)
 
     use_vf = cfg.model.params.get("use_vf")
-    aux_fn = (
+    aux_fn, aux_params = (
         make_aux_feature_fn(use_vf, allow_random=allow_random_foundation)
         if use_vf
-        else None
+        else (None, None)
     )
-    lpips_fn = make_lpips_fn()
+    lpips_fn, lpips_params = make_lpips_fn()
 
     state = None
     for si, stage in enumerate(stages):
         trainer = build_vae_trainer(
-            cfg, mesh, stage_overrides=stage, aux_feature_fn=aux_fn, lpips_fn=lpips_fn
+            cfg, mesh, stage_overrides=stage,
+            aux_feature_fn=aux_fn, aux_params=aux_params,
+            lpips_fn=lpips_fn, lpips_params=lpips_params,
         )
         if state is None:
             state = trainer.replicate(trainer.init_state(jax.random.PRNGKey(0)))

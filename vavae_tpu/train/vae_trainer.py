@@ -62,10 +62,14 @@ class VAETrainer:
     lr: float = 1e-4
     use_vf: bool = True
     vf_dim: int = 1024  # DINOv2/MAE ViT-L feature dim
-    # frozen foundation-model feature fn: (images NHWC in [-1,1]) -> (B,h,w,vf_dim)
+    # frozen foundation-model feature fn, PARAM-EXPLICIT so the frozen ViT-L
+    # weights travel as jit arguments (closing over them would inline ~1.2 GB
+    # of constants into the compiled step): (aux_params, images) -> (B,h,w,vf_dim)
     aux_feature_fn: Optional[Callable] = None
-    # LPIPS fn: (a, b) -> (B,) perceptual distances, or None (weight 0)
+    aux_params: Any = None
+    # LPIPS fn, same convention: (lpips_params, a, b) -> (B,) distances
     lpips_fn: Optional[Callable] = None
+    lpips_params: Any = None
     disc_layers: int = 3
 
     def __post_init__(self):
@@ -119,11 +123,13 @@ class VAETrainer:
         # 1x1 conv == einsum over channels
         return jnp.einsum("bhwc,cd->bhwd", z, gen_params["proj"]["kernel"][0, 0])
 
-    def _gen_losses(self, gen_params, disc_vars, x, noise, aux):
+    def _gen_losses(self, gen_params, disc_vars, x, noise, aux, lpips_params):
         """Returns (nll, kl, g_loss, vf, parts) — shared by vjp and total."""
         cfg = self.loss_cfg
         dec, posterior, z = self._forward(gen_params, x, noise)
-        p_loss = self.lpips_fn(x, dec) if self.lpips_fn is not None else None
+        p_loss = (
+            self.lpips_fn(lpips_params, x, dec) if self.lpips_fn is not None else None
+        )
         nll, rec_mean = nll_loss(x, dec, p_loss, cfg)
         kl = jnp.mean(posterior.kl())
         logits_fake = self.disc.apply(disc_vars, dec, train=False)
@@ -137,14 +143,21 @@ class VAETrainer:
                  "vf_loss": vf, "vf_distmat": vf_dm, "vf_cos": vf_cos, "dec": dec}
         return nll, kl, g_loss, vf, parts
 
-    def _train_step(self, state: VAETrainState, rng: jax.Array, x: jax.Array):
+    def _train_step(
+        self, state: VAETrainState, rng: jax.Array, x: jax.Array,
+        aux_params, lpips_params,
+    ):
         cfg = self.loss_cfg
         noise_rng = jax.random.fold_in(rng, state.step)
         disc_vars = {"params": state.disc_params}
         if state.disc_batch_stats:
             disc_vars["batch_stats"] = state.disc_batch_stats
 
-        aux = self.aux_feature_fn(x) if (self.use_vf and self.aux_feature_fn) else None
+        aux = (
+            self.aux_feature_fn(aux_params, x)
+            if (self.use_vf and self.aux_feature_fn)
+            else None
+        )
 
         # fixed posterior noise shared by every recomputation this step
         down = 2 ** (len(self.vae.ch_mult) - 1)
@@ -164,7 +177,7 @@ class VAETrainer:
         def subset_losses(enc_k, dec_k):
             p = _set_kernel(state.gen_params, enc_path, enc_k)
             p = _set_kernel(p, dec_path, dec_k)
-            nll, _, g, vf, _ = self._gen_losses(p, disc_vars, x, noise, aux)
+            nll, _, g, vf, _ = self._gen_losses(p, disc_vars, x, noise, aux, lpips_params)
             return nll, g, vf
 
         enc_k = pick(state.gen_params, enc_path)
@@ -198,7 +211,9 @@ class VAETrainer:
 
         # -- generator update ---------------------------------------------------
         def total_loss(gen_params):
-            nll, kl, g, vf, parts = self._gen_losses(gen_params, disc_vars, x, noise, aux)
+            nll, kl, g, vf, parts = self._gen_losses(
+                gen_params, disc_vars, x, noise, aux, lpips_params
+            )
             loss = nll + cfg.kl_weight * kl + d_weight * disc_factor * g + vf_weight * vf
             parts.update(total_loss=loss, nll_loss=nll, d_weight=d_weight,
                          vf_weight=vf_weight, disc_factor=disc_factor)
@@ -258,11 +273,14 @@ class VAETrainer:
             rep = replicated(self.mesh)
             self._jit_train = jax.jit(
                 self._train_step,
-                in_shardings=(rep, rep, data_sharding(self.mesh, 4)),
+                in_shardings=(rep, rep, data_sharding(self.mesh, 4), rep, rep),
                 out_shardings=(rep, rep),
                 donate_argnums=(0,),
             )
-        return self._jit_train(state, rng, images)
+        # frozen-model params ride as arguments (NOT closure constants)
+        return self._jit_train(
+            state, rng, images, self.aux_params or {}, self.lpips_params or {}
+        )
 
     def eval_step(self, state: VAETrainState, rng: jax.Array, images):
         """Validation metrics (rec_loss for checkpoint selection)."""

@@ -51,6 +51,46 @@ def odeint_euler(drift: Callable, x: jax.Array, t: jax.Array) -> jax.Array:
     return x
 
 
+def odeint_euler_split(
+    drift_a: Callable,
+    drift_b: Callable,
+    lift: Callable,
+    x: jax.Array,
+    t: jax.Array,
+    split_idx: int,
+) -> jax.Array:
+    """Euler with a phase change at ``t[split_idx]``: integrate with
+    ``drift_a`` before the boundary, apply ``lift`` to the state, then
+    integrate with ``drift_b``.
+
+    Built for CFG-interval sampling (inference.py cfg_interval_start): below
+    the interval the reference computes BOTH CFG halves and throws the
+    uncond one away (lightningdit.py:436-439). Running that phase with a
+    cond-only model at half batch is numerically identical and saves
+    ~0.5 × (split fraction) of total sampling FLOPs.
+    """
+    B = x.shape[0]
+
+    def mk_step(drift):
+        def step(carry, tt):
+            x = carry
+            t_cur, t_next = tt
+            dt = t_next - t_cur
+            v = drift(x, jnp.full((x.shape[0],), t_cur, x.dtype))
+            return x + dt.astype(x.dtype) * v, None
+
+        return step
+
+    pairs = jnp.stack([t[:-1], t[1:]], axis=-1)
+    split_idx = max(0, min(int(split_idx), pairs.shape[0]))
+    if split_idx > 0:
+        x, _ = jax.lax.scan(mk_step(drift_a), x, pairs[:split_idx])
+    x = lift(x)
+    if split_idx < pairs.shape[0]:
+        x, _ = jax.lax.scan(mk_step(drift_b), x, pairs[split_idx:])
+    return x
+
+
 def odeint_heun(drift: Callable, x: jax.Array, t: jax.Array) -> jax.Array:
     B = x.shape[0]
 

@@ -14,6 +14,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vavae_tpu.transport import ode as ode_mod
 from vavae_tpu.transport import paths, sde as sde_mod
@@ -61,6 +62,48 @@ class Sampler:
             if sampling_method == "dopri5":
                 return ode_mod.odeint_dopri5(d, x, t0, t1, rtol=rtol, atol=atol)
             raise NotImplementedError(f"ODE method {sampling_method}")
+
+        return _sample
+
+    def sample_ode_cfg(
+        self,
+        *,
+        num_steps: int = 250,
+        timestep_shift: float = 0.0,
+        cfg_interval_start: float = 0.0,
+        reverse: bool = False,
+    ) -> Callable:
+        """Euler CFG sampler with the interval split run as two scan phases.
+
+        Below ``cfg_interval_start`` the reference's cfg_interval gate
+        discards the guidance anyway (lightningdit.py:436-439) while still
+        paying for both CFG halves; we integrate that phase with the
+        conditional model at half batch — numerically identical for euler,
+        ~15% fewer FLOPs at the production settings (start 0.11, shift 0.3).
+
+        Returns fn(x (B,...), model_cond_fn, model_cfg_fn) -> (B,...) where
+        model_cond_fn takes batch B and model_cfg_fn takes [cond|uncond] 2B.
+        """
+        transport = self.transport
+        base_drift = self.drift
+        t0, t1 = transport.check_interval(eval=True, sde=False, reverse=reverse)
+        grid_np = ode_mod.time_grid(t0, t1, num_steps, timestep_shift)
+        # first step index whose t_cur >= start ends the cond-only phase
+        split_idx = int(np.searchsorted(grid_np[:-1], cfg_interval_start))
+
+        def _sample(
+            x: jax.Array,
+            model_cond_fn: Callable,
+            model_cfg_fn: Callable,
+        ) -> jax.Array:
+            B = x.shape[0]
+            d_cond = lambda xv, tv: base_drift(xv, tv, model_cond_fn)
+            d_cfg = lambda xv, tv: base_drift(xv, tv, model_cfg_fn)
+            lift = lambda xv: jnp.concatenate([xv, xv], axis=0)
+            out = ode_mod.odeint_euler_split(
+                d_cond, d_cfg, lift, x, jnp.asarray(grid_np), split_idx
+            )
+            return out[:B]
 
         return _sample
 

@@ -137,21 +137,62 @@ def vae_params_from_torch(
 # -- DiT ------------------------------------------------------------------------
 
 
-def _dit_block_from_torch(sd: Mapping, p: str, use_swiglu: bool, use_rmsnorm: bool) -> Dict:
+def _rope_permute_qkv(dense: Dict, num_heads: int) -> Dict:
+    """Permute q,k output columns into the split-half RoPE layout
+    (posembed.rope_permutation). q·kᵀ is invariant to a shared permutation
+    of q and k, so converted models stay bit-identical to the reference."""
+    from vavae_tpu.models.posembed import rope_permutation
+
+    kernel = dense["kernel"]  # (in, 3*dim)
+    d_in, three_dim = kernel.shape
+    dim = three_dim // 3
+    head_dim = dim // num_heads
+    perm = rope_permutation(head_dim)
+
+    def permute(x, axis):
+        shape = x.shape
+        x = x.reshape(shape[:axis] + (3, num_heads, head_dim))
+        x = np.concatenate(
+            [np.take(x[..., :2, :, :], perm, axis=-1), x[..., 2:, :, :]], axis=-3
+        )
+        return x.reshape(shape)
+
+    out = {"kernel": permute(kernel, 1)}
+    if "bias" in dense:
+        out["bias"] = permute(dense["bias"], 0)
+    return out
+
+
+def _dit_block_from_torch(
+    sd: Mapping, p: str, use_swiglu: bool, use_rmsnorm: bool,
+    rope_heads: int = 0,
+) -> Dict:
+    qkv = _dense(sd, f"{p}.attn.qkv")
+    if rope_heads:
+        qkv = _rope_permute_qkv(qkv, rope_heads)
     out: Dict = {
         "adaLN": _dense(sd, f"{p}.adaLN_modulation.1"),
         "attn": {
-            "qkv": _dense(sd, f"{p}.attn.qkv"),
+            "qkv": qkv,
             "proj": _dense(sd, f"{p}.attn.proj"),
         },
     }
     if f"{p}.attn.q_norm.weight" in sd:
-        if use_rmsnorm:
-            out["attn"]["q_norm"] = {"weight": sd[f"{p}.attn.q_norm.weight"]}
-            out["attn"]["k_norm"] = {"weight": sd[f"{p}.attn.k_norm.weight"]}
-        else:
-            out["attn"]["q_norm"] = _norm(sd, f"{p}.attn.q_norm")
-            out["attn"]["k_norm"] = _norm(sd, f"{p}.attn.k_norm")
+        from vavae_tpu.models.posembed import rope_permutation
+
+        def qknorm(name):
+            w = {"weight": sd[f"{p}.attn.{name}.weight"]} if use_rmsnorm else _norm(
+                sd, f"{p}.attn.{name}"
+            )
+            if rope_heads:
+                # qk-norm weights live on the head dim — permute with q,k
+                head_dim = w["weight"].shape[-1] if use_rmsnorm else w["scale"].shape[-1]
+                perm = rope_permutation(head_dim)
+                w = {k: np.take(v, perm, axis=-1) for k, v in w.items()}
+            return w
+
+        out["attn"]["q_norm"] = qknorm("q_norm")
+        out["attn"]["k_norm"] = qknorm("k_norm")
     if use_rmsnorm:
         out["norm1"] = {"weight": sd[f"{p}.norm1.weight"]}
         out["norm2"] = {"weight": sd[f"{p}.norm2.weight"]}
@@ -168,8 +209,13 @@ def dit_params_from_torch(
     use_swiglu: bool = True,
     use_rmsnorm: bool = True,
     scan_blocks: bool = True,
+    rope_heads: int = 0,
 ) -> Dict:
-    """Convert a reference LightningDiT state dict to our param tree."""
+    """Convert a reference LightningDiT state dict to our param tree.
+
+    ``rope_heads``: when the model uses RoPE, pass num_heads so q,k columns
+    are permuted into our split-half rotary layout (attention outputs remain
+    bit-identical; see posembed.rope_2d_freqs)."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
 
     w = sd["x_embedder.proj.weight"]  # (D, C, p, p)
@@ -185,7 +231,7 @@ def dit_params_from_torch(
     y_emb = {"table": {"embedding": sd["y_embedder.embedding_table.weight"]}}
 
     blocks = [
-        _dit_block_from_torch(sd, f"blocks.{i}", use_swiglu, use_rmsnorm)
+        _dit_block_from_torch(sd, f"blocks.{i}", use_swiglu, use_rmsnorm, rope_heads)
         for i in range(depth)
     ]
     if scan_blocks:
