@@ -69,3 +69,49 @@ def test_frechet_distance():
     mu2, s2 = activation_statistics(b)
     d = frechet_distance(mu1, s1, mu2, s2)
     assert 25 < d < 45  # ≈ ||2·1||² = 32 plus cov noise
+
+
+import pytest
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu", reason="pallas TPU kernel"
+)
+def test_pallas_attention_matches_xla_on_tpu():
+    """Kernel vs XLA attention, with and without fused RoPE (bf16 tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vavae_tpu.models.layers import rotate_half
+    from vavae_tpu.models.posembed import rope_2d_freqs
+    from vavae_tpu.ops.attention import _xla_attention
+    from vavae_tpu.ops.pallas.flash_attention import flash_attention
+
+    B, N, H, D = 4, 256, 16, 72
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (B, N, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, N, H, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, N, H, D), jnp.bfloat16)
+
+    ref = np.asarray(_xla_attention(q, k, v).astype(jnp.float32))
+    got = np.asarray(flash_attention(q, k, v).astype(jnp.float32))
+    assert np.abs(ref - got).max() < 2e-2
+
+    cos, sin = rope_2d_freqs(D, 16)
+    cos_j, sin_j = jnp.asarray(cos), jnp.asarray(sin)
+
+    def rot(x):
+        fc = cos_j[None, :, None, :].astype(x.dtype)
+        fs = sin_j[None, :, None, :].astype(x.dtype)
+        return x * fc + rotate_half(x) * fs
+
+    ref_r = np.asarray(_xla_attention(rot(q), rot(k), v).astype(jnp.float32))
+    got_r = np.asarray(flash_attention(q, k, v, (cos_j, sin_j)).astype(jnp.float32))
+    assert np.abs(ref_r - got_r).max() < 2e-2
+
+    # backward runs (exact XLA vjp under the hood)
+    g = jax.grad(
+        lambda q: jnp.sum(flash_attention(q, k, v, (cos_j, sin_j)).astype(jnp.float32))
+    )(q)
+    assert np.isfinite(np.asarray(g.astype(jnp.float32))).all()

@@ -195,13 +195,8 @@ class Attention(nn.Module):
                 q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
                 k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
 
-        if rope is not None:
-            fc, fs = rope  # (N, D) each
-            fc = fc.astype(q.dtype)[None, :, None, :]
-            fs = fs.astype(q.dtype)[None, :, None, :]
-            q = q * fc + rotate_half(q) * fs
-            k = k * fc + rotate_half(k) * fs
-
-        out = dot_product_attention(q, k, v)  # (B, N, H, D)
+        # RoPE is delegated to the attention op: on the Pallas path the
+        # rotation runs inside the kernel (saves the XLA elementwise passes)
+        out = dot_product_attention(q, k, v, rope=rope)  # (B, N, H, D)
         out = out.reshape(B, N, C)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
