@@ -28,7 +28,13 @@ from vavae_tpu.apps.regularization import (
     supcon_loss,
 )
 from vavae_tpu.models.resnet import ResNet18
-from vavae_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_batch
+from vavae_tpu.parallel.mesh import (
+    data_sharding,
+    donate_state_argnums,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
 
 
 class ClassifierState(struct.PyTreeNode):
@@ -118,7 +124,7 @@ class ClassifierTrainer:
                 self._train_step,
                 in_shardings=(rep, rep, ds(4), ds(1)),
                 out_shardings=(rep, rep),
-                donate_argnums=(0,),
+                donate_argnums=donate_state_argnums(),
             )
         x, y = batch
         return self._jit_train(state, rng, x, y)

@@ -87,6 +87,34 @@ def shard_batch(mesh: Mesh, batch):
 
 
 @functools.cache
+def donation_supported() -> bool:
+    """Probe whether buffer donation works on the default backend.
+
+    Donation (in-place state update) is the right design on real TPUs —
+    it halves peak memory for the optimizer step — but some experimental
+    runtimes (the tunneled 'axon' backend) fail donated executions at run
+    time with an opaque InvalidArgument. Probe once with a tiny aliased
+    computation and cache the verdict. Override with VAVAE_DONATE=0/1."""
+    env = os.environ.get("VAVAE_DONATE")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    try:
+        import numpy as _np
+
+        f = jax.jit(lambda x: x * 2.0 + 1.0, donate_argnums=(0,))
+        out = f(jax.numpy.zeros((8, 128), jax.numpy.float32))
+        _np.asarray(out)  # force execution + fetch (async backends)
+        return True
+    except Exception:
+        return False
+
+
+def donate_state_argnums() -> tuple:
+    """(0,) when donation works here, else () — for trainer jit wrappers."""
+    return (0,) if donation_supported() else ()
+
+
+@functools.cache
 def cpu_mesh(n: int = 8) -> Mesh:
     """A CPU-device test mesh; requires XLA_FLAGS=--xla_force_host_platform_device_count=n.
 

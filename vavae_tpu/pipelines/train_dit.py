@@ -128,7 +128,12 @@ def do_train(cfg: Config) -> TrainState:
                     rope_heads=model.num_heads if model.use_rope else 0,
                 ),
             )
-            state = state.replace(params=params, ema_params=params)
+            # distinct copies — params/ema sharing buffers breaks state
+            # donation in the jitted step
+            state = state.replace(
+                params=params,
+                ema_params=jax.tree_util.tree_map(np.copy, params),
+            )
             logger.info(f"converted torch weights from {init_path}")
 
     # resume from latest step-numbered checkpoint

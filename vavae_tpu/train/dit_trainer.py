@@ -25,7 +25,13 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vavae_tpu.models.dit import LightningDiT
-from vavae_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, data_sharding, replicated
+from vavae_tpu.parallel.mesh import (
+    DATA_AXIS,
+    FSDP_AXIS,
+    data_sharding,
+    donate_state_argnums,
+    replicated,
+)
 from vavae_tpu.train.ema import update_ema
 from vavae_tpu.transport.transport import Transport
 
@@ -86,7 +92,10 @@ class DiTTrainer:
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            ema_params=jax.tree_util.tree_map(lambda p: p, params),
+            # REAL copies: params and ema must not share buffers — the state
+            # is donated every step, and donating one buffer through two tree
+            # leaves is undefined (fails with InvalidArgument on TPU runtimes)
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
             opt_state=self.tx.init(params),
         )
 
@@ -162,7 +171,7 @@ class DiTTrainer:
                 self._train_step,
                 in_shardings=(rep, rep, data_sharding(self.mesh, 4), batch_shard),
                 out_shardings=(rep, rep),
-                donate_argnums=(0,),
+                donate_argnums=donate_state_argnums(),
             )
         x, y = batch
         return self._jit_train(state, rng, x, y)

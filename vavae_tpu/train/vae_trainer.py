@@ -30,7 +30,7 @@ from jax.sharding import Mesh
 
 from vavae_tpu.models.discriminator import NLayerDiscriminator, hinge_d_loss, vanilla_d_loss
 from vavae_tpu.models.vae import AutoencoderKL, DiagonalGaussian
-from vavae_tpu.parallel.mesh import data_sharding, replicated
+from vavae_tpu.parallel.mesh import data_sharding, donate_state_argnums, replicated
 from vavae_tpu.train.vae_loss import VAELossConfig, adaptive_weight, adopt_weight, nll_loss, vf_loss
 
 
@@ -275,7 +275,7 @@ class VAETrainer:
                 self._train_step,
                 in_shardings=(rep, rep, data_sharding(self.mesh, 4), rep, rep),
                 out_shardings=(rep, rep),
-                donate_argnums=(0,),
+                donate_argnums=donate_state_argnums(),
             )
         # frozen-model params ride as arguments (NOT closure constants)
         return self._jit_train(
