@@ -37,3 +37,45 @@ def test_sharded_grad_matches_single_device(mesh8):
     xs = shard_batch(mesh8, x)
     g_sharded = jax.jit(jax.grad(loss))(w, xs)
     assert np.allclose(np.asarray(g_single), np.asarray(g_sharded), atol=1e-5)
+
+
+def test_fsdp_state_sharding_matches_replicated():
+    """With fsdp > 1 the train state must actually shard over the fsdp axis,
+    and one step must produce the same loss as the pure-DP mesh (GSPMD
+    inserts the all-gathers/reduce-scatters; math unchanged)."""
+    import jax
+    import numpy as np
+
+    from vavae_tpu.models.dit import LightningDiT
+    from vavae_tpu.parallel.mesh import FSDP_AXIS, make_mesh
+    from vavae_tpu.train.dit_trainer import DiTTrainer
+    from vavae_tpu.transport import create_transport
+
+    devs = jax.devices("cpu")[:8]
+    B = 8
+    x = np.random.default_rng(0).normal(size=(B, 8, 8, 4)).astype(np.float32)
+    y = np.random.default_rng(1).integers(0, 8, size=(B,)).astype(np.int32)
+
+    losses = {}
+    shardings = {}
+    for fsdp in (1, 4):
+        mesh = make_mesh(data=8 // fsdp, fsdp=fsdp, devices=devs)
+        model = LightningDiT(
+            input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+            depth=2, num_heads=4, num_classes=8, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True,
+        )
+        transport = create_transport("Linear", "velocity")
+        trainer = DiTTrainer(model, transport, mesh, lr=1e-4)
+        state = trainer.replicate(trainer.init_state(jax.random.PRNGKey(0), (B, 8, 8, 4)))
+        qkv = state.params["blocks"]["block"]["attn"]["qkv"]["kernel"]
+        shardings[fsdp] = qkv.sharding
+        state, m = trainer.train_step(
+            state, jax.random.PRNGKey(1), trainer.shard_batch((x, y))
+        )
+        losses[fsdp] = float(jax.device_get(m["loss"]))
+
+    assert shardings[1].is_fully_replicated
+    assert not shardings[4].is_fully_replicated
+    assert FSDP_AXIS in str(shardings[4].spec)
+    np.testing.assert_allclose(losses[1], losses[4], rtol=2e-4)

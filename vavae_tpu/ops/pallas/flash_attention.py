@@ -91,6 +91,75 @@ def _attn_kernel_small_rope(
     o_ref[...] = (acc / l).astype(o_ref.dtype)
 
 
+def _attn_bwd_kernel_small(
+    q_ref, k_ref, v_ref, g_ref, cos_ref, sin_ref, dq_ref, dk_ref, dv_ref,
+    *, scale: float, use_rope: bool,
+):
+    """Backward for the small-sequence kernel, fully VMEM-resident.
+
+    Recomputes p = softmax(q·kᵀ·scale) (flash style — nothing saved from the
+    forward beyond q,k,v), then
+        dv = pᵀ g ;  dp = g vᵀ ;  ds = p ∘ (dp − Σ_k dp∘p) · scale
+        dq̃ = ds k̃ ;  dk̃ = dsᵀ q̃
+    and pulls dq̃, dk̃ back through the RoPE rotation (Rᵀ cotangent).
+    """
+    q, k, v, g = q_ref[...], k_ref[...], v_ref[...], g_ref[...]
+    if use_rope:
+        cos = cos_ref[...][None].astype(q.dtype)
+        sin = sin_ref[...][None].astype(q.dtype)
+        q = q * cos + _rot_half(q) * sin
+        k = k * cos + _rot_half(k) * sin
+
+    dn_dd = (((2,), (2,)), ((0,), (0,)))   # contract D with D, batch G
+    dn_nn = (((1,), (1,)), ((0,), (0,)))   # contract N_q with N_q, batch G
+    dn_nk = (((2,), (1,)), ((0,), (0,)))   # contract N_k, batch G
+
+    s = jax.lax.dot_general(
+        q, k, dn_dd, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)          # (G, Nq, Nk) f32
+
+    pb = p.astype(v.dtype)
+    # dv[G,Nk,D] = Σ_q p[G,q,k] g[G,q,D]
+    dv = jax.lax.dot_general(
+        pb, g, dn_nn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    # dp[G,Nq,Nk] = Σ_D g[G,q,D] v[G,k,D]
+    dp = jax.lax.dot_general(
+        g, v, dn_dd, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    dsb = ds.astype(q.dtype)
+    # dq[G,Nq,D] = Σ_k ds[G,q,k] k[G,k,D]
+    dq = jax.lax.dot_general(
+        dsb, k, dn_nk, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    # dk[G,Nk,D] = Σ_q ds[G,q,k] q[G,q,D]
+    dk = jax.lax.dot_general(
+        dsb, q, dn_nn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    if use_rope:
+        cosf = cos_ref[...][None]
+        sinf = sin_ref[...][None]
+
+        def rot_t(y):  # transpose of the split-half rotation
+            half = y.shape[-1] // 2
+            return jnp.concatenate([y[..., half:], -y[..., :half]], axis=-1)
+
+        dq = dq * cosf + rot_t(dq * sinf)
+        dk = dk * cosf + rot_t(dk * sinf)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_len: int):
     # q_ref: (1, block_q, d); k_ref/v_ref: (1, kv_len, d); o_ref: (1, block_q, d)
     _, block_q, d = q_ref.shape
@@ -243,6 +312,62 @@ def _forward(q, k, v, rope, block_q: int, block_k: int):
     return jnp.swapaxes(out, 1, 2)
 
 
+def _unpad_halves(x: jax.Array, d: int) -> jax.Array:
+    """Inverse of _pad_halves: (…, dp) → (…, d)."""
+    dp = x.shape[-1]
+    h = d // 2
+    x = x.reshape(*x.shape[:-1], 2, dp // 2)[..., :h]
+    return x.reshape(*x.shape[:-2], d)
+
+
+def _bwd_pallas(q, k, v, rope, g):
+    """VMEM-resident backward (small-seq shapes): dq, dk, dv in one kernel."""
+    B, N, H, D = q.shape
+    scale = D**-0.5
+    use_rope = rope is not None
+
+    def to_bh(x, halves: bool):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+        return _pad_halves(x, 128) if halves else _pad_to(x, 2, 128)
+
+    qb, kb = to_bh(q, use_rope), to_bh(k, use_rope)
+    vb, gb = to_bh(v, False), to_bh(g, False)
+    Dp = qb.shape[-1]
+    BH = B * H
+
+    # bigger per-head VMEM footprint than forward: p/dp/ds f32 + 7 bf16 tiles
+    budget = 8 * 1024 * 1024
+    per_head = 3 * N * N * 4 + 7 * N * Dp * 2
+    G = max(1, min(16, budget // max(per_head, 1)))
+    while G > 1 and BH % G:
+        G -= 1
+
+    if use_rope:
+        cos, sin = rope
+        cos_p = _pad_halves(jnp.asarray(cos, jnp.float32), 128)
+        sin_p = _pad_halves(jnp.asarray(sin, jnp.float32), 128)
+    else:
+        cos_p = jnp.ones((N, Dp), jnp.float32)
+        sin_p = jnp.zeros((N, Dp), jnp.float32)
+
+    spec = pl.BlockSpec((G, N, Dp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((N, Dp), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_small, scale=scale, use_rope=use_rope),
+        grid=(BH // G,),
+        in_specs=[spec, spec, spec, spec, tspec, tspec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((BH, N, Dp), q.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+    )(qb, kb, vb, gb, cos_p, sin_p)
+
+    def from_bh(x, halves: bool):
+        x = _unpad_halves(x, D) if halves else x[..., :D]
+        return jnp.swapaxes(x.reshape(B, H, N, D), 1, 2)
+
+    return from_bh(dq, use_rope), from_bh(dk, use_rope), from_bh(dv, False)
+
+
 def _xla_rope_attention(q, k, v, rope):
     """Exact reference computation used for the backward pass."""
     from vavae_tpu.models.layers import apply_rope
@@ -279,8 +404,12 @@ def _fwd(q, k, v, rope, block_q, block_k):
 
 def _bwd(block_q, block_k, res, g):
     q, k, v, rope = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_rope_attention(q, k, v, rope), q, k, v)
-    dq, dk, dv = vjp(g)
+    N = q.shape[1]
+    if N <= SMALL_SEQ_MAX and N % 8 == 0:
+        dq, dk, dv = _bwd_pallas(q, k, v, rope, g)
+    else:
+        _, vjp = jax.vjp(lambda q, k, v: _xla_rope_attention(q, k, v, rope), q, k, v)
+        dq, dk, dv = vjp(g)
     drope = (
         None
         if rope is None

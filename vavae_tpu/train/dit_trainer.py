@@ -53,6 +53,10 @@ class DiTTrainer:
     weight_decay: float = 0.0
     max_grad_norm: Optional[float] = None
     ema_decay: float = 0.9999
+    # dtype of Adam's first moment. bf16 halves its HBM footprint AND traffic
+    # — the optimizer+EMA state sweep, not compute, bounds small-per-chip-batch
+    # steps. None = fp32 (exact reference parity).
+    adam_mu_dtype: Optional[str] = "bfloat16"
     # cosine LR schedule (reference config_dit_base.yaml:70-74); None = constant
     lr_schedule: Optional[str] = None
     warmup_steps: int = 0
@@ -73,7 +77,10 @@ class DiTTrainer:
         if self.max_grad_norm:
             chain.append(optax.clip_by_global_norm(self.max_grad_norm))
         chain.append(
-            optax.adamw(lr, b1=0.9, b2=self.beta2, weight_decay=self.weight_decay)
+            optax.adamw(
+                lr, b1=0.9, b2=self.beta2, weight_decay=self.weight_decay,
+                mu_dtype=self.adam_mu_dtype,
+            )
         )
         tx = optax.chain(*chain)
         if self.grad_accum > 1:
@@ -99,8 +106,29 @@ class DiTTrainer:
             opt_state=self.tx.init(params),
         )
 
+    def _leaf_sharding(self, x) -> NamedSharding:
+        """FSDP (ZeRO-3 style) placement for one state leaf: shard the
+        largest fsdp-divisible dim over the fsdp axis; XLA inserts the
+        all-gathers for compute and reduce-scatters the grads (SURVEY.md
+        §2.6 — sharding annotations instead of NCCL code)."""
+        fsdp = self.mesh.shape[FSDP_AXIS]
+        shape = getattr(x, "shape", ())
+        if fsdp == 1 or len(shape) == 0:
+            return replicated(self.mesh)
+        for d in sorted(range(len(shape)), key=lambda d: shape[d], reverse=True):
+            if shape[d] % fsdp == 0 and shape[d] >= fsdp:
+                spec = [None] * len(shape)
+                spec[d] = FSDP_AXIS
+                return NamedSharding(self.mesh, P(*spec))
+        return replicated(self.mesh)
+
+    def state_shardings(self, state: TrainState):
+        return jax.tree_util.tree_map(self._leaf_sharding, state)
+
     def replicate(self, state: TrainState) -> TrainState:
-        return jax.device_put(state, replicated(self.mesh))
+        """Place state on the mesh: replicated over data, FSDP-sharded over
+        the fsdp axis (a pure replicate when fsdp == 1)."""
+        return jax.device_put(state, self.state_shardings(state))
 
     def shard_batch(self, batch):
         return jax.tree_util.tree_map(
@@ -167,10 +195,11 @@ class DiTTrainer:
         if self._jit_train is None:
             batch_shard = data_sharding(self.mesh, 1)
             rep = replicated(self.mesh)
+            state_sh = self.state_shardings(state)
             self._jit_train = jax.jit(
                 self._train_step,
-                in_shardings=(rep, rep, data_sharding(self.mesh, 4), batch_shard),
-                out_shardings=(rep, rep),
+                in_shardings=(state_sh, rep, data_sharding(self.mesh, 4), batch_shard),
+                out_shardings=(state_sh, rep),
                 donate_argnums=donate_state_argnums(),
             )
         x, y = batch
@@ -181,7 +210,7 @@ class DiTTrainer:
             rep = replicated(self.mesh)
             self._jit_eval = jax.jit(
                 self._eval_step,
-                in_shardings=(rep, rep, data_sharding(self.mesh, 4), data_sharding(self.mesh, 1), None, None),
+                in_shardings=(self.state_shardings(state), rep, data_sharding(self.mesh, 4), data_sharding(self.mesh, 1), None, None),
                 out_shardings=rep,
                 static_argnums=(),
             )
