@@ -88,3 +88,26 @@ def test_vae_parity_vs_reference_torch():
     np.testing.assert_allclose(
         np.asarray(dec_j), np.transpose(dec_ref, (0, 2, 3, 1)), rtol=1e-4, atol=1e-4
     )
+
+
+def test_vavae_facade_encode_decode_jit_path():
+    """The VA_VAE facade's jitted encode/decode must work end-to-end —
+    regression: DiagonalGaussian wasn't a registered pytree, so the jitted
+    _encode failed at runtime (unit tests only exercised raw model.apply)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vavae_tpu.tokenizer import VA_VAE
+
+    vae = VA_VAE(img_size=32)  # fresh params; latent 2x2x32
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32) * 0.3
+    post = vae.encode_moments(x)
+    assert post.mean.shape == (2, 2, 2, 32)
+    z = vae.encode_images(x, rng=jax.random.PRNGKey(0))
+    assert z.shape == (2, 2, 2, 32)
+    imgs = vae.decode_to_images(z)
+    assert imgs.shape == (2, 32, 32, 3) and imgs.dtype == np.uint8
+    # sampling is stochastic around the mean with the posterior's std
+    z2 = vae.encode_images(x, rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(z), np.asarray(z2))

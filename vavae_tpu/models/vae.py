@@ -169,6 +169,7 @@ class Decoder(nn.Module):
         return nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DiagonalGaussian:
     """Posterior N(mean, exp(logvar)) with channel-last moments.
