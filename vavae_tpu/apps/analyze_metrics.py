@@ -1,0 +1,133 @@
+"""Filtering-metric distribution analysis + data-driven threshold selection.
+
+Parity targets:
+  - analyze_filtering_metrics.py:63-268 — per-sample metric distributions
+    (confidence, margin, feature diversity, prototype similarity, pixel
+    stats) over GENERATED samples, with percentile summaries.
+  - analyze_real_data_metrics.py:315-362 — the same metrics over REAL data,
+    from which acceptance thresholds are recommended (low percentile of the
+    real distribution = the floor a generated sample must clear).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Callable, Dict, Iterable, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SampleMetrics:
+    """Per-sample metric columns over one dataset (rows align)."""
+
+    confidence: np.ndarray            # top-1 softmax prob
+    margin: np.ndarray                # top-1 − top-2 prob
+    correct: np.ndarray               # pred == label
+    prototype_sim: Optional[np.ndarray] = None  # max cosine to class prototypes
+    pixel_mean: Optional[np.ndarray] = None
+    pixel_std: Optional[np.ndarray] = None
+
+    def summary(self, percentiles=(1, 5, 25, 50, 75, 95, 99)) -> Dict:
+        out = {}
+        for name in ("confidence", "margin", "prototype_sim", "pixel_mean", "pixel_std"):
+            col = getattr(self, name)
+            if col is None:
+                continue
+            out[name] = {
+                "mean": float(np.mean(col)),
+                "std": float(np.std(col)),
+                **{f"p{p}": float(np.percentile(col, p)) for p in percentiles},
+            }
+        out["accuracy"] = float(np.mean(self.correct))
+        return out
+
+
+def compute_sample_metrics(
+    images_uint8: np.ndarray,
+    labels: np.ndarray,
+    classifier_fn: Callable[[np.ndarray], np.ndarray],
+    feature_fn: Optional[Callable] = None,
+    prototypes: Optional[np.ndarray] = None,
+    batch_size: int = 64,
+) -> SampleMetrics:
+    """Run the classifier (and optional feature/prototype path) over a set of
+    images and collect the per-sample filter metrics."""
+    confs, margins, corrects, protos = [], [], [], []
+    for s in range(0, len(images_uint8), batch_size):
+        imgs = images_uint8[s : s + batch_size]
+        x = imgs.astype(np.float32) / 127.5 - 1.0
+        probs = np.asarray(classifier_fn(x))
+        srt = np.sort(probs, axis=-1)
+        confs.append(srt[:, -1])
+        margins.append(srt[:, -1] - srt[:, -2])
+        corrects.append(probs.argmax(-1) == labels[s : s + batch_size])
+        if feature_fn is not None and prototypes is not None:
+            f = np.asarray(feature_fn(x))
+            fn = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+            pn = prototypes / np.maximum(
+                np.linalg.norm(prototypes, axis=-1, keepdims=True), 1e-12
+            )
+            protos.append((fn @ pn.T).max(axis=-1))
+    flat = images_uint8.reshape(len(images_uint8), -1).astype(np.float32)
+    return SampleMetrics(
+        confidence=np.concatenate(confs),
+        margin=np.concatenate(margins),
+        correct=np.concatenate(corrects),
+        prototype_sim=np.concatenate(protos) if protos else None,
+        pixel_mean=flat.mean(axis=-1),
+        pixel_std=flat.std(axis=-1),
+    )
+
+
+def recommend_thresholds_from_real(
+    real: SampleMetrics, percentile: float = 5.0
+) -> Dict[str, float]:
+    """Acceptance floors for generated samples = the low percentile of the
+    REAL data's metric distributions (analyze_real_data_metrics.py:315-362).
+    prototype_sim gets an UPPER bound (reject near-duplicates) from the high
+    percentile instead."""
+    out = {
+        "min_confidence": float(np.percentile(real.confidence, percentile)),
+        "min_margin": float(np.percentile(real.margin, percentile)),
+        "pixel_mean_range": (
+            float(np.percentile(real.pixel_mean, percentile)),
+            float(np.percentile(real.pixel_mean, 100 - percentile)),
+        ),
+        "min_pixel_std": float(np.percentile(real.pixel_std, percentile)),
+    }
+    if real.prototype_sim is not None:
+        out["max_prototype_sim"] = float(
+            np.percentile(real.prototype_sim, 100 - percentile)
+        )
+    return out
+
+
+def compare_real_vs_generated(
+    real: SampleMetrics, generated: SampleMetrics
+) -> Dict:
+    """Side-by-side distribution report (analyze_filtering_metrics.py output
+    format): summaries plus the fraction of generated samples that would pass
+    real-data-derived thresholds."""
+    thresholds = recommend_thresholds_from_real(real)
+    passing = (
+        (generated.confidence >= thresholds["min_confidence"])
+        & (generated.margin >= thresholds["min_margin"])
+        & (generated.pixel_mean >= thresholds["pixel_mean_range"][0])
+        & (generated.pixel_mean <= thresholds["pixel_mean_range"][1])
+        & (generated.pixel_std >= thresholds["min_pixel_std"])
+    )
+    if generated.prototype_sim is not None and "max_prototype_sim" in thresholds:
+        passing &= generated.prototype_sim <= thresholds["max_prototype_sim"]
+    return {
+        "real": real.summary(),
+        "generated": generated.summary(),
+        "recommended_thresholds": thresholds,
+        "generated_pass_rate": float(passing.mean()),
+    }
+
+
+def save_report(report: Dict, path: str) -> str:
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2, default=str)
+    return path

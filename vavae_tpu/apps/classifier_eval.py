@@ -1,0 +1,85 @@
+"""Classifier evaluation report on real (or generated) data.
+
+Parity target: test_classifier_on_real_data.py:133,268,318 — generalization
+accuracy, per-user breakdown, confusion matrix, and reliability analysis
+(confidence-binned accuracy, the data behind a reliability diagram + ECE).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+
+def confusion_matrix(pred: np.ndarray, labels: np.ndarray, num_classes: int) -> np.ndarray:
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    np.add.at(cm, (labels, pred), 1)
+    return cm
+
+
+def reliability_bins(
+    confidence: np.ndarray, correct: np.ndarray, bins: int = 10
+) -> Dict:
+    """Confidence-binned accuracy (reliability diagram data) + ECE."""
+    edges = np.linspace(0.0, 1.0, bins + 1)
+    idx = np.clip(np.digitize(confidence, edges) - 1, 0, bins - 1)
+    bin_acc, bin_conf, bin_n = [], [], []
+    ece = 0.0
+    for b in range(bins):
+        mask = idx == b
+        n = int(mask.sum())
+        acc = float(correct[mask].mean()) if n else 0.0
+        conf = float(confidence[mask].mean()) if n else 0.0
+        bin_acc.append(acc)
+        bin_conf.append(conf)
+        bin_n.append(n)
+        ece += n / max(len(confidence), 1) * abs(acc - conf)
+    return {
+        "bin_edges": edges.tolist(),
+        "bin_accuracy": bin_acc,
+        "bin_confidence": bin_conf,
+        "bin_count": bin_n,
+        "ece": float(ece),
+    }
+
+
+def evaluate_classifier(
+    classifier_fn: Callable[[np.ndarray], np.ndarray],
+    images: np.ndarray,
+    labels: np.ndarray,
+    num_classes: int,
+    batch_size: int = 64,
+    in_range_uint8: Optional[bool] = None,
+) -> Dict:
+    """Full report: overall + per-user accuracy, confusion matrix, top-k,
+    reliability/ECE. ``images`` uint8 NHWC or float [-1,1]."""
+    if in_range_uint8 is None:
+        in_range_uint8 = images.dtype == np.uint8
+    preds, confs, top5 = [], [], []
+    for s in range(0, len(images), batch_size):
+        x = images[s : s + batch_size]
+        if in_range_uint8:
+            x = x.astype(np.float32) / 127.5 - 1.0
+        probs = np.asarray(classifier_fn(x))
+        preds.append(probs.argmax(-1))
+        confs.append(probs.max(-1))
+        k = min(5, probs.shape[-1])
+        topk = np.argsort(probs, axis=-1)[:, -k:]
+        top5.append((topk == labels[s : s + batch_size, None]).any(-1))
+    pred = np.concatenate(preds)
+    conf = np.concatenate(confs)
+    correct = pred == labels
+    cm = confusion_matrix(pred, labels, num_classes)
+    per_user = {
+        int(c): float(correct[labels == c].mean())
+        for c in np.unique(labels)
+    }
+    return {
+        "accuracy": float(correct.mean()),
+        "top5_accuracy": float(np.concatenate(top5).mean()),
+        "mean_confidence": float(conf.mean()),
+        "per_user_accuracy": per_user,
+        "worst_users": sorted(per_user, key=per_user.get)[:5],
+        "confusion_matrix": cm.tolist(),
+        "reliability": reliability_bins(conf, correct),
+    }

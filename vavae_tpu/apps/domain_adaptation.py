@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -164,6 +164,136 @@ def evaluate_adaptation(
         for c in np.unique(test_labels)
     }
     return DAResult(acc, per_class, {})
+
+
+def lccs_fuse_stats_per_layer(
+    source_stats: Any, target_stats: Any, alphas: Dict[str, float],
+    default_alpha: float = 0.3,
+) -> Any:
+    """LCCS v2/v3 (lccs_adapter v2/v3 variants): a distinct fusion weight per
+    BN layer — early layers (low-level stats shift most across domains)
+    typically want larger α than late layers."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(source_stats, sep="/")
+    flat_t = flax.traverse_util.flatten_dict(target_stats, sep="/")
+    fused = {}
+    for key, s in flat.items():
+        alpha = default_alpha
+        for name, a in alphas.items():
+            if name in key:
+                alpha = a
+                break
+        fused[key] = (1.0 - alpha) * s + alpha * flat_t[key]
+    return flax.traverse_util.unflatten_dict(fused, sep="/")
+
+
+# -- support-set construction ---------------------------------------------------
+
+
+def strategic_split(
+    labels: np.ndarray,
+    support_per_class: int,
+    seed: int = 42,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Support/test-DISJOINT index split of a target-domain set
+    (strategic_dataset.py:15): per class, the first ``support_per_class``
+    shuffled samples become the support set, the rest the test set."""
+    rng = np.random.default_rng(seed)
+    support, test = [], []
+    for c in np.unique(labels):
+        idx = np.where(labels == c)[0]
+        rng.shuffle(idx)
+        support.extend(idx[:support_per_class])
+        test.extend(idx[support_per_class:])
+    return np.asarray(sorted(support)), np.asarray(sorted(test))
+
+
+def smart_select_support(
+    features: np.ndarray,
+    labels: np.ndarray,
+    probs: np.ndarray,
+    per_class: int,
+    diversity_weight: float = 0.5,
+) -> np.ndarray:
+    """smart_sample_selector equivalent: greedy per-class pick balancing
+    classifier confidence and feature diversity (max-min distance to the
+    already-picked set)."""
+    fn = features / np.maximum(np.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+    picked: List[int] = []
+    conf = probs.max(axis=-1)
+    for c in np.unique(labels):
+        idx = np.where(labels == c)[0]
+        chosen: List[int] = []
+        for _ in range(min(per_class, len(idx))):
+            best, best_score = None, -np.inf
+            for i in idx:
+                if i in chosen:
+                    continue
+                if chosen:
+                    d = 1.0 - (fn[i] @ fn[chosen].T).max()
+                else:
+                    d = 1.0
+                score = (1 - diversity_weight) * conf[i] + diversity_weight * d
+                if score > best_score:
+                    best, best_score = i, score
+            chosen.append(best)
+        picked.extend(chosen)
+    return np.asarray(sorted(picked))
+
+
+# -- statistical comparison -------------------------------------------------------
+
+
+def paired_t_test(acc_a: Sequence[float], acc_b: Sequence[float]) -> Dict[str, float]:
+    """Paired t-test over per-seed/per-episode accuracies
+    (cross_domain_evaluator.py:88 uses paired t-tests to compare methods)."""
+    from scipy import stats
+
+    a, b = np.asarray(acc_a, np.float64), np.asarray(acc_b, np.float64)
+    t, p = stats.ttest_rel(a, b)
+    return {
+        "t_statistic": float(t),
+        "p_value": float(p),
+        "mean_diff": float((a - b).mean()),
+        "significant_05": bool(p < 0.05),
+    }
+
+
+def adapted_ensemble_probs(prob_list: Sequence[np.ndarray]) -> np.ndarray:
+    """lccs_ensemble: average the softmax outputs of several adapted variants
+    (different α / per-layer settings)."""
+    return np.mean(np.stack(prob_list), axis=0)
+
+
+def lccs_pnc_combined(
+    model,
+    params: Any,
+    source_stats: Any,
+    support_images: np.ndarray,
+    support_labels: np.ndarray,
+    feature_fn: Callable,
+    num_classes: int,
+    alpha: float = 0.3,
+    pnc_cfg: Optional[dict] = None,
+):
+    """lccs_pnc_combined.py: LCCS-adapt the BN stats on the support set, then
+    build prototypes from the ADAPTED features. Returns (batch_stats,
+    prototypes, predict_fn(images) -> fused probs)."""
+    adapter = LCCSAdapter(model, params, source_stats)
+    stats = adapter.adapt(support_images, alpha=alpha)
+    feats = np.asarray(feature_fn(jnp.asarray(support_images)))
+    protos = build_prototypes(feats, support_labels, num_classes)
+
+    def predict(images: np.ndarray) -> np.ndarray:
+        logits = model.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(images), train=False
+        )
+        probs = np.asarray(jax.nn.softmax(logits))
+        f = np.asarray(feature_fn(jnp.asarray(images)))
+        return pnc_probs(f, probs, protos, **(pnc_cfg or {}))
+
+    return stats, protos, predict
 
 
 def hyperparameter_search(

@@ -92,3 +92,49 @@ def quantized_size_bytes(params: Any) -> int:
     return sum(
         x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)
     )
+
+
+def benchmark_quantization(
+    apply_fn,
+    params: Any,
+    example_inputs: tuple,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+    reps: int = 10,
+) -> Dict:
+    """Size / latency / quality harness (step9_quantize_dit_xl.py:281-466).
+
+    ``apply_fn(params, *inputs)`` is the model forward. Quantizes the target
+    Dense kernels, measures model size, per-call latency (full value fetch —
+    async backends under-report otherwise), and output deviation vs fp.
+    """
+    import time
+
+    import numpy as np
+
+    qparams, _ = quantize_params(params, targets)
+    deq = dequantize_params(qparams)
+
+    def timed(p):
+        fn = jax.jit(apply_fn)
+        out = np.asarray(fn(p, *example_inputs))  # compile + fetch
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = np.asarray(fn(p, *example_inputs))
+        return (time.perf_counter() - t0) / reps, out
+
+    fp_time, fp_out = timed(params)
+    # dequant path: weights stored int8, dequantized for the fp matmul —
+    # measures the quantization QUALITY cost; storage wins are in *_size_mb.
+    # (True int8 compute goes through int8_matmul for serving-critical layers.)
+    q_time, q_out = timed(deq)
+    denom = float(np.abs(fp_out.astype(np.float32)).mean()) or 1.0
+    return {
+        "fp_size_mb": quantized_size_bytes(params) / 2**20,
+        "int8_size_mb": quantized_size_bytes(qparams) / 2**20,
+        "compression": quantized_size_bytes(params) / max(quantized_size_bytes(qparams), 1),
+        "fp_latency_ms": fp_time * 1e3,
+        "dequant_latency_ms": q_time * 1e3,
+        "mean_abs_rel_error": float(
+            np.abs(fp_out.astype(np.float32) - q_out.astype(np.float32)).mean()
+        ) / denom,
+    }
