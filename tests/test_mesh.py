@@ -79,3 +79,44 @@ def test_fsdp_state_sharding_matches_replicated():
     assert not shardings[4].is_fully_replicated
     assert FSDP_AXIS in str(shardings[4].spec)
     np.testing.assert_allclose(losses[1], losses[4], rtol=2e-4)
+
+
+def test_tensor_parallel_matches_dp():
+    """tensor=2: qkv columns sharded over the tensor axis, same loss as DP."""
+    import jax
+    import numpy as np
+
+    from vavae_tpu.models.dit import LightningDiT
+    from vavae_tpu.parallel.mesh import TENSOR_AXIS, make_mesh
+    from vavae_tpu.train.dit_trainer import DiTTrainer
+    from vavae_tpu.transport import create_transport
+
+    devs = jax.devices("cpu")[:8]
+    B = 8
+    x = np.random.default_rng(0).normal(size=(B, 8, 8, 4)).astype(np.float32)
+    y = np.random.default_rng(1).integers(0, 8, size=(B,)).astype(np.int32)
+
+    losses, qkv_shardings, proj_shardings = {}, {}, {}
+    for tensor in (1, 2):
+        mesh = make_mesh(data=8 // tensor, tensor=tensor, devices=devs)
+        model = LightningDiT(
+            input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+            depth=2, num_heads=4, num_classes=8, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True,
+        )
+        trainer = DiTTrainer(model, create_transport("Linear", "velocity"), mesh, lr=1e-4)
+        state = trainer.replicate(trainer.init_state(jax.random.PRNGKey(0), (B, 8, 8, 4)))
+        blk = state.params["blocks"]["block"]
+        qkv_shardings[tensor] = blk["attn"]["qkv"]["kernel"].sharding
+        proj_shardings[tensor] = blk["attn"]["proj"]["kernel"].sharding
+        state, m = trainer.train_step(
+            state, jax.random.PRNGKey(1), trainer.shard_batch((x, y))
+        )
+        losses[tensor] = float(jax.device_get(m["loss"]))
+
+    assert qkv_shardings[1].is_fully_replicated
+    # column-parallel qkv: last dim; row-parallel proj: second-to-last
+    assert str(qkv_shardings[2].spec).count(TENSOR_AXIS) == 1
+    assert qkv_shardings[2].spec[-1] == TENSOR_AXIS
+    assert proj_shardings[2].spec[-2] == TENSOR_AXIS
+    np.testing.assert_allclose(losses[1], losses[2], rtol=2e-4)

@@ -28,6 +28,7 @@ from vavae_tpu.models.dit import LightningDiT
 from vavae_tpu.parallel.mesh import (
     DATA_AXIS,
     FSDP_AXIS,
+    TENSOR_AXIS,
     data_sharding,
     donate_state_argnums,
     replicated,
@@ -106,24 +107,57 @@ class DiTTrainer:
             opt_state=self.tx.init(params),
         )
 
-    def _leaf_sharding(self, x) -> NamedSharding:
-        """FSDP (ZeRO-3 style) placement for one state leaf: shard the
-        largest fsdp-divisible dim over the fsdp axis; XLA inserts the
-        all-gathers for compute and reduce-scatters the grads (SURVEY.md
-        §2.6 — sharding annotations instead of NCCL code)."""
+    # tensor-parallel placement rules: Megatron-style column-parallel for the
+    # fan-out projections (qkv, w12/fc1), row-parallel for the fan-in ones
+    # (proj, w3/fc2). Dims counted from the END (scanned block params carry a
+    # leading depth axis). XLA/GSPMD propagates the activation shardings and
+    # inserts the one all-reduce per block pair — no collective code here.
+    _TP_RULES = (
+        (("attn", "qkv", "kernel"), -1),
+        (("attn", "qkv", "bias"), -1),
+        (("attn", "proj", "kernel"), -2),
+        (("mlp", "w12", "kernel"), -1),
+        (("mlp", "w12", "bias"), -1),
+        (("mlp", "w3", "kernel"), -2),
+        (("mlp", "fc1", "kernel"), -1),
+        (("mlp", "fc1", "bias"), -1),
+        (("mlp", "fc2", "kernel"), -2),
+    )
+
+    def _leaf_sharding(self, path: str, x) -> NamedSharding:
+        """Placement for one state leaf: tensor-parallel dim first (by rule),
+        then FSDP (ZeRO-3 style) on the largest remaining fsdp-divisible dim.
+        (SURVEY.md §2.6 — sharding annotations instead of NCCL code)."""
         fsdp = self.mesh.shape[FSDP_AXIS]
+        tensor = self.mesh.shape[TENSOR_AXIS]
         shape = getattr(x, "shape", ())
-        if fsdp == 1 or len(shape) == 0:
+        nd = len(shape)
+        if nd == 0:
             return replicated(self.mesh)
-        for d in sorted(range(len(shape)), key=lambda d: shape[d], reverse=True):
-            if shape[d] % fsdp == 0 and shape[d] >= fsdp:
-                spec = [None] * len(shape)
-                spec[d] = FSDP_AXIS
-                return NamedSharding(self.mesh, P(*spec))
-        return replicated(self.mesh)
+        spec = [None] * nd
+        if tensor > 1:
+            for keys, dim in self._TP_RULES:
+                if all(k in path for k in keys) and nd + dim >= 0:
+                    d = nd + dim
+                    if shape[d] % tensor == 0 and shape[d] >= tensor:
+                        spec[d] = TENSOR_AXIS
+                    break
+        if fsdp > 1:
+            for d in sorted(range(nd), key=lambda d: shape[d], reverse=True):
+                if spec[d] is None and shape[d] % fsdp == 0 and shape[d] >= fsdp:
+                    spec[d] = FSDP_AXIS
+                    break
+        return NamedSharding(self.mesh, P(*spec))
 
     def state_shardings(self, state: TrainState):
-        return jax.tree_util.tree_map(self._leaf_sharding, state)
+        def to_path(kp) -> str:
+            return "/".join(
+                str(getattr(k, "key", getattr(k, "name", k))) for k in kp
+            )
+
+        return jax.tree_util.tree_map_with_path(
+            lambda kp, x: self._leaf_sharding(to_path(kp), x), state
+        )
 
     def replicate(self, state: TrainState) -> TrainState:
         """Place state on the mesh: replicated over data, FSDP-sharded over
