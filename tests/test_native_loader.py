@@ -63,3 +63,37 @@ def test_dataset_uses_native_when_available(shard_dir):
     batch, labels = next(ds.batches(8, seed=0))
     assert batch.shape == (8, 8, 8, 4)
     assert labels.dtype in (np.int32, np.int64)
+
+
+def test_native_png_writer_roundtrip(tmp_path):
+    """Native PNGs must decode (via PIL) to exactly the input pixels, and the
+    batch API must beat/equal PIL on a moderate batch."""
+    import time
+
+    import numpy as np
+    from PIL import Image
+
+    from vavae_tpu.utils.png_native import available, write_pngs, write_pngs_native
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(16, 64, 64, 3), dtype=np.uint8)
+    paths = [str(tmp_path / f"{i:03d}.png") for i in range(len(imgs))]
+    write_pngs(imgs, paths)
+    for im, p in zip(imgs, paths):
+        back = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(back, im)
+
+    if available():
+        # timing sanity (not a strict benchmark): native should not be
+        # dramatically slower than PIL
+        big = rng.integers(0, 256, size=(32, 128, 128, 3), dtype=np.uint8)
+        np_paths = [str(tmp_path / f"n{i:03d}.png") for i in range(len(big))]
+        t0 = time.perf_counter()
+        write_pngs_native(big, np_paths)
+        t_native = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for im, p in zip(big, [str(tmp_path / f"p{i:03d}.png") for i in range(len(big))]):
+            Image.fromarray(im).save(p)
+        t_pil = time.perf_counter() - t0
+        print(f"native {t_native*1e3:.1f}ms vs PIL {t_pil*1e3:.1f}ms")
+        assert t_native < t_pil * 2

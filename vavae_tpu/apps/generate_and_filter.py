@@ -116,13 +116,15 @@ def generate_and_filter_for_user(
 
     kept = kept[: cfg.target_per_user]
     stats["accepted"] = len(kept)
-    if save_dir:
-        from PIL import Image
+    if save_dir and kept:
+        from vavae_tpu.utils.png_native import write_pngs
 
         user_dir = os.path.join(save_dir, f"user_{user_id:02d}")
         os.makedirs(user_dir, exist_ok=True)
-        for i, im in enumerate(kept):
-            Image.fromarray(im).save(os.path.join(user_dir, f"{i:05d}.png"))
+        write_pngs(
+            np.stack(kept),
+            [os.path.join(user_dir, f"{i:05d}.png") for i in range(len(kept))],
+        )
     stats["acceptance_rate"] = stats["accepted"] / max(stats["generated"], 1)
     if return_images:
         stats["images"] = np.stack(kept) if kept else np.zeros(

@@ -211,14 +211,18 @@ def do_sample(cfg: Config, demo: bool = False) -> str:
     iters = total // (per_batch * n_proc)
     logger.info(f"sampling {total} images ({iters} iters × {per_batch}/proc)")
     idx = jax.process_index()
+    from vavae_tpu.utils.png_native import write_pngs
+
     for i in range(iters):
         rng, lrng, srng = jax.random.split(rng, 3)
         labels = jax.random.randint(lrng, (per_batch,), 0, cfg.data.num_classes)
         lat = generate(srng, labels)
         imgs = vae.decode_to_images(lat)
-        for j, im in enumerate(imgs):
-            n = (i * n_proc + idx) * per_batch + j
-            Image.fromarray(im).save(os.path.join(folder, f"{n:06d}.png"))
+        # threaded native PNG dump (PIL fallback) — rank-interleaved naming
+        # matching the reference (inference.py:224-226)
+        base = (i * n_proc + idx) * per_batch
+        paths = [os.path.join(folder, f"{base + j:06d}.png") for j in range(len(imgs))]
+        write_pngs(imgs, paths)
         if (i + 1) % 50 == 0:
             logger.info(f"{(i + 1) * per_batch} images done on proc {idx}")
     return folder
