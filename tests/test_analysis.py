@@ -149,3 +149,25 @@ def test_quant_benchmark_harness():
     assert rep["compression"] > 2.0  # int8+scales vs f32
     assert rep["mean_abs_rel_error"] < 0.05
     assert rep["fp_latency_ms"] > 0
+
+
+def test_schedulers():
+    import numpy as np
+
+    from vavae_tpu.utils.schedulers import cosine_epochs, warmup_cosine, warmup_cosine_cycles
+
+    s = warmup_cosine(lr_max=1.0, warmup_steps=10, total_steps=110, lr_min=0.1)
+    assert float(s(0)) == pytest.approx(0.0)
+    assert float(s(10)) == pytest.approx(1.0, abs=1e-6)
+    assert float(s(110)) == pytest.approx(0.1, abs=1e-6)
+    assert float(s(60)) == pytest.approx(0.55, abs=0.02)  # midway cosine
+
+    c = cosine_epochs(lr=1e-3, t_max=100, eta_min=1e-6)
+    assert c(0) == pytest.approx(1e-3)
+    assert c(100) == pytest.approx(1e-6)
+    assert c(50) == pytest.approx((1e-3 + 1e-6) / 2, rel=1e-3)
+
+    s2 = warmup_cosine_cycles([1.0, 0.5], [0.0, 0.0], [5, 5], [50, 50])
+    assert s2(5) == pytest.approx(1.0)
+    assert s2(55) == pytest.approx(0.5)
+    assert s2(49) < 0.1  # end of first cycle near min

@@ -179,6 +179,11 @@ def do_train(cfg: Config) -> TrainState:
             )
             running, log_steps, t_start = 0.0, 0, time.time()
 
+        sample_every = cfg.train.get("sample_every")
+        if sample_every and step % sample_every == 0:
+            # in-training EMA sampling (reference train_dit_s_official.py:557-660)
+            _sample_grid(cfg, trainer, state, exp_dir, step, logger)
+
         if step % ckpt_every == 0 and step > 0:
             ckpt_lib.save_checkpoint(ckpt_dir, step, jax.device_get(state), cfg.to_dict())
             logger.info(f"saved checkpoint at step {step}")
@@ -200,6 +205,36 @@ def do_train(cfg: Config) -> TrainState:
     ckpt_lib.save_checkpoint(ckpt_dir, step, jax.device_get(state), cfg.to_dict())
     logger.info("training done")
     return state
+
+
+def _sample_grid(cfg, trainer, state, exp_dir, step, logger, n: int = 8):
+    """Sample a small grid with the EMA weights mid-training; decodes through
+    the VAE when configured, else saves raw latents (.npy)."""
+    import jax.numpy as jnp
+
+    from vavae_tpu.pipelines.sample import build_sample_fn
+
+    try:
+        ema = jax.device_get(state.ema_params)
+        generate = build_sample_fn(cfg, trainer.model, ema)
+        labels = jnp.arange(n, dtype=jnp.int32) % cfg.data.num_classes
+        lat = np.asarray(generate(jax.random.PRNGKey(step), labels))
+        out_dir = os.path.join(exp_dir, "train_samples")
+        os.makedirs(out_dir, exist_ok=True)
+        vae_ckpt = cfg.get("vae", {}).get("ckpt_path")
+        if vae_ckpt and os.path.exists(str(vae_ckpt)):
+            from vavae_tpu.tokenizer import VA_VAE
+            from vavae_tpu.utils.image_grid import save_image_grid
+
+            vae = VA_VAE(cfg.get("vae", {}).get("config"), ckpt_path=vae_ckpt,
+                         img_size=cfg.data.image_size)
+            imgs = vae.decode_to_images(jnp.asarray(lat))
+            save_image_grid(imgs, os.path.join(out_dir, f"step{step:07d}.png"))
+        else:
+            np.save(os.path.join(out_dir, f"step{step:07d}_latents.npy"), lat)
+        logger.info(f"(step={step:07d}) wrote training samples")
+    except Exception as e:  # sampling must never kill a training run
+        logger.info(f"in-training sampling failed: {e}")
 
 
 def evaluate(trainer, state, dataset, batch_size, rng, max_batches: int = 50) -> float:

@@ -1,0 +1,80 @@
+"""LR schedules (optax-compatible callables step -> lr factor or lr).
+
+Parity targets:
+  - vavae/ldm/lr_scheduler.py:4-91 — LambdaWarmUpCosineScheduler (warmup to
+    lr_max, cosine to lr_min) and the cycle-based Scheduler2 variant.
+  - microdoppler_finetune/utils_scheduler.py — warmup wrappers.
+  - config_dit_base.yaml scheduler block (type: cosine, T_max, eta_min).
+
+These return plain callables usable as optax learning-rate schedules.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import numpy as np
+
+
+def warmup_cosine(
+    lr_max: float,
+    warmup_steps: int,
+    total_steps: int,
+    lr_start: float = 0.0,
+    lr_min: float = 0.0,
+) -> Callable:
+    """Linear warmup lr_start→lr_max then cosine decay to lr_min
+    (LambdaWarmUpCosineScheduler semantics)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr_start + (lr_max - lr_start) * step / max(warmup_steps, 1)
+        t = jnp.clip(
+            (step - warmup_steps) / max(total_steps - warmup_steps, 1), 0.0, 1.0
+        )
+        cos = lr_min + 0.5 * (lr_max - lr_min) * (1.0 + jnp.cos(jnp.pi * t))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def warmup_cosine_cycles(
+    lr_maxes: Sequence[float],
+    lr_mins: Sequence[float],
+    warmups: Sequence[int],
+    cycle_lengths: Sequence[int],
+) -> Callable:
+    """Cycle-based warmup-cosine (LambdaWarmUpCosineScheduler2): each cycle
+    has its own warmup / max / min. Host-side helper (python control flow),
+    suitable for epoch-level LR setting."""
+    starts = np.cumsum([0] + list(cycle_lengths[:-1]))
+
+    def schedule(step: int) -> float:
+        step = int(step)
+        cycle = int(np.searchsorted(starts, step, side="right") - 1)
+        cycle = min(cycle, len(cycle_lengths) - 1)
+        s = step - int(starts[cycle])
+        if s < warmups[cycle]:
+            return lr_mins[cycle] + (lr_maxes[cycle] - lr_mins[cycle]) * s / max(
+                warmups[cycle], 1
+            )
+        t = (s - warmups[cycle]) / max(cycle_lengths[cycle] - warmups[cycle], 1)
+        t = min(max(t, 0.0), 1.0)
+        return lr_mins[cycle] + 0.5 * (lr_maxes[cycle] - lr_mins[cycle]) * (
+            1.0 + math.cos(math.pi * t)
+        )
+
+    return schedule
+
+
+def cosine_epochs(lr: float, t_max: int, eta_min: float = 0.0) -> Callable:
+    """torch CosineAnnealingLR equivalent (config_dit_base.yaml:70-74)."""
+
+    def schedule(epoch: int) -> float:
+        return eta_min + 0.5 * (lr - eta_min) * (
+            1.0 + math.cos(math.pi * min(epoch, t_max) / max(t_max, 1))
+        )
+
+    return schedule
