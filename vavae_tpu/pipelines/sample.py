@@ -80,7 +80,14 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None):
             timestep_shift=sc.get("timestep_shift", 0.0),
         )
     else:
-        raise NotImplementedError("SDE sampling pipeline: use Sampler.sample_sde")
+        sde_fn = sampler.sample_sde(
+            sampling_method=sc.get("sampling_method", "Euler"),
+            diffusion_form=sc.get("diffusion_form", "sigma"),
+            diffusion_norm=sc.get("diffusion_norm", 1.0),
+            last_step=sc.get("last_step", "Mean"),
+            last_step_size=sc.get("last_step_size", 0.04),
+            num_steps=sc.get("num_sampling_steps", 250),
+        )
 
     latent_size = cfg.data.image_size // cfg.get("vae", {}).get("downsample_ratio", 16)
     C = model.in_channels
@@ -109,12 +116,15 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None):
             reverse=sc.get("reverse", False),
         )
 
+    is_sde = mode.upper() != "ODE"
+
     def generate(p, rng, labels):
         # p rides as a jit ARGUMENT: closing over the param tree would embed
         # it into the module as inline constants (675M params ≈ GBs of
         # literals), exploding trace+compile time.
         B = labels.shape[0]
-        z = jax.random.normal(rng, (B, latent_size, latent_size, C), jnp.float32)
+        rng, z_rng = jax.random.split(rng)
+        z = jax.random.normal(z_rng, (B, latent_size, latent_size, C), jnp.float32)
         if use_cfg:
             y_in = jnp.concatenate(
                 [labels, jnp.full((B,), num_classes, labels.dtype)]
@@ -139,13 +149,16 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None):
                 samples = cfg_sample_fn(z, model_cond_fn, model_fn)
             else:
                 z_in = jnp.concatenate([z, z], axis=0)
-                samples = sample_fn(z_in, model_fn)[:B]
+                if is_sde:
+                    samples = sde_fn(rng, z_in, model_fn)[:B]
+                else:
+                    samples = sample_fn(z_in, model_fn)[:B]
         else:
 
             def model_fn(x, t):
                 return model.apply({"params": p}, x, t, labels)
 
-            samples = sample_fn(z, model_fn)
+            samples = sde_fn(rng, z, model_fn) if is_sde else sample_fn(z, model_fn)
         # un-normalize (inference.py:220)
         return samples * std / multiplier + mean
 

@@ -148,6 +148,11 @@ def do_train(cfg: Config) -> TrainState:
     logger.info(f"LightningDiT parameters: {n_params / 1e6:.2f}M")
     logger.info(f"dataset: {len(dataset):,} latents; global batch {global_bs}")
 
+    from vavae_tpu.utils.metrics_logger import MetricsLogger
+
+    metrics_log = MetricsLogger(os.path.join(exp_dir, "tb"))
+    metrics_log.log_text("config", str(cfg.to_dict()))
+
     log_every = cfg.train.get("log_every", 100)
     ckpt_every = cfg.train.get("ckpt_every", 20000)
     max_steps = cfg.train.max_steps
@@ -177,6 +182,11 @@ def do_train(cfg: Config) -> TrainState:
                 f"(step={step:07d}) Train Loss: {running / log_steps:.4f}, "
                 f"Train Steps/Sec: {sps:.2f}, Img/Sec: {sps * global_bs:.1f}"
             )
+            metrics_log.log_scalars(
+                step,
+                {"train/loss": running / log_steps, "train/steps_per_sec": sps,
+                 "train/grad_norm": float(jax.device_get(metrics["grad_norm"]))},
+            )
             running, log_steps, t_start = 0.0, 0, time.time()
 
         sample_every = cfg.train.get("sample_every")
@@ -190,6 +200,7 @@ def do_train(cfg: Config) -> TrainState:
             if valid_dataset is not None:
                 val = evaluate(trainer, state, valid_dataset, per_proc_bs, rng)
                 logger.info(f"(step={step:07d}) Validation Loss: {val:.4f}")
+                metrics_log.log_scalars(step, {"val/loss": val})
                 if patience:
                     if val < best_val - 1e-6:
                         best_val, bad_evals = val, 0
@@ -203,6 +214,7 @@ def do_train(cfg: Config) -> TrainState:
                             break
 
     ckpt_lib.save_checkpoint(ckpt_dir, step, jax.device_get(state), cfg.to_dict())
+    metrics_log.close()
     logger.info("training done")
     return state
 
