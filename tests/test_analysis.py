@@ -171,3 +171,23 @@ def test_schedulers():
     assert s2(5) == pytest.approx(1.0)
     assert s2(55) == pytest.approx(0.5)
     assert s2(49) < 0.1  # end of first cycle near min
+
+
+def test_preemption_guard():
+    import os
+    import signal
+
+    from vavae_tpu.utils.preemption import PreemptionGuard
+
+    with PreemptionGuard(signals=(signal.SIGUSR1,)) as g:
+        assert not g.should_stop
+        os.kill(os.getpid(), signal.SIGUSR1)
+        import time
+
+        for _ in range(100):
+            if g.should_stop:
+                break
+            time.sleep(0.01)
+        assert g.should_stop
+    # handler restored after exit
+    assert signal.getsignal(signal.SIGUSR1) != g._handler

@@ -217,7 +217,7 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--num_classes", type=int, default=31)
     ap.add_argument("--image_size", type=int, default=224)
-    ap.add_argument("--out", default="classifier.msgpack")
+    ap.add_argument("--out", default="classifier.safetensors")
     args = ap.parse_args()
 
     from vavae_tpu.data.image_folder import SplitFileDataset

@@ -32,8 +32,8 @@ from vavae_tpu.pipelines.train_dit import build_transport, create_logger
 
 
 def load_dit_params(cfg: Config, model, ckpt_path: str, prefer_ema: bool = True):
-    """EMA-preferred load from torch .pt or our .msgpack (inference.py:88-91)."""
-    if str(ckpt_path).endswith(".msgpack"):
+    """EMA-preferred load from torch .pt or our checkpoints (inference.py:88-91)."""
+    if str(ckpt_path).endswith((".msgpack", ".safetensors")):
         import jax
 
         dummy = jax.eval_shape(

@@ -113,9 +113,9 @@ def do_train(cfg: Config) -> TrainState:
     # optional pretrained weights (reference 'weight_init'/'ckpt' keys)
     init_path = cfg.train.get("weight_init") or cfg.train.get("ckpt")
     if init_path and os.path.exists(str(init_path)):
-        if str(init_path).endswith(".msgpack"):
+        if str(init_path).endswith((".msgpack", ".safetensors")):
             state = ckpt_lib.restore_checkpoint(str(init_path), state)
-            logger.info(f"restored msgpack weights from {init_path}")
+            logger.info(f"restored checkpoint weights from {init_path}")
         else:
             sd = ckpt_lib.load_torch_dit_checkpoint(str(init_path))
             params = jax.tree_util.tree_map(
@@ -165,9 +165,18 @@ def do_train(cfg: Config) -> TrainState:
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     )
+    from vavae_tpu.utils.preemption import PreemptionGuard
+
     running, log_steps, t_start = 0.0, 0, time.time()
     step = int(jax.device_get(state.step))
+    guard = PreemptionGuard().__enter__()
     while step < max_steps:
+        if guard.should_stop:
+            # preemption (SIGTERM): checkpoint the in-flight state and exit
+            # cleanly so the relaunch resumes here instead of at ckpt_every
+            ckpt_lib.save_checkpoint(ckpt_dir, step, jax.device_get(state), cfg.to_dict())
+            logger.info(f"preempted: checkpointed at step {step}, exiting")
+            break
         batch = trainer.shard_batch(next(it))
         state, metrics = trainer.train_step(state, rng, batch)
         step += 1
@@ -213,6 +222,7 @@ def do_train(cfg: Config) -> TrainState:
                             logger.info(f"early stopping at step {step}")
                             break
 
+    guard.__exit__()
     ckpt_lib.save_checkpoint(ckpt_dir, step, jax.device_get(state), cfg.to_dict())
     metrics_log.close()
     logger.info("training done")

@@ -5,7 +5,8 @@ ADM center-crop preprocessing, [-1, 1] normalization, ``encode_images``
 (posterior sample), ``decode_to_images`` (uint8 HWC via clamp(127.5·x+128)).
 
 Checkpoints: accepts either a reference torch ``.pt/.ckpt`` (converted on
-load via utils/torch_convert.py) or this framework's ``.msgpack``.
+load via utils/torch_convert.py) or this framework's ``.safetensors``
+(legacy ``.msgpack`` also restores).
 Images flow NHWC end to end.
 """
 from __future__ import annotations
@@ -97,7 +98,7 @@ class VA_VAE:
     def _load_params(self, ckpt_path: Optional[str]):
         if ckpt_path is None or not os.path.exists(str(ckpt_path)):
             return self._fresh_params()  # tests / training-from-scratch
-        if str(ckpt_path).endswith(".msgpack"):
+        if str(ckpt_path).endswith((".msgpack", ".safetensors")):
             from vavae_tpu.train.checkpoint import restore_checkpoint
 
             return restore_checkpoint(str(ckpt_path), self._fresh_params())
