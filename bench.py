@@ -32,9 +32,11 @@ def main() -> None:
     from vavae_tpu.transport import Sampler, create_transport
 
     on_tpu = jax.default_backend() == "tpu"
-    # full config on TPU; tiny proxy on CPU so the script stays runnable
+    # full config on TPU; tiny proxy on CPU so the script stays runnable.
+    # batch 8/chip measured best on v5e (1.35 vs 1.31 samples/s at 16, 1.17
+    # at 32); the reference itself samples at per-proc batch 4.
     model_name = "LightningDiT-XL/1" if on_tpu else "LightningDiT-S/2"
-    batch = 16 if on_tpu else 2
+    batch = 8 if on_tpu else 2
     num_steps = 250 if on_tpu else 4
 
     model = LightningDiT_models[model_name](
@@ -91,7 +93,7 @@ def main() -> None:
     # warmup/compile
     run(jax.random.PRNGKey(1))
 
-    n_iters = 3 if on_tpu else 1
+    n_iters = 4 if on_tpu else 1
     t0 = time.perf_counter()
     for i in range(n_iters):
         run(jax.random.PRNGKey(2 + i))
