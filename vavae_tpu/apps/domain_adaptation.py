@@ -272,17 +272,27 @@ def lccs_pnc_combined(
     source_stats: Any,
     support_images: np.ndarray,
     support_labels: np.ndarray,
-    feature_fn: Callable,
     num_classes: int,
     alpha: float = 0.3,
     pnc_cfg: Optional[dict] = None,
 ):
     """lccs_pnc_combined.py: LCCS-adapt the BN stats on the support set, then
-    build prototypes from the ADAPTED features. Returns (batch_stats,
-    prototypes, predict_fn(images) -> fused probs)."""
+    build prototypes from features computed WITH the adapted stats (the
+    whole point of combining the methods). Returns (batch_stats, prototypes,
+    predict_fn(images) -> fused probs). Requires the model to support
+    ``features=True`` (models/resnet.py ResNet18 does)."""
     adapter = LCCSAdapter(model, params, source_stats)
     stats = adapter.adapt(support_images, alpha=alpha)
-    feats = np.asarray(feature_fn(jnp.asarray(support_images)))
+
+    def adapted_features(images) -> np.ndarray:
+        return np.asarray(
+            model.apply(
+                {"params": params, "batch_stats": stats},
+                jnp.asarray(images), train=False, features=True,
+            )
+        )
+
+    feats = adapted_features(support_images)
     protos = build_prototypes(feats, support_labels, num_classes)
 
     def predict(images: np.ndarray) -> np.ndarray:
@@ -290,8 +300,7 @@ def lccs_pnc_combined(
             {"params": params, "batch_stats": stats}, jnp.asarray(images), train=False
         )
         probs = np.asarray(jax.nn.softmax(logits))
-        f = np.asarray(feature_fn(jnp.asarray(images)))
-        return pnc_probs(f, probs, protos, **(pnc_cfg or {}))
+        return pnc_probs(adapted_features(images), probs, protos, **(pnc_cfg or {}))
 
     return stats, protos, predict
 

@@ -164,7 +164,11 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None):
 
     jit_generate = jax.jit(generate)
     params = jax.device_put(params)
-    return lambda rng, labels: jit_generate(params, rng, labels)
+    wrapper = lambda rng, labels: jit_generate(params, rng, labels)
+    # param-explicit handle for callers that swap weights without recompiling
+    # (e.g. in-training EMA sampling)
+    wrapper.jit_fn = jit_generate
+    return wrapper
 
 
 def do_sample(cfg: Config, demo: bool = False) -> str:

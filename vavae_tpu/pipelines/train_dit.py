@@ -67,7 +67,12 @@ def build_transport(cfg: Config):
 
 def do_train(cfg: Config) -> TrainState:
     multihost_init()
-    mesh = make_mesh()
+    par = cfg.get("parallel", Config())
+    mesh = make_mesh(
+        data=par.get("data", -1) if par.get("data", -1) > 0 else None,
+        fsdp=par.get("fsdp", 1),
+        tensor=par.get("tensor", 1),
+    )
 
     exp_dir = os.path.join(cfg.train.output_dir, cfg.train.get("exp_name") or "exp")
     ckpt_dir = os.path.join(exp_dir, "checkpoints")
@@ -78,7 +83,23 @@ def do_train(cfg: Config) -> TrainState:
     model = create_dit(cfg.model, latent_size, cfg.data.num_classes)
     transport = build_transport(cfg)
 
+    dataset = ImgLatentDataset(
+        cfg.data.data_path,
+        latent_norm=cfg.data.get("latent_norm", False),
+        latent_multiplier=cfg.data.get("latent_multiplier", 0.18215),
+    )
+
+    global_bs_ = cfg.train.global_batch_size
+    steps_per_epoch = max(len(dataset) // global_bs_, 1)
+    # step- or epoch-based run length (config_dit_base.yaml uses max_epochs)
+    if cfg.train.get("max_epochs"):
+        max_steps = int(cfg.train.max_epochs) * steps_per_epoch
+    else:
+        max_steps = cfg.train.max_steps
+
     opt_cfg = cfg.get("optimizer", Config())
+    sched = cfg.get("scheduler", Config())
+    sched_type = sched.get("type", "constant")
     trainer = DiTTrainer(
         model,
         transport,
@@ -88,12 +109,18 @@ def do_train(cfg: Config) -> TrainState:
         weight_decay=opt_cfg.get("weight_decay", 0.0),
         max_grad_norm=opt_cfg.get("max_grad_norm"),
         ema_decay=cfg.train.get("ema_decay", 0.9999),
-    )
-
-    dataset = ImgLatentDataset(
-        cfg.data.data_path,
-        latent_norm=cfg.data.get("latent_norm", False),
-        latent_multiplier=cfg.data.get("latent_multiplier", 0.18215),
+        # scheduler block (config_dit_base.yaml:70-74): cosine over T_max
+        # epochs (or the whole run) down to eta_min
+        lr_schedule="cosine" if sched_type in ("cosine", "warmup_cosine") else None,
+        total_steps=(
+            int(sched.get("T_max", 0)) * steps_per_epoch
+            if sched.get("T_max") and cfg.train.get("max_epochs")
+            else max_steps
+        ),
+        min_lr=sched.get("eta_min", 0.0),
+        warmup_steps=sched.get("warmup_steps", 0),
+        adam_mu_dtype=opt_cfg.get("adam_mu_dtype"),
+        grad_accum=cfg.train.get("grad_accum", 1),
     )
     valid_dataset = None
     if cfg.data.get("valid_path"):
@@ -154,9 +181,13 @@ def do_train(cfg: Config) -> TrainState:
     metrics_log.log_text("config", str(cfg.to_dict()))
 
     log_every = cfg.train.get("log_every", 100)
-    ckpt_every = cfg.train.get("ckpt_every", 20000)
-    max_steps = cfg.train.max_steps
-    patience = cfg.train.get("early_stopping_patience")
+    # epoch-based checkpointing (config_dit_base.yaml ckpt_every_epoch)
+    if cfg.train.get("ckpt_every_epoch"):
+        ckpt_every = int(cfg.train.ckpt_every_epoch) * steps_per_epoch
+    else:
+        ckpt_every = cfg.train.get("ckpt_every", 20000)
+    patience = cfg.train.get("early_stopping_patience") or cfg.train.get("patience")
+    min_delta = cfg.train.get("min_delta", 1e-6)
     best_val, bad_evals = float("inf"), 0
 
     it = dataset.batches(
@@ -201,7 +232,8 @@ def do_train(cfg: Config) -> TrainState:
         sample_every = cfg.train.get("sample_every")
         if sample_every and step % sample_every == 0:
             # in-training EMA sampling (reference train_dit_s_official.py:557-660)
-            _sample_grid(cfg, trainer, state, exp_dir, step, logger)
+            _sample_grid(cfg, trainer, state, exp_dir, step, logger,
+                         latent_stats=dataset.latent_stats if cfg.data.get("latent_norm") else None)
 
         if step % ckpt_every == 0 and step > 0:
             ckpt_lib.save_checkpoint(ckpt_dir, step, jax.device_get(state), cfg.to_dict())
@@ -211,7 +243,7 @@ def do_train(cfg: Config) -> TrainState:
                 logger.info(f"(step={step:07d}) Validation Loss: {val:.4f}")
                 metrics_log.log_scalars(step, {"val/loss": val})
                 if patience:
-                    if val < best_val - 1e-6:
+                    if val < best_val - min_delta:
                         best_val, bad_evals = val, 0
                         ckpt_lib.save_checkpoint(
                             os.path.join(exp_dir, "best"), step, jax.device_get(state)
@@ -229,28 +261,44 @@ def do_train(cfg: Config) -> TrainState:
     return state
 
 
-def _sample_grid(cfg, trainer, state, exp_dir, step, logger, n: int = 8):
+def _sample_grid(cfg, trainer, state, exp_dir, step, logger, n: int = 8,
+                 latent_stats=None):
     """Sample a small grid with the EMA weights mid-training; decodes through
-    the VAE when configured, else saves raw latents (.npy)."""
+    the VAE when configured, else saves raw latents (.npy).
+
+    The compiled sampler and the VAE are built ONCE and cached — only the
+    EMA params (a jit argument) change between calls."""
     import jax.numpy as jnp
 
     from vavae_tpu.pipelines.sample import build_sample_fn
 
     try:
-        ema = jax.device_get(state.ema_params)
-        generate = build_sample_fn(cfg, trainer.model, ema)
+        cache = _sample_grid.__dict__.setdefault("_cache", {})
+        if "gen" not in cache:
+            # dummy params only pin shapes; real EMA rides per call
+            cache["gen"] = build_sample_fn(
+                cfg, trainer.model, jax.device_get(state.ema_params),
+                latent_stats=latent_stats,
+            )
+            vae_ckpt = cfg.get("vae", {}).get("ckpt_path")
+            cache["vae"] = None
+            if vae_ckpt and os.path.exists(str(vae_ckpt)):
+                from vavae_tpu.tokenizer import VA_VAE
+
+                cache["vae"] = VA_VAE(
+                    cfg.get("vae", {}).get("config"), ckpt_path=vae_ckpt,
+                    img_size=cfg.data.image_size,
+                )
         labels = jnp.arange(n, dtype=jnp.int32) % cfg.data.num_classes
-        lat = np.asarray(generate(jax.random.PRNGKey(step), labels))
+        lat = np.asarray(
+            cache["gen"].jit_fn(state.ema_params, jax.random.PRNGKey(step), labels)
+        )
         out_dir = os.path.join(exp_dir, "train_samples")
         os.makedirs(out_dir, exist_ok=True)
-        vae_ckpt = cfg.get("vae", {}).get("ckpt_path")
-        if vae_ckpt and os.path.exists(str(vae_ckpt)):
-            from vavae_tpu.tokenizer import VA_VAE
+        if cache["vae"] is not None:
             from vavae_tpu.utils.image_grid import save_image_grid
 
-            vae = VA_VAE(cfg.get("vae", {}).get("config"), ckpt_path=vae_ckpt,
-                         img_size=cfg.data.image_size)
-            imgs = vae.decode_to_images(jnp.asarray(lat))
+            imgs = cache["vae"].decode_to_images(jnp.asarray(lat))
             save_image_grid(imgs, os.path.join(out_dir, f"step{step:07d}.png"))
         else:
             np.save(os.path.join(out_dir, f"step{step:07d}_latents.npy"), lat)

@@ -172,6 +172,48 @@ def train_epochs(
     return state, best_path
 
 
+def _load_pretrained(state: VAETrainState, path: str, cfg: Config, logger) -> VAETrainState:
+    """Initialize the generator's VAE (and projector, when present) from a
+    checkpoint: ours (.safetensors/.msgpack full train state) or a reference
+    torch .ckpt/.pt (converted)."""
+    if path.endswith((".safetensors", ".msgpack")):
+        return ckpt_lib.restore_checkpoint(path, state)
+    import torch
+
+    from vavae_tpu.utils.torch_convert import vae_params_from_torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd_np = {
+        k: v.numpy() for k, v in sd.items()
+        if hasattr(v, "numpy") and not k.startswith(("loss.", "foundation_model."))
+    }
+    vae_np = {k: v for k, v in sd_np.items() if not k.startswith("linear_proj")}
+    gen = dict(state.gen_params)
+    gen["vae"] = jax.tree_util.tree_map(
+        jnp_asarray,
+        vae_params_from_torch(
+            vae_np,
+            resolution=cfg.model.params.ddconfig.get("resolution", 256),
+            dec_attn_resolutions=(16,),
+        ),
+    )
+    # reverse-projection 1x1 conv (autoencoder.py:322-324), when checkpointed
+    if "proj" in gen and "linear_proj.weight" in sd_np:
+        w = sd_np["linear_proj.weight"]  # (out, in, 1, 1) conv or (out, in)
+        w = w.reshape(w.shape[0], w.shape[1])
+        gen["proj"] = {"kernel": jnp_asarray(w.T.reshape(1, 1, *w.T.shape))}
+    logger.info(f"loaded pretrained VAE weights from {path}")
+    return state.replace(gen_params=gen)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def run_stages(
     cfg: Config,
     dataset,
@@ -202,7 +244,13 @@ def run_stages(
             lpips_fn=lpips_fn, lpips_params=lpips_params,
         )
         if state is None:
-            state = trainer.replicate(trainer.init_state(jax.random.PRNGKey(0)))
+            fresh = trainer.init_state(jax.random.PRNGKey(0))
+            # pretrained stage-1 init (reference weight_init / step4 stage-1
+            # loads the released f16d32 weights before finetuning)
+            init_path = cfg.get("weight_init") or cfg.get("ckpt_path")
+            if init_path and os.path.exists(str(init_path)):
+                fresh = _load_pretrained(fresh, str(init_path), cfg, logger)
+            state = trainer.replicate(fresh)
         else:
             # chain: keep params, fresh optimizers per stage
             fresh = trainer.init_state(jax.random.PRNGKey(si))

@@ -28,15 +28,33 @@ def _flatten(state: Any):
     return traverse_util.flatten_dict(sd, keep_empty_nodes=True, sep=_SEP)
 
 
+def _to_host(state: Any) -> Any:
+    """Fetch a (possibly sharded) pytree to host numpy.
+
+    FSDP-sharded leaves on a multi-host mesh span non-addressable devices and
+    ``jax.device_get`` refuses them — gather those to every host first. On a
+    single host (or fully-addressable leaves) this is a plain device_get."""
+
+    def fetch(x):
+        if hasattr(x, "sharding") and not getattr(x, "is_fully_addressable", True):
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(fetch, state)
+
+
 def save_checkpoint(ckpt_dir: str, step: int, state: Any, config: Optional[dict] = None) -> str:
     """Serialize a pytree ``state`` to {ckpt_dir}/{step:07d}.safetensors
-    (process 0 only; atomic tmp+rename)."""
+    (atomic tmp+rename; the file is written by process 0, but every process
+    participates in the allgather for multihost-sharded leaves)."""
+    host_state = _to_host(state)
     if jax.process_index() != 0:
         return ""
     from safetensors.numpy import save_file
 
     os.makedirs(ckpt_dir, exist_ok=True)
-    host_state = jax.device_get(state)
     flat = _flatten(host_state)
 
     tensors = {}
@@ -56,6 +74,8 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any, config: Optional[dict]
 
     path = os.path.join(ckpt_dir, f"{step:07d}.safetensors")
     tmp = path + ".tmp"
+    # format_version 2 = split-half RoPE weight layout (models/posembed.py)
+    meta["format_version"] = 2
     save_file(tensors, tmp, metadata={"tree": json.dumps(meta)})
     os.replace(tmp, path)
     if config is not None:
@@ -81,6 +101,16 @@ def restore_checkpoint(path: str, target: Any) -> Any:
 
     Dispatches on extension: .safetensors (current) or .msgpack (legacy)."""
     if str(path).endswith(".msgpack"):
+        import warnings
+
+        warnings.warn(
+            f"restoring legacy msgpack checkpoint {path}: if it holds DiT "
+            "weights trained before the split-half RoPE layout change "
+            "(models/posembed.py), q/k columns are in the old interleaved "
+            "layout and attention will be silently wrong — re-export via "
+            "utils/torch_convert.py rope_permutation or retrain.",
+            stacklevel=2,
+        )
         with open(path, "rb") as f:
             return serialization.from_bytes(target, f.read())
 

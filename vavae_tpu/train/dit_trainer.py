@@ -54,10 +54,11 @@ class DiTTrainer:
     weight_decay: float = 0.0
     max_grad_norm: Optional[float] = None
     ema_decay: float = 0.9999
-    # dtype of Adam's first moment. bf16 halves its HBM footprint AND traffic
-    # — the optimizer+EMA state sweep, not compute, bounds small-per-chip-batch
-    # steps. None = fp32 (exact reference parity).
-    adam_mu_dtype: Optional[str] = "bfloat16"
+    # dtype of Adam's first moment. None = fp32 (exact reference parity, the
+    # default). "bfloat16" halves its HBM footprint AND traffic — the
+    # optimizer+EMA state sweep, not compute, bounds small-per-chip-batch
+    # steps; set via the `optimizer.adam_mu_dtype` config key.
+    adam_mu_dtype: Optional[str] = None
     # cosine LR schedule (reference config_dit_base.yaml:70-74); None = constant
     lr_schedule: Optional[str] = None
     warmup_steps: int = 0

@@ -7,6 +7,12 @@ Parity targets:
   - config_dit_base.yaml scheduler block (type: cosine, T_max, eta_min).
 
 These return plain callables usable as optax learning-rate schedules.
+
+Usage map: the DiT trainer's jitted path takes the equivalent
+optax.warmup_cosine_decay_schedule, driven by the config `scheduler:` block
+(pipelines/train_dit.py). This module provides the host-side/epoch-level
+variants — per-stage LR selection for the VA-VAE recipes and the reference's
+cycle-based Scheduler2 semantics that optax has no equivalent for.
 """
 from __future__ import annotations
 
