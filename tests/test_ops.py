@@ -115,3 +115,43 @@ def test_pallas_attention_matches_xla_on_tpu():
         lambda q: jnp.sum(flash_attention(q, k, v, (cos_j, sin_j)).astype(jnp.float32))
     )(q)
     assert np.isfinite(np.asarray(g.astype(jnp.float32))).all()
+
+
+def test_fid_pipeline_end_to_end(tmp_path):
+    """fid_given_paths on two folders: identical sets → FID ≈ 0; disjoint
+    distributions → FID > 0. Also covers npz packing (ADM arr_0 format).
+    Random Inception weights are fine — the invariants hold regardless."""
+    import numpy as np
+    from PIL import Image
+
+    import os
+
+    from vavae_tpu.eval.fid import create_npz_from_sample_folder, fid_given_paths
+
+    os.environ["VAVAE_FID_ALLOW_RANDOM"] = "1"
+    rng = np.random.default_rng(0)
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    for i in range(32):
+        img = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        Image.fromarray(img).save(a / f"{i:06d}.png")
+        Image.fromarray(img).save(b / f"{i:06d}.png")
+
+    same = fid_given_paths(str(a), str(b))
+    assert abs(same) < 1e-6, same  # identical sets -> FID 0
+
+    # shift folder b's distribution hard (constant mid-gray frames)
+    for i in range(32):
+        img = np.full((32, 32, 3), 128, np.uint8)
+        Image.fromarray(img).save(b / f"{i:06d}.png")
+    diff = fid_given_paths(str(a), str(b))
+    assert diff > 1e-5 and diff > abs(same) * 100, (same, diff)
+
+    npz = create_npz_from_sample_folder(str(a), num=32)
+
+    assert os.path.exists(npz)
+    arr = np.load(npz)["arr_0"]
+    assert arr.shape == (32, 32, 32, 3) and arr.dtype == np.uint8
+    # folder-vs-npz of the same images is also ~0
+    assert abs(fid_given_paths(str(a), npz)) < 1e-6

@@ -233,10 +233,15 @@ def inception_params_from_torch(sd) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
-def load_inception(weights_path: str | None = None):
-    """Returns (model, variables). Raises with guidance if weights missing."""
+def load_inception(weights_path: str | None = None, allow_random: bool = False):
+    """Returns (model, variables). Raises with guidance if weights missing,
+    unless ``allow_random`` (or VAVAE_FID_ALLOW_RANDOM=1): random-init weights
+    still give valid RELATIVE comparisons (FID(a,a)=0) for smoke runs/tests,
+    but absolute values are meaningless — production FID needs the
+    pytorch-fid weights."""
     model = InceptionV3FID()
     weights_path = weights_path or os.environ.get("VAVAE_FID_WEIGHTS")
+    allow_random = allow_random or os.environ.get("VAVAE_FID_ALLOW_RANDOM") == "1"
     if weights_path and os.path.exists(weights_path):
         import torch
 
@@ -247,7 +252,13 @@ def load_inception(weights_path: str | None = None):
             jnp.asarray, inception_params_from_torch(sd)
         )
         return model, variables
+    if allow_random:
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        return model, variables
     raise FileNotFoundError(
         "FID Inception weights not found. Download pt_inception-2015-12-05"
         " (pytorch-fid) and set VAVAE_FID_WEIGHTS=/path/to/weights.pth"
+        " (or set VAVAE_FID_ALLOW_RANDOM=1 for smoke runs)"
     )
