@@ -197,16 +197,20 @@ def main() -> None:
     ap.add_argument("--users", default=None, help="comma-separated user ids")
     ap.add_argument("--target", type=int, default=800)
     ap.add_argument("--confidence", type=float, default=0.95)
+    ap.add_argument("--batch_size", type=int, default=100)
+    ap.add_argument("overrides", nargs="*", help="dotlist config overrides")
     args = ap.parse_args()
     users = [int(u) for u in args.users.split(",")] if args.users else None
     run(
         args.config,
         user_ids=users,
         filter_cfg=FilterConfig(
-            confidence_threshold=args.confidence, target_per_user=args.target
+            confidence_threshold=args.confidence, target_per_user=args.target,
+            batch_size=args.batch_size,
         ),
         save_dir=args.save_dir,
         classifier_ckpt=args.classifier_ckpt,
+        overrides=tuple(args.overrides),
     )
 
 
