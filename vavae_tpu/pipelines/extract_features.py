@@ -57,6 +57,29 @@ def iter_batches(
         yield x, x_flip, labels
 
 
+def _prefetch(it, depth: int = 2):
+    """Run a producer iterator in a background thread with a bounded queue."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
 def extract(
     data_path: str,
     output_path: str,
@@ -97,16 +120,29 @@ def extract(
         shard_idx += 1
         lat_acc, flip_acc, lab_acc = [], [], []
 
-    for x, x_flip, labels in iter_batches(items, batch_size, image_size):
-        rng, r1, r2 = jax.random.split(rng, 3)
-        z = np.asarray(vae.encode_images(x, rng=r1), np.float32)
-        z_flip = np.asarray(vae.encode_images(x_flip, rng=r2), np.float32)
-        lat_acc.append(z)
-        flip_acc.append(z_flip)
+    def collect(pending):
+        nonlocal count
+        z_dev, zf_dev, labels = pending
+        lat_acc.append(np.asarray(z_dev, np.float32))
+        flip_acc.append(np.asarray(zf_dev, np.float32))
         lab_acc.append(labels)
         count += len(labels)
         if sum(len(a) for a in lab_acc) >= shard_size:
             flush()
+
+    # software pipeline: a background thread decodes images (PIL is the host
+    # bottleneck), dispatch for batch i+1 is issued before fetching batch i,
+    # so host IO, device compute, and the result transfer overlap
+    pending = None
+    for x, x_flip, labels in _prefetch(iter_batches(items, batch_size, image_size)):
+        rng, r1, r2 = jax.random.split(rng, 3)
+        z_dev = vae.encode_images(x, rng=r1)
+        zf_dev = vae.encode_images(x_flip, rng=r2)
+        if pending is not None:
+            collect(pending)
+        pending = (z_dev, zf_dev, labels)
+    if pending is not None:
+        collect(pending)
     flush()
     print(f"process {jax.process_index()}: encoded {count} images")
 
