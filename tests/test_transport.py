@@ -208,3 +208,35 @@ def test_cfg_interval_split_matches_duplicated_batch(rng):
     )
     got = split_fn(z, model_cond_fn, model_cfg_fn)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_velocity_cached_euler(rng):
+    """cache_interval=1 is exactly euler; k>1 matches a manual
+    piecewise-frozen-velocity integration of a time-varying field."""
+    from vavae_tpu.transport.ode import odeint_euler, odeint_euler_cached, time_grid
+
+    B, shape = 2, (2, 2, 2, 4)
+    x0 = jax.random.normal(rng, shape)
+    grid = jnp.asarray(time_grid(0.0, 1.0, 9, timestep_shift=0.3))
+
+    def drift(x, t):
+        return jnp.sin(4.0 * t)[:, None, None, None] * (1.0 + 0.1 * x)
+
+    exact = odeint_euler(drift, x0, grid)
+    same = odeint_euler_cached(drift, x0, grid, cache_interval=1)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(exact), rtol=1e-6)
+
+    k = 2
+    cached = odeint_euler_cached(drift, x0, grid, cache_interval=k)
+    # manual piecewise-frozen reference
+    x = np.asarray(x0)
+    g = np.asarray(grid)
+    v = None
+    for i in range(len(g) - 1):
+        if i % k == 0:
+            t = np.full((B,), g[i], np.float32)
+            v = np.sin(4.0 * t)[:, None, None, None] * (1.0 + 0.1 * x)
+        x = x + (g[i + 1] - g[i]) * v
+    np.testing.assert_allclose(np.asarray(cached), x, rtol=1e-5, atol=1e-6)
+    # and it genuinely differs from the exact trajectory
+    assert np.abs(np.asarray(cached) - np.asarray(exact)).max() > 1e-4

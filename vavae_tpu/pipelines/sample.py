@@ -114,6 +114,9 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None):
             timestep_shift=sc.get("timestep_shift", 0.0),
             cfg_interval_start=interval_start,
             reverse=sc.get("reverse", False),
+            # opt-in training-free acceleration: reuse the velocity between
+            # model evaluations (1 = exact; 2-3 trade small quality for FLOPs)
+            cache_interval=sc.get("velocity_cache_interval", 1),
         )
 
     is_sde = mode.upper() != "ODE"

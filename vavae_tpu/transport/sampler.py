@@ -72,6 +72,7 @@ class Sampler:
         timestep_shift: float = 0.0,
         cfg_interval_start: float = 0.0,
         reverse: bool = False,
+        cache_interval: int = 1,
     ) -> Callable:
         """Euler CFG sampler with the interval split run as two scan phases.
 
@@ -83,6 +84,10 @@ class Sampler:
 
         Returns fn(x (B,...), model_cond_fn, model_cfg_fn) -> (B,...) where
         model_cond_fn takes batch B and model_cfg_fn takes [cond|uncond] 2B.
+
+        ``cache_interval > 1`` additionally reuses the cached velocity
+        between model evaluations in the CFG phase (odeint_euler_cached) —
+        training-free acceleration at a small quality cost; 1 = exact.
         """
         transport = self.transport
         base_drift = self.drift
@@ -90,6 +95,7 @@ class Sampler:
         grid_np = ode_mod.time_grid(t0, t1, num_steps, timestep_shift)
         # first step index whose t_cur >= start ends the cond-only phase
         split_idx = int(np.searchsorted(grid_np[:-1], cfg_interval_start))
+        grid = jnp.asarray(grid_np)
 
         def _sample(
             x: jax.Array,
@@ -99,9 +105,18 @@ class Sampler:
             B = x.shape[0]
             d_cond = lambda xv, tv: base_drift(xv, tv, model_cond_fn)
             d_cfg = lambda xv, tv: base_drift(xv, tv, model_cfg_fn)
-            lift = lambda xv: jnp.concatenate([xv, xv], axis=0)
-            out = ode_mod.odeint_euler_split(
-                d_cond, d_cfg, lift, x, jnp.asarray(grid_np), split_idx
+            if cache_interval <= 1:
+                lift = lambda xv: jnp.concatenate([xv, xv], axis=0)
+                out = ode_mod.odeint_euler_split(
+                    d_cond, d_cfg, lift, x, grid, split_idx
+                )
+                return out[:B]
+            # cached variant: exact cond-only phase, cached CFG phase
+            if split_idx > 0:
+                x = ode_mod.odeint_euler(d_cond, x, grid[: split_idx + 1])
+            x2 = jnp.concatenate([x, x], axis=0)
+            out = ode_mod.odeint_euler_cached(
+                d_cfg, x2, grid[split_idx:], cache_interval
             )
             return out[:B]
 
