@@ -1,0 +1,77 @@
+"""Checkpoint manager: safetensors round-trip incl. bf16/None/empty leaves,
+step-numbered resume selection, legacy msgpack restore."""
+import os
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vavae_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def _state():
+    return {
+        "params": {
+            "w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+            "b16": jnp.linspace(-2, 2, 8, dtype=jnp.bfloat16),
+        },
+        "opt": {
+            "count": jnp.asarray(7, jnp.int32),
+            "nothing": None,
+            "empty": {},
+        },
+        "step": jnp.asarray(3, jnp.int32),
+    }
+
+
+def test_safetensors_roundtrip(tmp_path):
+    state = _state()
+    path = save_checkpoint(str(tmp_path), 3, state)
+    assert path.endswith("0000003.safetensors") and os.path.exists(path)
+
+    target = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = restore_checkpoint(path, target)
+    assert restored["opt"]["nothing"] is None
+    assert restored["opt"]["empty"] == {}
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"]))
+    assert restored["params"]["b16"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["b16"].astype(jnp.float32)),
+        np.asarray(state["params"]["b16"].astype(jnp.float32)),
+    )
+    assert int(restored["opt"]["count"]) == 7
+
+
+def test_latest_checkpoint_by_step_not_size(tmp_path):
+    """Resume must pick the highest STEP (the reference's known quirk picks
+    the biggest FILE, train.py:164-179)."""
+    small = _state()
+    big = {"params": {"w": jnp.zeros((64, 64))}, "opt": {"count": jnp.asarray(0)},
+           "step": jnp.asarray(0)}
+    p_big_old = save_checkpoint(str(tmp_path), 10, big)      # bigger file, older step
+    p_small_new = save_checkpoint(str(tmp_path), 20, small)  # smaller file, newer step
+    assert os.path.getsize(p_big_old) > os.path.getsize(p_small_new)
+    assert latest_checkpoint(str(tmp_path)) == p_small_new
+
+
+def test_legacy_msgpack_restore_warns(tmp_path):
+    from flax import serialization
+
+    state = {"w": jnp.ones((2, 2))}
+    path = str(tmp_path / "0000001.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        restored = restore_checkpoint(path, {"w": jnp.zeros((2, 2))})
+    assert any("RoPE" in str(w.message) for w in rec)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), 1.0)
+    # latest_checkpoint sees both formats
+    save_checkpoint(str(tmp_path), 2, state)
+    assert latest_checkpoint(str(tmp_path)).endswith("0000002.safetensors")
