@@ -95,3 +95,40 @@ def test_train_then_sample(latent_dir, mesh8):
     out = jax.jit(lambda z: sample_fn(z, model_fn))(z_in)
     assert out.shape == (2 * B, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_sampling_matches_single_device(latent_dir, mesh8):
+    """build_sample_fn with a mesh must produce the same latents as without
+    (GSPMD DP over 8 CPU devices; params replicated, batch sharded)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vavae_tpu.models.dit import create_dit
+    from vavae_tpu.pipelines.sample import build_sample_fn
+    from vavae_tpu.utils.config import Config
+
+    cfg = Config({
+        "data": {"image_size": 32, "num_classes": 4, "latent_norm": False,
+                 "latent_multiplier": 1.0},
+        "vae": {"downsample_ratio": 16},
+        "model": {"model_type": "LightningDiT-S/2", "use_swiglu": True,
+                  "use_rope": True, "use_rmsnorm": True, "in_chans": 32},
+        "sample": {"mode": "ODE", "sampling_method": "euler",
+                   "num_sampling_steps": 4, "cfg_scale": 3.0,
+                   "cfg_interval_start": 0.11, "timestep_shift": 0.3},
+        "transport": {"path_type": "Linear", "prediction": "velocity"},
+    })
+    model = create_dit(cfg.model, 2, 4)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 2, 2, 32)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+    )["params"]
+
+    labels = jnp.asarray(np.arange(8) % 4, jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    single = np.asarray(build_sample_fn(cfg, model, params)(rng, labels))
+    sharded_fn = build_sample_fn(cfg, model, params, mesh=mesh8)
+    sharded = sharded_fn(rng, labels)
+    assert not sharded.sharding.is_fully_replicated  # actually distributed
+    np.testing.assert_allclose(np.asarray(sharded), single, rtol=2e-4, atol=2e-5)

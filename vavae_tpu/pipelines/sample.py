@@ -61,8 +61,12 @@ def load_dit_params(cfg: Config, model, ckpt_path: str, prefer_ema: bool = True)
     )
 
 
-def build_sample_fn(cfg: Config, model, params, latent_stats=None):
-    """Returns jitted fn(rng, labels) -> decoded-ready latents (B, h, w, C)."""
+def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None):
+    """Returns jitted fn(rng, labels) -> decoded-ready latents (B, h, w, C).
+
+    With ``mesh`` the batch shards over the data axis across all local
+    devices (params replicated) — on a v5e-8 host one call drives all 8
+    chips; without it everything runs on the default device."""
     sc = cfg.sample
     transport = build_transport(cfg)
     sampler = Sampler(transport)
@@ -165,8 +169,19 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None):
         # un-normalize (inference.py:220)
         return samples * std / multiplier + mean
 
-    jit_generate = jax.jit(generate)
-    params = jax.device_put(params)
+    if mesh is not None:
+        from vavae_tpu.parallel.mesh import data_sharding, replicated
+
+        rep = replicated(mesh)
+        jit_generate = jax.jit(
+            generate,
+            in_shardings=(rep, rep, data_sharding(mesh, 1)),
+            out_shardings=data_sharding(mesh, 4),
+        )
+        params = jax.device_put(params, rep)
+    else:
+        jit_generate = jax.jit(generate)
+        params = jax.device_put(params)
     wrapper = lambda rng, labels: jit_generate(params, rng, labels)
     # param-explicit handle for callers that swap weights without recompiling
     # (e.g. in-training EMA sampling)
@@ -192,7 +207,14 @@ def do_sample(cfg: Config, demo: bool = False) -> str:
         ckpt_path=cfg.get("vae", {}).get("ckpt_path"),
         img_size=cfg.data.image_size,
     )
-    generate = build_sample_fn(cfg, model, params, latent_stats)
+    # shard each batch over all local devices when it divides evenly
+    # (on a v5e-8 host one call then drives all 8 chips)
+    batch_for_run = (
+        len(cfg.get("demo_labels", list(range(8)))) if demo
+        else cfg.sample.get("per_proc_batch_size", 4)
+    )
+    mesh = make_mesh() if batch_for_run % jax.local_device_count() == 0 else None
+    generate = build_sample_fn(cfg, model, params, latent_stats, mesh=mesh)
 
     sc = cfg.sample
     exp_name = cfg.train.get("exp_name", "samples")
