@@ -111,3 +111,26 @@ def test_vavae_facade_encode_decode_jit_path():
     # sampling is stochastic around the mean with the posterior's std
     z2 = vae.encode_images(x, rng=jax.random.PRNGKey(1))
     assert not np.allclose(np.asarray(z), np.asarray(z2))
+
+
+def test_vavae_facade_mesh_sharded_matches_single(mesh8):
+    """Mesh-sharded facade (batch over 8 CPU devices, with remainder padding)
+    must equal the single-device facade."""
+    import jax
+    import numpy as np
+
+    from vavae_tpu.tokenizer import VA_VAE
+
+    single = VA_VAE(img_size=32, seed=3)
+    sharded = VA_VAE(img_size=32, seed=3, mesh=mesh8)
+    # same fresh params in both (same seed/init path)
+    x = np.random.default_rng(0).normal(size=(5, 32, 32, 3)).astype(np.float32) * 0.3
+    # B=5 is NOT divisible by 8 — exercises the transparent padding
+    m1 = single.encode_moments(x)
+    m2 = sharded.encode_moments(x)
+    np.testing.assert_allclose(np.asarray(m2.mean), np.asarray(m1.mean), rtol=2e-4, atol=2e-5)
+    z = m1.mode()
+    d1 = single.decode_to_images(z)
+    d2 = sharded.decode_to_images(z)
+    np.testing.assert_array_equal(d1.shape, d2.shape)
+    assert np.mean(np.abs(d1.astype(int) - d2.astype(int))) < 1.0  # uint8 rounding

@@ -113,7 +113,11 @@ def main() -> None:
     ap.add_argument("--max_images", type=int, default=None)
     ap.add_argument("--image_size", type=int, default=256)
     args = ap.parse_args()
-    vae = VA_VAE(args.config, ckpt_path=args.vae_ckpt, img_size=args.image_size)
+    from vavae_tpu.parallel.mesh import make_mesh
+
+    import jax as _jax
+    _mesh = make_mesh() if 50 % _jax.local_device_count() == 0 else None
+    vae = VA_VAE(args.config, ckpt_path=args.vae_ckpt, img_size=args.image_size, mesh=_mesh)
     results = evaluate_tokenizer(
         vae,
         args.data_path,

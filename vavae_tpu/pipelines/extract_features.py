@@ -163,7 +163,11 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--image_size", type=int, default=256)
     args = ap.parse_args()
-    vae = VA_VAE(args.config, ckpt_path=args.vae_ckpt, img_size=args.image_size)
+    from vavae_tpu.parallel.mesh import make_mesh
+
+    import jax as _jax
+    _mesh = make_mesh() if args.batch_size % _jax.local_device_count() == 0 else None
+    vae = VA_VAE(args.config, ckpt_path=args.vae_ckpt, img_size=args.image_size, mesh=_mesh)
     extract(
         args.data_path,
         args.output_path,

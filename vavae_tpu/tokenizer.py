@@ -63,6 +63,7 @@ class VA_VAE:
         img_size: int = 256,
         dtype=jnp.float32,
         seed: int = 0,
+        mesh=None,
     ):
         if config is not None:
             with open(config) as f:
@@ -82,12 +83,34 @@ class VA_VAE:
         self._rng = jax.random.PRNGKey(seed)
         self.params = self._load_params(ckpt_path)
 
-        self._encode = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x, method=AutoencoderKL.encode)
-        )
-        self._decode = jax.jit(
-            lambda p, z: self.model.apply({"params": p}, z, method=AutoencoderKL.decode)
-        )
+        enc = lambda p, x: self.model.apply({"params": p}, x, method=AutoencoderKL.encode)
+        dec = lambda p, z: self.model.apply({"params": p}, z, method=AutoencoderKL.decode)
+        if mesh is not None:
+            # batch-shard encode/decode over all local devices (extraction /
+            # tokenizer-eval drive every chip of a v5e-8 host per call);
+            # batch sizes must divide the data-axis size
+            from vavae_tpu.parallel.mesh import data_sharding, replicated
+
+            rep = replicated(mesh)
+            ds4 = data_sharding(mesh, 4)
+            self._encode = jax.jit(enc, in_shardings=(rep, ds4))
+            self._decode = jax.jit(dec, in_shardings=(rep, ds4), out_shardings=ds4)
+            self.params = jax.device_put(self.params, rep)
+            # batches must divide the data axis — _pad_batch rounds up
+            # transparently and callers slice back via the true length
+            self._batch_mult = mesh.shape["data"] * mesh.shape["fsdp"]
+        else:
+            self._encode = jax.jit(enc)
+            self._decode = jax.jit(dec)
+            self._batch_mult = 1
+
+    def _pad_batch(self, x: jax.Array):
+        """Round the batch up to a multiple of the mesh's data-axis size."""
+        B = x.shape[0]
+        pad = (-B) % self._batch_mult
+        if pad == 0:
+            return x, B
+        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)]), B
 
     def _fresh_params(self):
         # param shapes don't depend on input resolution; init with a small
@@ -123,22 +146,27 @@ class VA_VAE:
 
     def encode_images(self, images: np.ndarray, rng: Optional[jax.Array] = None) -> jax.Array:
         """images: (B, H, W, 3) in [-1, 1] → sampled latents (B, h, w, C)."""
-        posterior: DiagonalGaussian = self._encode(self.params, jnp.asarray(images))
+        x, B = self._pad_batch(jnp.asarray(images))
+        posterior: DiagonalGaussian = self._encode(self.params, x)
         if rng is None:
             self._rng, rng = jax.random.split(self._rng)
-        return posterior.sample(rng)
+        return posterior.sample(rng)[:B]
 
     def encode_moments(self, images: np.ndarray) -> DiagonalGaussian:
-        return self._encode(self.params, jnp.asarray(images))
+        x, B = self._pad_batch(jnp.asarray(images))
+        post = self._encode(self.params, x)
+        return DiagonalGaussian(post.mean[:B], post.logvar[:B])
 
     def decode_to_images(self, z: jax.Array) -> np.ndarray:
         """latents → (B, H, W, 3) uint8 (clamp(127.5·x + 128))."""
-        dec = self._decode(self.params, jnp.asarray(z))
+        zp, B = self._pad_batch(jnp.asarray(z))
+        dec = self._decode(self.params, zp)[:B]
         img = jnp.clip(127.5 * dec + 128.0, 0, 255).astype(jnp.uint8)
         return np.asarray(img)
 
     def decode(self, z: jax.Array) -> jax.Array:
-        return self._decode(self.params, jnp.asarray(z))
+        zp, B = self._pad_batch(jnp.asarray(z))
+        return self._decode(self.params, zp)[:B]
 
 
 class MAR_VAE(VA_VAE):
