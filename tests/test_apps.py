@@ -279,3 +279,58 @@ def test_dataset_split(tmp_path):
     # determinism with the same seed
     split2 = create_dataset_split(str(root), out, train_ratio=0.8, seed=42)
     assert split["train"] == split2["train"]
+
+
+def test_lora_trainer_updates_only_adapters(mesh8):
+    """LoRA training: base params frozen, adapters move, loss finite, merged
+    export differs from base only on targeted kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from vavae_tpu.models.dit import LightningDiT
+    from vavae_tpu.train.lora_trainer import LoRATrainer
+    from vavae_tpu.transport import create_transport
+
+    model = LightningDiT(
+        input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+        depth=2, num_heads=4, num_classes=8, use_swiglu=True,
+        use_rope=True, use_rmsnorm=True,
+    )
+    B = 8
+    base = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((B, 8, 8, 4)), jnp.zeros((B,)), jnp.zeros((B,), jnp.int32),
+    )["params"]
+    # a REAL finetuning base has nonzero final/adaLN layers; DiT zero-inits
+    # them, which blocks all upstream gradients — perturb like a trained ckpt
+    base = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.PRNGKey(9), p.shape, p.dtype),
+        base,
+    )
+    transport = create_transport("Linear", "velocity")
+    trainer = LoRATrainer(model, transport, mesh8, rank=4, alpha=8.0, lr=1e-2)
+    state = trainer.replicate(trainer.init_state(jax.random.PRNGKey(1), base))
+    base_dev = trainer.replicate(base)
+
+    x = np.random.default_rng(0).normal(size=(B, 8, 8, 4)).astype(np.float32)
+    y = np.random.default_rng(1).integers(0, 8, size=(B,)).astype(np.int32)
+    lora0 = jax.device_get(state.lora)
+    for _ in range(3):
+        state, m = trainer.train_step(
+            state, base_dev, jax.random.PRNGKey(2), trainer.shard_batch((x, y))
+        )
+    assert np.isfinite(float(jax.device_get(m["loss"])))
+    lora1 = jax.device_get(state.lora)
+    moved = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(lora0), jax.tree_util.tree_leaves(lora1))
+    )
+    assert moved > 1e-6
+
+    merged = trainer.merged_params(base, state, ema=False)
+    qkv_b = np.asarray(base["blocks"]["block"]["attn"]["qkv"]["kernel"])
+    qkv_m = np.asarray(merged["blocks"]["block"]["attn"]["qkv"]["kernel"])
+    assert np.abs(qkv_m - qkv_b).max() > 1e-7  # targeted kernel changed
+    norm_b = np.asarray(base["blocks"]["block"]["norm1"]["weight"])
+    norm_m = np.asarray(merged["blocks"]["block"]["norm1"]["weight"])
+    np.testing.assert_array_equal(norm_b, norm_m)  # untargeted untouched
