@@ -334,3 +334,41 @@ def test_lora_trainer_updates_only_adapters(mesh8):
     norm_b = np.asarray(base["blocks"]["block"]["norm1"]["weight"])
     norm_m = np.asarray(merged["blocks"]["block"]["norm1"]["weight"])
     np.testing.assert_array_equal(norm_b, norm_m)  # untargeted untouched
+
+
+def test_classifier_freeze_stages():
+    """freeze_stages=2 must keep the stem + first two stages fixed while the
+    head still trains."""
+    import jax
+    import jax.numpy as jnp
+
+    from vavae_tpu.apps.train_classifier import ClassifierTrainer
+    from vavae_tpu.parallel.mesh import cpu_mesh, shard_batch
+
+    trainer = ClassifierTrainer(num_classes=3, lr=1e-2, freeze_stages=2,
+                                mesh=cpu_mesh(8))
+    state = jax.device_put(trainer.init_state(jax.random.PRNGKey(0), image_size=32))
+    p0 = jax.device_get(state.params)
+    x = np.random.default_rng(0).normal(size=(8, 32, 32, 3)).astype(np.float32)
+    y = np.random.default_rng(1).integers(0, 3, size=(8,)).astype(np.int32)
+    for _ in range(2):
+        state, m = trainer.train_step(
+            state, jax.random.PRNGKey(1), shard_batch(trainer.mesh, (x, y))
+        )
+    p1 = jax.device_get(state.params)
+
+    def max_delta(prefix):
+        import flax
+
+        f0 = flax.traverse_util.flatten_dict(p0, sep="/")
+        f1 = flax.traverse_util.flatten_dict(p1, sep="/")
+        return max(
+            float(np.abs(np.asarray(f1[k]) - np.asarray(f0[k])).max())
+            for k in f0 if k.startswith(prefix)
+        )
+
+    assert max_delta("layer1_") == 0.0
+    assert max_delta("layer2_") == 0.0
+    assert max_delta("conv1") == 0.0
+    assert max_delta("layer4_") > 1e-6  # unfrozen stage trains
+    assert max_delta("fc") > 1e-6       # head trains

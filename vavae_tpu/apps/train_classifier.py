@@ -55,13 +55,38 @@ class ClassifierTrainer:
     focal_gamma: float = 2.0
     use_mixup: bool = False
     mixup_alpha: float = 0.2
+    # freeze tiers (improved_classifier_training.py freeze strategy):
+    # 0 = train everything; k freezes the stem + the first k ResNet stages
+    freeze_stages: int = 0
     mesh: Any = None
 
     def __post_init__(self):
         head = 256 if self.mode == "improved" else 0
         proj = 64 if self.mode == "improved" else 0
         self.model = ResNet18(num_classes=self.num_classes, head_dim=head, proj_dim=proj)
-        self.tx = optax.adamw(self.lr, weight_decay=self.weight_decay)
+        tx = optax.adamw(self.lr, weight_decay=self.weight_decay)
+        if self.freeze_stages > 0:
+            frozen_prefixes = ["conv1", "bn1"] + [
+                f"layer{s}_" for s in range(1, self.freeze_stages + 1)
+            ]
+
+            def trainable(params):
+                import flax
+
+                flat = flax.traverse_util.flatten_dict(params, sep="/")
+                mask = {
+                    k: not any(k.startswith(p) or f"/{p}" in k for p in frozen_prefixes)
+                    for k in flat
+                }
+                return flax.traverse_util.unflatten_dict(mask, sep="/")
+
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()},
+                lambda params: jax.tree_util.tree_map(
+                    lambda t: "train" if t else "freeze", trainable(params)
+                ),
+            )
+        self.tx = tx
         if self.mesh is None:
             self.mesh = make_mesh()
         self._jit_train = None
