@@ -371,4 +371,49 @@ def test_classifier_freeze_stages():
     assert max_delta("layer2_") == 0.0
     assert max_delta("conv1") == 0.0
     assert max_delta("layer4_") > 1e-6  # unfrozen stage trains
+    # block-internal conv1/bn1 of UNFROZEN stages must train too (regression:
+    # a substring match froze the first conv/bn of every block)
+    assert max_delta("layer4_0/conv1") > 1e-8
+    assert max_delta("layer3_0/bn1") > 1e-9
     assert max_delta("fc") > 1e-6       # head trains
+
+
+def test_lora_alpha_not_trained(mesh8):
+    """alpha is a hyperparameter riding in the lora tree — the optimizer must
+    never move it."""
+    import jax
+    import jax.numpy as jnp
+
+    from vavae_tpu.models.dit import LightningDiT
+    from vavae_tpu.train.lora_trainer import LoRATrainer
+    from vavae_tpu.transport import create_transport
+
+    model = LightningDiT(
+        input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+        depth=2, num_heads=4, num_classes=8, use_swiglu=True,
+        use_rope=True, use_rmsnorm=True,
+    )
+    B = 8
+    base = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((B, 8, 8, 4)), jnp.zeros((B,)), jnp.zeros((B,), jnp.int32),
+    )["params"]
+    base = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.PRNGKey(9), p.shape, p.dtype),
+        base,
+    )
+    trainer = LoRATrainer(model, create_transport("Linear", "velocity"), mesh8,
+                          rank=4, alpha=8.0, lr=1e-2, weight_decay=0.1)
+    state = trainer.replicate(trainer.init_state(jax.random.PRNGKey(1), base))
+    base_dev = trainer.replicate(base)
+    x = np.random.default_rng(0).normal(size=(B, 8, 8, 4)).astype(np.float32)
+    y = np.random.default_rng(1).integers(0, 8, size=(B,)).astype(np.int32)
+    for _ in range(3):
+        state, _ = trainer.train_step(
+            state, base_dev, jax.random.PRNGKey(2), trainer.shard_batch((x, y))
+        )
+    lora = jax.device_get(state.lora)
+    alpha = lora["blocks"]["block"]["attn"]["qkv"]["kernel"]["alpha"]
+    assert float(alpha) == 8.0  # untouched despite lr=1e-2 + weight decay
+    b = lora["blocks"]["block"]["attn"]["qkv"]["kernel"]["b"]
+    assert float(np.abs(np.asarray(b)).max()) > 0  # adapters DID train

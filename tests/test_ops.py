@@ -117,7 +117,7 @@ def test_pallas_attention_matches_xla_on_tpu():
     assert np.isfinite(np.asarray(g.astype(jnp.float32))).all()
 
 
-def test_fid_pipeline_end_to_end(tmp_path):
+def test_fid_pipeline_end_to_end(tmp_path, monkeypatch):
     """fid_given_paths on two folders: identical sets → FID ≈ 0; disjoint
     distributions → FID > 0. Also covers npz packing (ADM arr_0 format).
     Random Inception weights are fine — the invariants hold regardless."""
@@ -128,7 +128,7 @@ def test_fid_pipeline_end_to_end(tmp_path):
 
     from vavae_tpu.eval.fid import create_npz_from_sample_folder, fid_given_paths
 
-    os.environ["VAVAE_FID_ALLOW_RANDOM"] = "1"
+    monkeypatch.setenv("VAVAE_FID_ALLOW_RANDOM", "1")
     rng = np.random.default_rng(0)
     a = tmp_path / "a"
     b = tmp_path / "b"

@@ -79,7 +79,18 @@ def main() -> None:
         latent_multiplier=cfg.data.get("latent_multiplier", 1.0),
     )
     global_bs = args.batch_size or cfg.train.get("global_batch_size", 16)
+    if global_bs % jax.process_count():
+        raise SystemExit(
+            f"global batch {global_bs} must divide the process count "
+            f"({jax.process_count()})"
+        )
     per_proc = global_bs // jax.process_count()
+    n_local = jax.local_device_count()
+    if per_proc % n_local:
+        # round UP so the sharded train step gets even per-device splits
+        per_proc = ((per_proc + n_local - 1) // n_local) * n_local
+        print(f"note: per-process batch rounded up to {per_proc} "
+              f"(multiple of {n_local} local devices)")
     it = dataset.batches(
         per_proc, seed=cfg.train.get("global_seed", 0),
         process_index=jax.process_index(), process_count=jax.process_count(),

@@ -66,7 +66,10 @@ class ClassifierTrainer:
         self.model = ResNet18(num_classes=self.num_classes, head_dim=head, proj_dim=proj)
         tx = optax.adamw(self.lr, weight_decay=self.weight_decay)
         if self.freeze_stages > 0:
-            frozen_prefixes = ["conv1", "bn1"] + [
+            # match TOP-LEVEL modules only: blocks name their own first
+            # conv/bn "conv1"/"bn1" too, so a substring match would freeze
+            # half of every supposedly-trainable stage
+            frozen_prefixes = ["conv1/", "bn1/"] + [
                 f"layer{s}_" for s in range(1, self.freeze_stages + 1)
             ]
 
@@ -75,7 +78,7 @@ class ClassifierTrainer:
 
                 flat = flax.traverse_util.flatten_dict(params, sep="/")
                 mask = {
-                    k: not any(k.startswith(p) or f"/{p}" in k for p in frozen_prefixes)
+                    k: not any(k.startswith(p) for p in frozen_prefixes)
                     for k in flat
                 }
                 return flax.traverse_util.unflatten_dict(mask, sep="/")

@@ -114,6 +114,14 @@ def donate_state_argnums() -> tuple:
     return (0,) if donation_supported() else ()
 
 
+def local_mesh_if_divisible(batch_size: int) -> Mesh | None:
+    """make_mesh() over all local devices when ``batch_size`` splits evenly,
+    else None (caller runs single-device). For facades with transparent
+    remainder padding (VA_VAE._pad_batch) just call make_mesh() directly."""
+    n = len(jax.local_devices())
+    return make_mesh() if n > 0 and batch_size % n == 0 else None
+
+
 @functools.cache
 def cpu_mesh(n: int = 8) -> Mesh:
     """A CPU-device test mesh; requires XLA_FLAGS=--xla_force_host_platform_device_count=n.

@@ -115,9 +115,10 @@ def main() -> None:
     args = ap.parse_args()
     from vavae_tpu.parallel.mesh import make_mesh
 
-    import jax as _jax
-    _mesh = make_mesh() if 50 % _jax.local_device_count() == 0 else None
-    vae = VA_VAE(args.config, ckpt_path=args.vae_ckpt, img_size=args.image_size, mesh=_mesh)
+    # the facade pads remainder batches transparently, so every local device
+    # participates regardless of batch size
+    vae = VA_VAE(args.config, ckpt_path=args.vae_ckpt, img_size=args.image_size,
+                 mesh=make_mesh())
     results = evaluate_tokenizer(
         vae,
         args.data_path,

@@ -58,7 +58,10 @@ def iter_batches(
 
 
 def _prefetch(it, depth: int = 2):
-    """Run a producer iterator in a background thread with a bounded queue."""
+    """Run a producer iterator in a background thread with a bounded queue.
+
+    Producer exceptions re-raise in the CONSUMER — a corrupt image must abort
+    extraction, not silently truncate the dataset."""
     import queue
     import threading
 
@@ -69,14 +72,17 @@ def _prefetch(it, depth: int = 2):
         try:
             for item in it:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - forwarded to consumer
+            q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -165,9 +171,10 @@ def main() -> None:
     args = ap.parse_args()
     from vavae_tpu.parallel.mesh import make_mesh
 
-    import jax as _jax
-    _mesh = make_mesh() if args.batch_size % _jax.local_device_count() == 0 else None
-    vae = VA_VAE(args.config, ckpt_path=args.vae_ckpt, img_size=args.image_size, mesh=_mesh)
+    # the facade pads remainder batches transparently, so every local device
+    # participates regardless of batch size
+    vae = VA_VAE(args.config, ckpt_path=args.vae_ckpt, img_size=args.image_size,
+                 mesh=make_mesh())
     extract(
         args.data_path,
         args.output_path,

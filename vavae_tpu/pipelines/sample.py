@@ -112,6 +112,16 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None):
         and sc.get("sampling_method", "euler").lower() == "euler"
         and interval_start > 0.0
     )
+    if sc.get("velocity_cache_interval", 1) > 1 and not use_split_cfg:
+        import warnings
+
+        warnings.warn(
+            "sample.velocity_cache_interval is only implemented on the "
+            "split-CFG euler path (cfg_scale > 1, mode ODE, sampling_method "
+            "euler, cfg_interval_start > 0) — sampling will run EXACT with "
+            "no speedup.",
+            stacklevel=2,
+        )
     if use_split_cfg:
         cfg_sample_fn = sampler.sample_ode_cfg(
             num_steps=sc.get("num_sampling_steps", 250),
@@ -209,12 +219,16 @@ def do_sample(cfg: Config, demo: bool = False) -> str:
     )
     # shard each batch over all local devices when it divides evenly
     # (on a v5e-8 host one call then drives all 8 chips)
+    from vavae_tpu.parallel.mesh import local_mesh_if_divisible
+
     batch_for_run = (
         len(cfg.get("demo_labels", list(range(8)))) if demo
         else cfg.sample.get("per_proc_batch_size", 4)
     )
-    mesh = make_mesh() if batch_for_run % jax.local_device_count() == 0 else None
-    generate = build_sample_fn(cfg, model, params, latent_stats, mesh=mesh)
+    generate = build_sample_fn(
+        cfg, model, params, latent_stats,
+        mesh=local_mesh_if_divisible(batch_for_run),
+    )
 
     sc = cfg.sample
     exp_name = cfg.train.get("exp_name", "samples")

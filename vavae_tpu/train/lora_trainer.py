@@ -56,7 +56,18 @@ class LoRATrainer:
         if self.max_grad_norm:
             chain.append(optax.clip_by_global_norm(self.max_grad_norm))
         chain.append(optax.adamw(self.lr, weight_decay=self.weight_decay))
-        self.tx = optax.chain(*chain)
+        tx = optax.chain(*chain)
+        # alpha is a HYPERPARAMETER stored per-layer in the lora tree (so the
+        # merge stays a pure pytree op) — the optimizer must never move it
+        self.tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            lambda lora: jax.tree_util.tree_map_with_path(
+                lambda kp, _: "freeze"
+                if str(getattr(kp[-1], "key", "")) == "alpha"
+                else "train",
+                lora,
+            ),
+        )
         self._jit_train = None
 
     def init_state(self, rng: jax.Array, base_params: Any) -> LoRAState:
