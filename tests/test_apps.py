@@ -417,3 +417,32 @@ def test_lora_alpha_not_trained(mesh8):
     assert float(alpha) == 8.0  # untouched despite lr=1e-2 + weight decay
     b = lora["blocks"]["block"]["attn"]["qkv"]["kernel"]["b"]
     assert float(np.abs(np.asarray(b)).max()) > 0  # adapters DID train
+
+
+def test_simplified_vavae_scale_roundtrip(tmp_path):
+    """encode ×scale / decode ÷scale must cancel; decode maps to [0,1];
+    scale_factor is read from a torch checkpoint when present."""
+    import jax
+    import numpy as np
+
+    from vavae_tpu.apps.simplified_vavae import SimplifiedVAVAE
+
+    sv = SimplifiedVAVAE(img_size=32, scale_factor=0.5)
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32) * 0.3
+    z = sv.encode(x, rng=jax.random.PRNGKey(0))
+    assert z.shape == (2, 2, 2, 32)
+    # ×0.5 on encode vs the raw facade
+    z_raw = sv.vae.encode_images(x, rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(z), 0.5 * np.asarray(z_raw), rtol=1e-5)
+
+    rec = np.asarray(sv.decode(z))
+    assert rec.min() >= 0.0 and rec.max() <= 1.0
+    imgs = sv.decode_to_images(z)
+    assert imgs.dtype == np.uint8 and imgs.shape == (2, 32, 32, 3)
+
+    # scale_factor from a torch ckpt dict
+    import torch
+
+    p = str(tmp_path / "vae.ckpt")
+    torch.save({"scale_factor": 0.18215, "state_dict": {}}, p)
+    assert SimplifiedVAVAE._scale_from_ckpt(p) == 0.18215
