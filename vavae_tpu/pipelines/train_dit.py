@@ -198,7 +198,7 @@ def do_train(cfg: Config) -> TrainState:
     )
     from vavae_tpu.utils.preemption import PreemptionGuard
 
-    running, log_steps, t_start = 0.0, 0, time.time()
+    loss_acc, log_steps, t_start = [], 0, time.time()
     step = int(jax.device_get(state.step))
     guard = PreemptionGuard().__enter__()
     while step < max_steps:
@@ -211,23 +211,27 @@ def do_train(cfg: Config) -> TrainState:
         batch = trainer.shard_batch(next(it))
         state, metrics = trainer.train_step(state, rng, batch)
         step += 1
-        running += float(jax.device_get(metrics["loss"]))
+        # keep the loss ON DEVICE — fetching per step blocks the host on the
+        # step and serializes batch prep with device compute; everything is
+        # pulled in one transfer at log points
+        loss_acc.append(metrics["loss"])
         log_steps += 1
 
         if step % log_every == 0:
             jax.block_until_ready(state.params)
             dt = time.time() - t_start
             sps = log_steps / dt
+            avg_loss = float(np.mean(jax.device_get(loss_acc)))
             logger.info(
-                f"(step={step:07d}) Train Loss: {running / log_steps:.4f}, "
+                f"(step={step:07d}) Train Loss: {avg_loss:.4f}, "
                 f"Train Steps/Sec: {sps:.2f}, Img/Sec: {sps * global_bs:.1f}"
             )
             metrics_log.log_scalars(
                 step,
-                {"train/loss": running / log_steps, "train/steps_per_sec": sps,
+                {"train/loss": avg_loss, "train/steps_per_sec": sps,
                  "train/grad_norm": float(jax.device_get(metrics["grad_norm"]))},
             )
-            running, log_steps, t_start = 0.0, 0, time.time()
+            loss_acc, log_steps, t_start = [], 0, time.time()
 
         sample_every = cfg.train.get("sample_every")
         if sample_every and step % sample_every == 0:

@@ -125,7 +125,7 @@ def train_epochs(
     rng = jax.random.PRNGKey(seed)
     best_val = float("inf")
     best_path = None
-    running, log_steps, t0 = 0.0, 0, time.time()
+    loss_acc, log_steps, t0 = [], 0, time.time()
     for epoch in range(epochs):
         for batch in dataset.batches(
             batch_size,
@@ -138,15 +138,18 @@ def train_epochs(
             state, metrics = trainer.train_step(
                 state, rng, shard_batch(trainer.mesh, images)
             )
-            running += float(jax.device_get(metrics["rec_loss"]))
+            # loss stays on device until the log point (a per-step fetch
+            # would serialize host batch prep with device compute)
+            loss_acc.append(metrics["rec_loss"])
             log_steps += 1
             if log_steps % log_every == 0:
                 dt = time.time() - t0
+                rec = float(np.mean(jax.device_get(loss_acc)))
                 logger.info(
                     f"epoch {epoch} step {int(jax.device_get(state.step))}: "
-                    f"rec {running / log_steps:.4f}, {log_steps / dt:.2f} it/s"
+                    f"rec {rec:.4f}, {log_steps / dt:.2f} it/s"
                 )
-                running, log_steps, t0 = 0.0, 0, time.time()
+                loss_acc, log_steps, t0 = [], 0, time.time()
 
         # end-of-epoch validation + best-ckpt (monitor val/rec_loss)
         if val_dataset is not None:
