@@ -1,0 +1,63 @@
+"""Tests for the small utility subsystems: metrics logger, image grid,
+profiling timers, PNG fallback path."""
+import json
+import os
+
+import numpy as np
+
+
+def test_metrics_logger_jsonl_and_tb(tmp_path):
+    from vavae_tpu.utils.metrics_logger import MetricsLogger
+
+    log = MetricsLogger(str(tmp_path), enabled=True)
+    log.log_text("config", "hello")
+    log.log_scalars(10, {"train/loss": 1.5, "train/steps_per_sec": 2.0})
+    log.log_scalars(20, {"train/loss": 1.2})
+    log.close()
+
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert [l["step"] for l in lines] == [10, 20]
+    assert lines[0]["train/loss"] == 1.5
+    # disabled logger writes nothing
+    log2 = MetricsLogger(str(tmp_path / "off"), enabled=False)
+    log2.log_scalars(1, {"x": 1.0})
+    log2.close()
+    assert not os.path.exists(tmp_path / "off" / "metrics.jsonl")
+
+
+def test_image_grid(tmp_path):
+    from PIL import Image
+
+    from vavae_tpu.utils.image_grid import save_image_grid
+
+    imgs = np.random.default_rng(0).integers(0, 255, size=(6, 8, 8, 3), dtype=np.uint8)
+    path = save_image_grid(imgs, str(tmp_path / "grid.png"), cols=3)
+    arr = np.asarray(Image.open(path))
+    assert arr.shape[0] == 2 * 8 and arr.shape[1] == 3 * 8  # 2 rows x 3 cols
+
+
+def test_step_timer_and_memory_stats():
+    import jax
+
+    from vavae_tpu.utils.profiling import StepTimer, device_memory_stats
+
+    t = StepTimer()
+    for _ in range(5):
+        t.step()
+    assert t.rate() > 0
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+
+
+def test_png_writer_pil_fallback(tmp_path, monkeypatch):
+    import vavae_tpu.utils.png_native as pn
+
+    monkeypatch.setattr(pn, "_load", lambda: None)
+    assert not pn.available()
+    imgs = np.random.default_rng(0).integers(0, 255, size=(2, 8, 8, 3), dtype=np.uint8)
+    paths = [str(tmp_path / f"{i}.png") for i in range(2)]
+    pn.write_pngs(imgs, paths)  # routes through PIL
+    from PIL import Image
+
+    back = np.asarray(Image.open(paths[0]).convert("RGB"))
+    np.testing.assert_array_equal(back, imgs[0])
