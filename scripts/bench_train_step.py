@@ -1,0 +1,81 @@
+"""Microbench: one DiT-XL/1 training step (fwd+bwd+Adam+EMA), single chip.
+
+Usage: python scripts/bench_train_step.py [batch]
+Env: VAVAE_ATTN_NATURAL=0 restores the padded-layout attention for A/B.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import vavae_tpu.utils.jax_cache  # noqa: F401
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vavae_tpu.models.dit import LightningDiT_models
+from vavae_tpu.parallel.mesh import make_mesh
+from vavae_tpu.train.dit_trainer import DiTTrainer
+from vavae_tpu.transport import create_transport
+
+
+def main() -> None:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    model = LightningDiT_models["LightningDiT-XL/1"](
+        input_size=16,
+        in_channels=32,
+        num_classes=1000,
+        use_swiglu=True,
+        use_rope=True,
+        use_rmsnorm=True,
+        use_checkpoint=True,
+        dtype=jnp.bfloat16,
+    )
+    mesh = make_mesh()
+    trainer = DiTTrainer(
+        model=model, transport=create_transport("Linear", "velocity"), mesh=mesh
+    )
+    rng = jax.random.PRNGKey(0)
+    if "--bf16" in sys.argv:
+        from vavae_tpu.train.dit_trainer import TrainState
+
+        zeros = (
+            jnp.zeros((batch, 16, 16, 32), jnp.float32),
+            jnp.zeros((batch,), jnp.float32),
+            jnp.zeros((batch,), jnp.int32),
+        )
+        params = jax.jit(
+            lambda: jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16),
+                model.init({"params": rng}, *zeros)["params"],
+            )
+        )()
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=trainer.tx.init(params),
+        )
+    else:
+        state = trainer.init_state(rng, (batch, 16, 16, 32))
+    x = jax.random.normal(rng, (batch, 16, 16, 32), jnp.float32)
+    y = jnp.arange(batch, dtype=jnp.int32) % 1000
+
+    t0 = time.perf_counter()
+    state, metrics = trainer.train_step(state, rng, (x, y))  # compile
+    np.asarray(metrics["loss"])
+    print(f"compile+first step: {time.perf_counter() - t0:.1f} s", flush=True)
+    for i in range(3):  # settle
+        state, metrics = trainer.train_step(state, rng, (x, y))
+        np.asarray(metrics["loss"])
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = trainer.train_step(state, rng, (x, y))
+    np.asarray(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n * 1e3
+    print(f"batch={batch} train_step={dt:.2f} ms ({batch / dt * 1e3:.1f} img/s/chip)")
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,79 @@ def test_pallas_attention_matches_xla_on_tpu():
     assert np.isfinite(np.asarray(g.astype(jnp.float32))).all()
 
 
+def test_fused_qkv_attention_fallback_matches_reference():
+    """CPU fallback of fused_qkv_attention == slice + generic attention."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vavae_tpu.ops.attention import dot_product_attention
+    from vavae_tpu.ops.pallas.flash_attention import fused_qkv_attention
+
+    # N not divisible by 8 → generic path even when a TPU backend is present
+    B, N, H, D = 2, 60, 4, 16
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3, H, D), jnp.float32)
+    ref = dot_product_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+    got = fused_qkv_attention(qkv)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu", reason="pallas TPU kernel"
+)
+def test_fused_qkv_attention_fwd_bwd_on_tpu():
+    """Natural-layout kernel (fwd + custom-vjp bwd) vs exact XLA attention,
+    with and without in-kernel RoPE, at the XL head dim (72) and at 64."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vavae_tpu.models.layers import rotate_half
+    from vavae_tpu.models.posembed import rope_2d_freqs
+    from vavae_tpu.ops.attention import _xla_attention
+    from vavae_tpu.ops.pallas.flash_attention import fused_qkv_attention
+
+    for D, grid in ((72, 16), (64, 16)):
+        B, N, H = 4, grid * grid, 16
+        rng = jax.random.PRNGKey(0)
+        qkv = jax.random.normal(rng, (B, N, 3, H, D), jnp.bfloat16)
+        cos, sin = rope_2d_freqs(D, grid)
+        cos_j, sin_j = jnp.asarray(cos), jnp.asarray(sin)
+
+        def rot(x):
+            fc = cos_j[None, :, None, :].astype(x.dtype)
+            fs = sin_j[None, :, None, :].astype(x.dtype)
+            return x * fc + rotate_half(x) * fs
+
+        def ref_fn(qkv):
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            return _xla_attention(rot(q), rot(k), v)
+
+        ref = np.asarray(ref_fn(qkv).astype(jnp.float32))
+        got = np.asarray(fused_qkv_attention(qkv, (cos_j, sin_j)).astype(jnp.float32))
+        assert np.abs(ref - got).max() < 2e-2, f"fwd mismatch D={D}"
+
+        # no-rope forward
+        ref0 = np.asarray(_xla_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]).astype(jnp.float32))
+        got0 = np.asarray(fused_qkv_attention(qkv).astype(jnp.float32))
+        assert np.abs(ref0 - got0).max() < 2e-2
+
+        # backward: Pallas bwd kernel vs exact XLA vjp of the reference
+        w = jax.random.normal(jax.random.fold_in(rng, 9), ref.shape, jnp.bfloat16)
+        dref = jax.grad(
+            lambda qkv: jnp.sum(ref_fn(qkv).astype(jnp.float32) * w.astype(jnp.float32))
+        )(qkv)
+        dgot = jax.grad(
+            lambda qkv: jnp.sum(
+                fused_qkv_attention(qkv, (cos_j, sin_j)).astype(jnp.float32)
+                * w.astype(jnp.float32)
+            )
+        )(qkv)
+        err = np.abs(np.asarray(dref.astype(jnp.float32)) - np.asarray(dgot.astype(jnp.float32)))
+        scale = np.abs(np.asarray(dref.astype(jnp.float32))).max()
+        assert err.max() / max(scale, 1e-6) < 3e-2, f"bwd mismatch D={D}: {err.max()/scale}"
+
+
 def test_fid_pipeline_end_to_end(tmp_path, monkeypatch):
     """fid_given_paths on two folders: identical sets → FID ≈ 0; disjoint
     distributions → FID > 0. Also covers npz packing (ADM arr_0 format).

@@ -24,6 +24,14 @@ from flax import linen as nn
 
 from vavae_tpu.ops.attention import dot_product_attention
 
+
+def _natural_attention_enabled() -> bool:
+    """Fused-qkv natural-layout attention (default on; VAVAE_ATTN_NATURAL=0
+    restores the slice + padded-layout path for A/B comparison)."""
+    import os
+
+    return os.environ.get("VAVAE_ATTN_NATURAL", "1") != "0"
+
 Dtype = jnp.dtype
 
 
@@ -184,6 +192,17 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+
+        if not self.qk_norm and _natural_attention_enabled():
+            # hot path: attention straight off the fused qkv tensor — no
+            # per-tensor slice/pad/transpose fusions (see ops/pallas)
+            from vavae_tpu.ops.pallas.flash_attention import fused_qkv_attention
+
+            out = fused_qkv_attention(qkv, rope=rope)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(
+                out.reshape(B, N, C)
+            )
+
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
 
         if self.qk_norm:

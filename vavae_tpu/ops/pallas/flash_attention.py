@@ -192,6 +192,229 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+# -- natural-layout kernel (zero pad/slice ops) ------------------------------
+#
+# The padded (BH, N, 128) layout above costs ~9 ms/XL-forward in XLA copies:
+# per layer, 3 slice+transpose+pad fusions in (~28 MB read, 50 MB written)
+# and a slice+transpose out. The kernels below instead read the FUSED qkv
+# tensor after a single XLA transpose to (B, 3, H, N, D): each program DMAs
+# one contiguous (3, Gh, N, D) block (q,k,v for Gh heads), no padding (a
+# block whose trailing dim equals the full array dim is legal at any size —
+# Mosaic masks the lane pad internally), and RoPE runs in-kernel as a
+# lane roll: rot_half(x) == roll(x, D/2) * sign, with sign folded into the
+# sin table. Measured (v5e, XL/1): fwd B=32 57.6 ms vs 62.7 padded; train
+# step B=16 134 vs 142 ms; CFG sampling 1.43 vs 1.34 samples/s/chip. The
+# backward writes dq,dk,dv into ONE (B,3,H,N,D) output block, so training
+# avoids the stack copy too. (Tried and rejected instead: in-kernel
+# swapaxes from natural (B,N,H,D) blocks — Mosaic VMEM transposes cost
+# more than the XLA copies they replace.)
+
+
+def _nat_fwd_kernel(qkv_ref, cos_ref, sin_ref, o_ref, *, scale: float, use_rope: bool):
+    """qkv_ref: (1, 3, Gh, N, D); o_ref: (1, Gh, N, D)."""
+    q, k, v = qkv_ref[0, 0], qkv_ref[0, 1], qkv_ref[0, 2]  # (Gh, N, D)
+    if use_rope:
+        d = q.shape[-1]
+        cos = cos_ref[...][None].astype(q.dtype)
+        sinf = sin_ref[...][None].astype(q.dtype)
+        q = q * cos + jnp.roll(q, d // 2, axis=-1) * sinf
+        k = k * cos + jnp.roll(k, d // 2, axis=-1) * sinf
+    dn = (((2,), (2,)), ((0,), (0,)))
+    s = jax.lax.dot_general(
+        q, k, dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    dn2 = (((2,), (1,)), ((0,), (0,)))
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, dn2, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _nat_bwd_kernel(
+    qkv_ref, g_ref, cos_ref, sin_ref, dqkv_ref, *, scale: float, use_rope: bool
+):
+    """qkv_ref: (1, 3, Gh, N, D); g_ref: (1, Gh, N, D); dqkv_ref like qkv_ref.
+
+    Flash-style recompute backward; RoPE cotangent uses the transpose
+    rotation Rᵀ(g) = g∘cos + roll(g∘sin', D/2) (roll by D/2 is self-inverse).
+    """
+    q, k, v = qkv_ref[0, 0], qkv_ref[0, 1], qkv_ref[0, 2]
+    g = g_ref[0]
+    d = q.shape[-1]
+    if use_rope:
+        cos = cos_ref[...][None].astype(q.dtype)
+        sinf = sin_ref[...][None].astype(q.dtype)
+        q = q * cos + jnp.roll(q, d // 2, axis=-1) * sinf
+        k = k * cos + jnp.roll(k, d // 2, axis=-1) * sinf
+
+    dn_dd = (((2,), (2,)), ((0,), (0,)))   # contract D with D, batch Gh
+    dn_nn = (((1,), (1,)), ((0,), (0,)))   # contract N_q with N_q, batch Gh
+    dn_nk = (((2,), (1,)), ((0,), (0,)))   # contract N_k, batch Gh
+
+    s = jax.lax.dot_general(
+        q, k, dn_dd, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)          # (Gh, Nq, Nk) f32
+
+    pb = p.astype(v.dtype)
+    dv = jax.lax.dot_general(
+        pb, g, dn_nn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    dp = jax.lax.dot_general(
+        g, v, dn_dd, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    dsb = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(
+        dsb, k, dn_nk, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    dk = jax.lax.dot_general(
+        dsb, q, dn_nn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    if use_rope:
+        cosf = cos_ref[...][None]
+        sinf32 = sin_ref[...][None]
+        dq = dq * cosf + jnp.roll(dq * sinf32, d // 2, axis=-1)
+        dk = dk * cosf + jnp.roll(dk * sinf32, d // 2, axis=-1)
+    dqkv_ref[0, 0] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[0, 1] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[0, 2] = dv.astype(dqkv_ref.dtype)
+
+
+def _fold_sin(rope, n: int, d: int):
+    """(cos, sin) split-half tables → (cos, sign-folded sin) as (N, D) f32."""
+    cos, sin = rope
+    cos = jnp.asarray(cos, jnp.float32)
+    sin = jnp.asarray(sin, jnp.float32)
+    sign = jnp.concatenate(
+        [-jnp.ones(d // 2, jnp.float32), jnp.ones(d - d // 2, jnp.float32)]
+    )
+    return cos, sin * sign[None, :]
+
+
+def _nat_group(h: int, n: int, d: int, bwd: bool) -> int:
+    """Heads per program: largest divisor of H fitting the VMEM budget."""
+    budget = 8 * 1024 * 1024
+    if bwd:
+        per_head = 3 * n * n * 4 + 8 * n * d * 2
+    else:
+        per_head = 2 * n * n * 4 + 4 * n * d * 2
+    g = max(1, min(16, budget // max(per_head, 1)))
+    while g > 1 and h % g:
+        g -= 1
+    return g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _natural_attention(qkv3: jax.Array, tables, use_rope: bool) -> jax.Array:
+    """qkv3: (B, 3, H, N, D) → (B, H, N, D). tables: (cos, folded sin)."""
+    return _nat_forward(qkv3, tables, use_rope)
+
+
+def _nat_forward(qkv3, tables, use_rope):
+    B, _, H, N, D = qkv3.shape
+    scale = D ** -0.5
+    Gh = _nat_group(H, N, D, bwd=False)
+    cos, sinf = tables
+    qkv_spec = pl.BlockSpec(
+        (1, 3, Gh, N, D), lambda b, h: (b, 0, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    tspec = pl.BlockSpec((N, D), lambda b, h: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_nat_fwd_kernel, scale=scale, use_rope=use_rope),
+        grid=(B, H // Gh),
+        in_specs=[qkv_spec, tspec, tspec],
+        out_specs=pl.BlockSpec(
+            (1, Gh, N, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, N, D), qkv3.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(qkv3, cos, sinf)
+
+
+def _nat_fwd_rule(qkv3, tables, use_rope):
+    return _nat_forward(qkv3, tables, use_rope), (qkv3, tables)
+
+
+def _nat_bwd_rule(use_rope, res, g):
+    qkv3, tables = res
+    B, _, H, N, D = qkv3.shape
+    scale = D ** -0.5
+    Gh = _nat_group(H, N, D, bwd=True)
+    cos, sinf = tables
+    qkv_spec = pl.BlockSpec(
+        (1, 3, Gh, N, D), lambda b, h: (b, 0, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    g_spec = pl.BlockSpec(
+        (1, Gh, N, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    tspec = pl.BlockSpec((N, D), lambda b, h: (0, 0), memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        functools.partial(_nat_bwd_kernel, scale=scale, use_rope=use_rope),
+        grid=(B, H // Gh),
+        in_specs=[qkv_spec, g_spec, tspec, tspec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 3, H, N, D), qkv3.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(qkv3, g, cos, sinf)
+    dtables = jax.tree_util.tree_map(jnp.zeros_like, tables)
+    return dqkv, dtables
+
+
+_natural_attention.defvjp(_nat_fwd_rule, _nat_bwd_rule)
+
+
+def fused_qkv_attention(qkv5: jax.Array, rope=None) -> jax.Array:
+    """Attention straight off the fused qkv projection, natural layout.
+
+    qkv5: (B, N, 3, H, D) — the free reshape of the qkv Dense output —
+    → (B, N, H, D). On TPU this runs the zero-pad/zero-slice kernel (one
+    input + one output transpose are the only XLA copies); elsewhere it
+    falls back to the generic path.
+    """
+    from vavae_tpu.ops.attention import _FLASH_MIN_SEQ
+
+    B, N, _, H, D = qkv5.shape
+    # same routing threshold as dot_product_attention: DiT-scale sequences
+    # only (tiny-N callers — CPU-mesh dryruns, smoke tests — stay on XLA)
+    if (
+        jax.default_backend() == "tpu"
+        and _FLASH_MIN_SEQ <= N <= SMALL_SEQ_MAX
+        and N % 8 == 0
+        and D % 2 == 0
+        and D <= 256
+    ):
+        use_rope = rope is not None
+        if use_rope:
+            tables = _fold_sin(rope, N, D)
+        else:
+            z = jnp.zeros((N, D), jnp.float32)
+            tables = (z, z)
+        qkv3 = qkv5.transpose(0, 2, 3, 1, 4)  # (B, 3, H, N, D): ONE copy
+        out = _natural_attention(qkv3, tables, use_rope)
+        return out.transpose(0, 2, 1, 3)  # (B, N, H, D): one copy back
+    from vavae_tpu.ops.attention import dot_product_attention
+
+    q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
+    return dot_product_attention(q, k, v, rope=rope)
+
+
 def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
     size = x.shape[axis]
     pad = (-size) % mult
