@@ -71,6 +71,42 @@ def test_vae_train_step_runs_and_descends(tiny_trainer):
     assert losses[-1] < losses[0]
 
 
+def test_frozen_bf16_matches_fp32(request):
+    """frozen_bf16 (bf16 DINOv2/LPIPS feature nets) changes the losses only
+    at bf16 noise level: one train step in each mode, metrics close."""
+    mesh8 = request.getfixturevalue("mesh8")
+    from vavae_tpu.models.lpips import LPIPS
+
+    vae = AutoencoderKL(embed_dim=4, ch=32, ch_mult=(1, 2), resolution=32)
+    lp = LPIPS()
+    lp_vars = lp.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3))
+    )
+
+    def aux_fn(aux_params, x):
+        B, H, W, _ = x.shape
+        f = jax.image.resize(x, (B, H // 2, W // 2, 3), "bilinear")
+        return jnp.tile(f, (1, 1, 1, 6))[..., :16].astype(jnp.float32)
+
+    cfg = VAELossConfig(disc_start=0, vf_weight=0.1, perceptual_weight=1.0)
+    metrics = {}
+    for mode in (True, False):
+        trainer = VAETrainer(
+            vae, mesh8, loss_cfg=cfg, use_vf=True, vf_dim=16,
+            aux_feature_fn=aux_fn, lpips_fn=lambda v, a, b: lp.apply(v, a, b),
+            lpips_params=lp_vars, disc_layers=2, frozen_bf16=mode,
+        )
+        rng = jax.random.PRNGKey(0)
+        state = trainer.replicate(trainer.init_state(rng))
+        x = np.random.default_rng(0).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.5
+        _, m = trainer.train_step(state, rng, shard_batch(trainer.mesh, x))
+        metrics[mode] = {k: float(jax.device_get(v)) for k, v in m.items()}
+
+    for k in ("total_loss", "rec_loss", "vf_loss", "nll_loss"):
+        a, b = metrics[True][k], metrics[False][k]
+        assert abs(a - b) <= 0.03 * max(abs(b), 1.0), (k, a, b)
+
+
 def test_vae_eval_step(tiny_trainer):
     trainer = tiny_trainer
     rng = jax.random.PRNGKey(0)

@@ -79,6 +79,7 @@ def build_vae_trainer(
         aux_params=aux_params,
         lpips_fn=lpips_fn,
         lpips_params=lpips_params,
+        frozen_bf16=p.get("frozen_bf16", True),
     )
 
 

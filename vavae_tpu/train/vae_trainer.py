@@ -11,8 +11,10 @@ Design notes (TPU-first):
     (nll, g, vf) w.r.t. exactly those two kernels and pull back three
     cotangents; XLA dead-code-eliminates everything not on those paths
     (this matches the pruned graphs torch autograd.grad builds).
-  - fp32 throughout (the reference trains the VAE in fp32:
-    f16d32_vfdinov2.yaml:66).
+  - VAE, discriminator, losses, optimizers in fp32 (the reference trains
+    the VAE in fp32: f16d32_vfdinov2.yaml:66); the FROZEN feature nets
+    (DINOv2 VF, LPIPS VGG) default to bf16 (``frozen_bf16``) — a memory
+    -footprint/bandwidth win on inference-only extractors.
   - Optimizers: Adam(lr, β=(0.5, 0.9)) for AE(+proj) and D, matching
     configure_optimizers (autoencoder.py:423-437).
 """
@@ -71,9 +73,36 @@ class VAETrainer:
     lpips_fn: Optional[Callable] = None
     lpips_params: Any = None
     disc_layers: int = 3
+    # run the FROZEN feature nets (DINOv2 VF + LPIPS VGG) in bf16: they are
+    # inference-only feature extractors; halving their ~1.7 GB of fp32
+    # weights+activations cuts HBM traffic at zero accuracy stake (matmuls
+    # already run as single-pass-bf16 MXU ops under JAX's default TPU
+    # precision, so this is a bandwidth/footprint win, not a FLOP one). The
+    # VAE/discriminator/optimizers stay fp32 (reference trains the VAE fp32,
+    # f16d32_vfdinov2.yaml:66). Set False for bit-level fp32 comparisons.
+    frozen_bf16: bool = True
 
     def __post_init__(self):
         self.disc = NLayerDiscriminator(n_layers=self.disc_layers)
+        if self.frozen_bf16:
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if getattr(x, "dtype", None) == jnp.float32
+                else x,
+                t,
+            )
+            if self.aux_feature_fn is not None:
+                base_aux = self.aux_feature_fn
+                self.aux_feature_fn = lambda p, x: base_aux(
+                    p, x.astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+                self.aux_params = cast(self.aux_params)
+            if self.lpips_fn is not None:
+                base_lpips = self.lpips_fn
+                self.lpips_fn = lambda p, a, b: base_lpips(
+                    p, a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+                self.lpips_params = cast(self.lpips_params)
         self.gen_tx = optax.adam(self.lr, b1=0.5, b2=0.9)
         self.disc_tx = optax.adam(self.lr, b1=0.5, b2=0.9)
         self._jit_train = None
