@@ -107,6 +107,29 @@ def test_frozen_bf16_matches_fp32(request):
         assert abs(a - b) <= 0.03 * max(abs(b), 1.0), (k, a, b)
 
 
+def test_bf16_compute_vae_close_to_fp32(request):
+    """Opt-in bf16 VAE compute (fp32 params/opt): one step per mode, the
+    reconstruction/KL metrics agree to bf16 tolerance and params update."""
+    mesh8 = request.getfixturevalue("mesh8")
+    cfg = VAELossConfig(disc_start=10, perceptual_weight=0.0)
+    x = np.random.default_rng(0).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.5
+    out = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        vae = AutoencoderKL(embed_dim=4, ch=32, ch_mult=(1, 2), resolution=32, dtype=dt)
+        trainer = VAETrainer(vae, mesh8, loss_cfg=cfg, use_vf=False, disc_layers=2)
+        rng = jax.random.PRNGKey(0)
+        state = trainer.replicate(trainer.init_state(rng))
+        p0 = jax.device_get(state.gen_params["vae"]["encoder"]["conv_in"]["kernel"])
+        state, m = trainer.train_step(state, rng, shard_batch(trainer.mesh, x))
+        p1 = jax.device_get(state.gen_params["vae"]["encoder"]["conv_in"]["kernel"])
+        assert p1.dtype == np.float32  # master params stay fp32
+        assert np.abs(p1 - p0).max() > 0
+        out[dt] = {k: float(jax.device_get(v)) for k, v in m.items()}
+    for k in ("rec_loss", "kl_loss", "nll_loss"):
+        a, b = out[jnp.bfloat16][k], out[jnp.float32][k]
+        assert abs(a - b) <= 0.05 * max(abs(b), 1.0), (k, a, b)
+
+
 def test_vae_eval_step(tiny_trainer):
     trainer = tiny_trainer
     rng = jax.random.PRNGKey(0)

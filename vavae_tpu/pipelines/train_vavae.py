@@ -18,6 +18,7 @@ import time
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 import vavae_tpu.utils.jax_cache  # noqa: F401
@@ -61,11 +62,19 @@ def build_vae_trainer(
         perceptual_weight=lc.get("perceptual_weight", 1.0 if lpips_fn else 0.0),
     )
     dd = p.ddconfig
+    # opt-in mixed precision for the VAE itself: bf16 conv/attn compute with
+    # fp32 params, optimizers and losses (GroupNorm stats stay fp32 inside
+    # flax). Measured 1.25x on v5e (184 -> 147 ms/step at B=8). Default fp32
+    # matches the reference recipe (f16d32_vfdinov2.yaml:66).
+    compute_dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(
+        str(p.get("compute_dtype", "fp32")), jnp.float32
+    )
     vae = AutoencoderKL(
         embed_dim=p.embed_dim,
         ch=dd.get("ch", 128),
         ch_mult=tuple(dd.ch_mult),
         resolution=dd.get("resolution", 256),
+        dtype=compute_dtype,
     )
     lr = (stage_overrides or {}).get("lr") or cfg.model.get("base_learning_rate", 1e-4)
     use_vf = p.get("use_vf") is not None
