@@ -20,6 +20,7 @@ import optax
 from flax import struct
 
 import vavae_tpu.utils.jax_cache  # noqa: F401
+from vavae_tpu.data.prefetch import prefetch
 from vavae_tpu.apps.regularization import (
     expected_calibration_error,
     focal_loss,
@@ -218,7 +219,7 @@ def train_classifier(
     best_acc = 0.0
     for epoch in range(epochs):
         t0, steps = time.time(), 0
-        for batch in dataset.batches(batch_size, seed=seed + epoch, epochs=1):
+        for batch in prefetch(dataset.batches(batch_size, seed=seed + epoch, epochs=1)):
             state, metrics = trainer.train_step(state, rng, shard_batch(trainer.mesh, batch))
             steps += 1
             if steps % log_every == 0:

@@ -75,19 +75,34 @@ class ImageFolderDataset:
         process_index: int = 0,
         process_count: int = 1,
         epochs: Optional[int] = None,
+        workers: int = 8,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        epoch = 0
-        while epochs is None or epoch < epochs:
-            order = np.arange(len(self))
-            if shuffle:
-                np.random.default_rng(seed + epoch).shuffle(order)
-            order = order[process_index::process_count]
-            stop = len(order) - (len(order) % batch_size) if drop_last else len(order)
-            for s in range(0, stop, batch_size):
-                idxs = order[s : s + batch_size]
-                imgs, labels = zip(*(self[int(i)] for i in idxs))
-                yield np.stack(imgs), np.asarray(labels, np.int32)
-            epoch += 1
+        """``workers`` threads decode the images of each batch concurrently
+        (PIL decode/resize releases the GIL; the torch-DataLoader-workers
+        equivalent for the image-input training loops). Ordering and the
+        shuffle stream are identical for any worker count."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=max(1, workers)) if workers > 1 else None
+        try:
+            epoch = 0
+            while epochs is None or epoch < epochs:
+                order = np.arange(len(self))
+                if shuffle:
+                    np.random.default_rng(seed + epoch).shuffle(order)
+                order = order[process_index::process_count]
+                stop = len(order) - (len(order) % batch_size) if drop_last else len(order)
+                for s in range(0, stop, batch_size):
+                    idxs = [int(i) for i in order[s : s + batch_size]]
+                    items = list(pool.map(self.__getitem__, idxs)) if pool else [
+                        self[i] for i in idxs
+                    ]
+                    imgs, labels = zip(*items)
+                    yield np.stack(imgs), np.asarray(labels, np.int32)
+                epoch += 1
+        finally:
+            if pool:
+                pool.shutdown(wait=False)
 
 
 class SplitFileDataset(ImageFolderDataset):

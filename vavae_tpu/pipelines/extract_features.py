@@ -22,6 +22,7 @@ import numpy as np
 from safetensors.numpy import save_file
 
 import vavae_tpu.utils.jax_cache  # noqa: F401
+from vavae_tpu.data.prefetch import prefetch as _prefetch
 from vavae_tpu.parallel.mesh import make_mesh, multihost_init, process_fname, shard_batch
 from vavae_tpu.tokenizer import VA_VAE, preprocess_images
 
@@ -55,35 +56,6 @@ def iter_batches(
         for im in pil:
             im.close()
         yield x, x_flip, labels
-
-
-def _prefetch(it, depth: int = 2):
-    """Run a producer iterator in a background thread with a bounded queue.
-
-    Producer exceptions re-raise in the CONSUMER — a corrupt image must abort
-    extraction, not silently truncate the dataset."""
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    _END = object()
-
-    def worker():
-        try:
-            for item in it:
-                q.put(item)
-            q.put(_END)
-        except BaseException as e:  # noqa: BLE001 - forwarded to consumer
-            q.put(e)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
 
 
 def extract(

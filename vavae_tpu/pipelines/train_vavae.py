@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import vavae_tpu.utils.jax_cache  # noqa: F401
+from vavae_tpu.data.prefetch import prefetch
 from vavae_tpu.models.vae import AutoencoderKL
 from vavae_tpu.parallel.mesh import make_mesh, multihost_init, shard_batch
 from vavae_tpu.train import checkpoint as ckpt_lib
@@ -137,13 +138,15 @@ def train_epochs(
     best_path = None
     loss_acc, log_steps, t0 = [], 0, time.time()
     for epoch in range(epochs):
-        for batch in dataset.batches(
+        # prefetch: batch i+1 decodes on a background thread while the
+        # device runs step i (trainer.train_step returns without blocking)
+        for batch in prefetch(dataset.batches(
             batch_size,
             seed=seed + epoch,
             epochs=1,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
-        ):
+        )):
             images = batch[0] if isinstance(batch, tuple) else batch
             state, metrics = trainer.train_step(
                 state, rng, shard_batch(trainer.mesh, images)
