@@ -158,6 +158,36 @@ def test_scan_matches_loop():
     assert np.allclose(np.asarray(o_scan), np.asarray(o_loop), atol=1e-5)
 
 
+def test_remat_policies_match_no_remat():
+    """use_checkpoint with either remat policy changes memory, not math:
+    forward AND gradients identical to the un-remat model."""
+    kw = dict(
+        input_size=8, patch_size=2, in_channels=4, hidden_size=64, depth=2,
+        num_heads=4, num_classes=10, use_swiglu=True, use_rope=True, use_rmsnorm=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    t = jnp.array([0.5, 0.2])
+    y = jnp.array([1, 2])
+    base = LightningDiT(use_checkpoint=False, **kw)
+    params = base.init({"params": jax.random.PRNGKey(0)}, x, t, y)["params"]
+    params = jax.tree_util.tree_map(lambda a: a + 0.01, params)
+
+    def loss(m, p):
+        return jnp.sum(jnp.square(m.apply({"params": p}, x, t, y)))
+
+    ref_out = base.apply({"params": params}, x, t, y)
+    ref_grad = jax.grad(lambda p: loss(base, p))(params)
+    for policy in ("nothing", "dots"):
+        m = LightningDiT(use_checkpoint=True, checkpoint_policy=policy, **kw)
+        out = m.apply({"params": params}, x, t, y)
+        assert np.allclose(np.asarray(out), np.asarray(ref_out), atol=1e-6), policy
+        g = jax.grad(lambda p: loss(m, p))(params)
+        err = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), g, ref_grad
+        )
+        assert max(jax.tree_util.tree_leaves(err)) < 1e-4, (policy, err)
+
+
 def test_unpatchify_roundtrip():
     """patchify→unpatchify with identity projection preserves spatial layout."""
     model = LightningDiT(

@@ -174,16 +174,27 @@ class _BlockScanBody(nn.Module):
 
     block_kw: Any
     remat: bool = False
+    remat_policy: str = "nothing"
 
     @nn.compact
     def __call__(self, x, c, rope):
         cls = (
-            nn.remat(DiTBlock, policy=jax.checkpoint_policies.nothing_saveable)
+            nn.remat(DiTBlock, policy=_REMAT_POLICIES[self.remat_policy])
             if self.remat
             else DiTBlock
         )
         x = cls(**self.block_kw, name="block")(x, c, rope)
         return x, None
+
+
+# remat policy per block under nn.scan: "nothing" recomputes the whole block
+# in the backward (min memory, +1 fwd of FLOPs); "dots" saves matmul outputs
+# and recomputes only the elementwise ops between them (most of the speed of
+# no-remat at a fraction of its memory)
+_REMAT_POLICIES = {
+    "nothing": jax.checkpoint_policies.nothing_saveable,
+    "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+}
 
 
 class LightningDiT(nn.Module):
@@ -209,6 +220,7 @@ class LightningDiT(nn.Module):
     use_rmsnorm: bool = False
     wo_shift: bool = False
     use_checkpoint: bool = False  # remat each block under nn.scan
+    checkpoint_policy: str = "nothing"  # see _REMAT_POLICIES
     scan_blocks: bool = True
     dtype: Dtype = jnp.float32
 
@@ -270,7 +282,12 @@ class LightningDiT(nn.Module):
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast),
                 length=self.depth,
-            )(block_kw=block_kw, remat=self.use_checkpoint, name="blocks")
+            )(
+                block_kw=block_kw,
+                remat=self.use_checkpoint,
+                remat_policy=self.checkpoint_policy,
+                name="blocks",
+            )
             x, _ = stack(x, c, rope)
         else:
             for i in range(self.depth):
@@ -373,6 +390,7 @@ def create_dit(model_cfg: Any, latent_size: int, num_classes: int) -> LightningD
         wo_shift=g("wo_shift", False),
         in_channels=g("in_chans", 4),
         use_checkpoint=g("use_checkpoint", False),
+        checkpoint_policy=g("checkpoint_policy", "nothing"),
         class_dropout_prob=g("class_dropout_prob", 0.1),
         dtype=jnp.bfloat16 if g("bf16", False) else jnp.float32,
     )
