@@ -1,0 +1,68 @@
+"""Conv-VAE inference (tokenizer) throughput: encode / decode, fp32 vs bf16.
+
+Measures wall time and XLA cost-analysis FLOPs in a FRESH process (see
+CLAUDE.md: measurements after big jit builds are inflated by memory
+pressure). Decode dominates (the f16d32 decoder is ~4x the encoder FLOPs).
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_vae_infer.py [batch] [dtype]
+  dtype: fp32 (default) | bf16
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import vavae_tpu.utils.jax_cache  # noqa: F401
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vavae_tpu.models.vae import AutoencoderKL
+
+
+def timeit(fn, *args, iters=10, settle=3):
+    for _ in range(settle):
+        out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def flops(jitted, *args):
+    ca = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return ca.get("flops", 0.0)
+
+
+def main() -> None:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    dtype = jnp.bfloat16 if (len(sys.argv) > 2 and sys.argv[2] == "bf16") else jnp.float32
+    peak = 197e12  # v5e bf16 peak
+
+    vae = AutoencoderKL(embed_dim=32, ch=128, ch_mult=(1, 1, 2, 2, 4),
+                        resolution=256, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    params = vae.init({"params": rng}, jnp.zeros((1, 32, 32, 3)), sample=False)["params"]
+    x = jax.random.uniform(rng, (batch, 256, 256, 3), jnp.float32, -1, 1)
+    z = jax.random.normal(rng, (batch, 16, 16, 32), jnp.float32)
+
+    enc = jax.jit(lambda p, x: vae.apply({"params": p}, x, method=AutoencoderKL.encode).mean)
+    dec = jax.jit(lambda p, z: vae.apply({"params": p}, z, method=AutoencoderKL.decode))
+
+    for name, fn, arg in (("encode", enc, x), ("decode", dec, z)):
+        t = timeit(fn, params, arg)
+        fl = flops(fn, params, arg)
+        print(
+            f"{name} B={batch} {jnp.dtype(dtype).name}: {t:7.1f} ms  "
+            f"{batch / t * 1e3:7.1f} img/s  {fl / 1e9:8.1f} GFLOP  "
+            f"{fl / (t / 1e3) / peak * 100:5.1f}% of bf16 peak",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
