@@ -46,6 +46,28 @@ def test_safetensors_roundtrip(tmp_path):
         np.asarray(state["params"]["b16"].astype(jnp.float32)),
     )
     assert int(restored["opt"]["count"]) == 7
+    # 0-d leaves keep their TRUE shape (np.ascontiguousarray promotes 0-d to
+    # (1,); a (1,)-shaped step crashes jax.random.fold_in on resume)
+    assert np.asarray(restored["step"]).shape == ()
+    assert np.asarray(restored["opt"]["count"]).shape == ()
+
+
+def test_restore_fixes_legacy_scalar_shape(tmp_path):
+    """Checkpoints written before the 0-d fix stored scalars as (1,);
+    restore reshapes them back to the target's shape."""
+    from safetensors.numpy import save_file
+    import json
+
+    path = str(tmp_path / "0000001.safetensors")
+    save_file(
+        {"step": np.array([5], np.int32), "w": np.ones((2, 2), np.float32)},
+        path,
+        metadata={"tree": json.dumps({"none": [], "empty": [], "dtypes": {}})},
+    )
+    target = {"step": jnp.zeros((), jnp.int32), "w": jnp.zeros((2, 2))}
+    restored = restore_checkpoint(path, target)
+    assert np.asarray(restored["step"]).shape == ()
+    assert int(restored["step"]) == 5
 
 
 def test_latest_checkpoint_by_step_not_size(tmp_path):

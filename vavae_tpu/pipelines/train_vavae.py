@@ -131,13 +131,17 @@ def train_epochs(
     log_every: int = 100,
     seed: int = 0,
     val_dataset=None,
+    start_epoch: int = 0,
 ):
-    """Returns (state, best_val_path). dataset yields (B, H, W, 3) in [-1,1]."""
+    """Returns (state, best_val_path). dataset yields (B, H, W, 3) in [-1,1].
+
+    ``start_epoch`` keeps the per-epoch shuffle seeds on the same schedule
+    when a run resumes mid-stage (auto-resume in ``run_stages``)."""
     rng = jax.random.PRNGKey(seed)
     best_val = float("inf")
     best_path = None
     loss_acc, log_steps, t0 = [], 0, time.time()
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         # prefetch: batch i+1 decodes on a background thread while the
         # device runs step i (trainer.train_step returns without blocking)
         for batch in prefetch(dataset.batches(
@@ -238,8 +242,17 @@ def run_stages(
     output_dir: str = "output/vavae",
     batch_size: int = 8,
     allow_random_foundation: bool = False,
+    resume: bool = True,
 ):
-    """The 3-stage VF-alignment recipe with best-ckpt chaining between stages."""
+    """The 3-stage VF-alignment recipe with best-ckpt chaining between stages.
+
+    With ``resume`` (default), an interrupted run picks up where it left
+    off: each stage dir holds one checkpoint per completed epoch, so
+    completed stages are skipped (their latest state restored for chaining)
+    and a partial stage restarts at its next epoch — the TPU-preemption
+    equivalent of the reference Lightning launcher's auto-resume from the
+    latest ``epoch=*.ckpt`` (vavae/main.py:522-531).
+    """
     multihost_init()
     mesh = make_mesh()
     logger = create_logger(output_dir)
@@ -259,7 +272,22 @@ def run_stages(
             aux_feature_fn=aux_fn, aux_params=aux_params,
             lpips_fn=lpips_fn, lpips_params=lpips_params,
         )
-        if state is None:
+        stage_dir = os.path.join(output_dir, f"stage{si + 1}")
+        epochs_done = ckpt_lib.checkpoint_count(stage_dir) if resume else 0
+        if epochs_done > 0:
+            # resume mid- (or post-)stage: full train state incl. optimizers
+            fresh = trainer.init_state(jax.random.PRNGKey(si))
+            restored = ckpt_lib.restore_checkpoint(
+                ckpt_lib.latest_checkpoint(stage_dir), jax.device_get(fresh)
+            )
+            state = trainer.replicate(restored)
+            logger.info(
+                f"stage {si + 1}: resumed {epochs_done}/{stage['epochs']} "
+                f"epochs from {stage_dir} (step {int(jax.device_get(state.step))})"
+            )
+            if epochs_done >= stage["epochs"]:
+                continue  # stage complete; its state chains into the next
+        elif state is None:
             fresh = trainer.init_state(jax.random.PRNGKey(0))
             # pretrained stage-1 init (reference weight_init / step4 stage-1
             # loads the released f16d32 weights before finetuning)
@@ -286,8 +314,9 @@ def run_stages(
             epochs=stage["epochs"],
             batch_size=batch_size,
             logger=logger,
-            ckpt_dir=os.path.join(output_dir, f"stage{si + 1}"),
+            ckpt_dir=stage_dir,
             val_dataset=val_dataset,
+            start_epoch=epochs_done,
         )
     return state
 
@@ -300,6 +329,8 @@ def main() -> None:
     ap.add_argument("--output_dir", default="output/vavae")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--stages", default="official", choices=["official", "single"])
+    ap.add_argument("--no_resume", action="store_true",
+                    help="start from scratch even if stage checkpoints exist")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     cfg = load_config(args.base, overrides=args.overrides)
@@ -323,6 +354,7 @@ def main() -> None:
     run_stages(
         cfg, dataset, val_dataset, stages=stages,
         output_dir=args.output_dir, batch_size=args.batch_size,
+        resume=not args.no_resume,
     )
 
 

@@ -70,7 +70,9 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any, config: Optional[dict]
                 # safetensors-numpy can't carry ml_dtypes — view as uint16
                 meta["dtypes"][k] = str(arr.dtype)
                 arr = arr.view(np.uint16) if str(arr.dtype) == "bfloat16" else arr
-            tensors[k] = np.ascontiguousarray(arr)
+            # np.ascontiguousarray PROMOTES 0-d to (1,) — reshape back so
+            # scalar leaves (state.step) round-trip with their true shape
+            tensors[k] = np.ascontiguousarray(arr).reshape(arr.shape)
 
     path = os.path.join(ckpt_dir, f"{step:07d}.safetensors")
     tmp = path + ".tmp"
@@ -94,6 +96,19 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
             best_step = int(m.group(1))
             best = os.path.join(ckpt_dir, name)
     return best
+
+
+def checkpoint_count(ckpt_dir: str) -> int:
+    """Number of step-numbered checkpoints in ``ckpt_dir`` (the VAE loop
+    writes exactly one per completed epoch, so this doubles as the
+    epochs-completed counter for stage resume)."""
+    if not os.path.isdir(ckpt_dir):
+        return 0
+    return sum(
+        1
+        for name in os.listdir(ckpt_dir)
+        if re.fullmatch(r"(\d+)\.(msgpack|safetensors)", name)
+    )
 
 
 def restore_checkpoint(path: str, target: Any) -> Any:
@@ -130,7 +145,22 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     for k in meta.get("empty", []):
         flat[k] = traverse_util.empty_node
     sd = traverse_util.unflatten_dict(flat, sep=_SEP)
-    return serialization.from_state_dict(target, sd)
+    restored = serialization.from_state_dict(target, sd)
+
+    def _fix_shape(r, t):
+        # checkpoints written before the ascontiguousarray fix stored 0-d
+        # leaves as (1,); reshape back to the target's shape when the data
+        # size matches (a true size mismatch still surfaces downstream)
+        if (
+            hasattr(r, "shape")
+            and hasattr(t, "shape")
+            and r.shape != t.shape
+            and np.size(r) == np.size(t)
+        ):
+            return np.asarray(r).reshape(t.shape)
+        return r
+
+    return jax.tree_util.tree_map(_fix_shape, restored, target)
 
 
 def load_torch_dit_checkpoint(path: str, prefer_ema: bool = True) -> dict:
