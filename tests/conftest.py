@@ -11,6 +11,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import vavae_tpu.utils.jax_cache  # noqa: E402,F401  (persistent compile cache)
 
 import jax  # noqa: E402
+
+# NOTE on platforms: the TPU plugin environment pins JAX_PLATFORMS=axon in
+# the env, so the setdefault above is a no-op there and the suite runs with
+# the TPU as default backend (TPU-gated tests then RUN rather than skip;
+# mesh tests always use the virtual CPU devices via the mesh8 fixture).
+# Set VAVAE_TEST_PLATFORM=cpu for a fast pure-CPU pass (TPU tests skip).
+_plat = os.environ.get("VAVAE_TEST_PLATFORM")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
