@@ -53,7 +53,11 @@ def main() -> None:
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            # EMA stays f32 even with bf16 params: the 1e-4 EMA increment
+            # underflows bf16 resolution (train/ema.py)
+            ema_params=jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.float32), params
+            ),
             opt_state=trainer.tx.init(params),
         )
     else:

@@ -97,3 +97,22 @@ def test_legacy_msgpack_restore_warns(tmp_path):
     # latest_checkpoint sees both formats
     save_checkpoint(str(tmp_path), 2, state)
     assert latest_checkpoint(str(tmp_path)).endswith("0000002.safetensors")
+
+
+def test_update_ema_mixed_precision_guard():
+    """EMA math runs in f32 (bf16 params fine); a bf16-STORED EMA at decay
+    0.9999 would silently never move (increment below bf16 resolution), so
+    update_ema rejects it."""
+    from vavae_tpu.train.ema import update_ema
+
+    ema = {"w": jnp.ones((4,), jnp.float32)}
+    p = {"w": jnp.full((4,), 2.0, jnp.bfloat16)}
+    out = update_ema(ema, p, 0.9999)
+    assert out["w"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0 + 1e-4, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="bf16-stored EMA"):
+        update_ema({"w": jnp.ones((4,), jnp.bfloat16)}, p, 0.9999)
+    # low decay is representable in bf16 — allowed
+    out2 = update_ema({"w": jnp.ones((4,), jnp.bfloat16)}, p, 0.9)
+    assert float(np.asarray(out2["w"].astype(jnp.float32))[0]) > 1.05
