@@ -20,7 +20,8 @@ from vavae_tpu.transport import create_transport
 
 
 def main() -> None:
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    positional = [a for a in sys.argv[1:] if not a.startswith("-")]
+    batch = int(positional[0]) if positional else 16
     model = LightningDiT_models["LightningDiT-XL/1"](
         input_size=16,
         in_channels=32,

@@ -22,6 +22,31 @@ def test_prefetch_reraises_producer_exception():
         next(it)
 
 
+def test_prefetch_abandonment_closes_source():
+    """Abandoning the prefetch iterator (break / exception in the consumer)
+    must unblock the producer and close the source generator so its
+    ``finally`` (thread-pool shutdown in batches()) runs."""
+    import time
+
+    closed = []
+
+    def gen():
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            closed.append(True)
+
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 0
+    it.close()  # what GC does when a for-loop body raises
+    for _ in range(50):  # producer unblocks within its 0.2 s put timeout
+        if closed:
+            break
+        time.sleep(0.1)
+    assert closed, "source generator finally never ran after abandonment"
+
+
 @pytest.fixture()
 def image_tree(tmp_path):
     from PIL import Image

@@ -178,6 +178,11 @@ class _BlockScanBody(nn.Module):
 
     @nn.compact
     def __call__(self, x, c, rope):
+        if self.remat and self.remat_policy not in _REMAT_POLICIES:
+            raise ValueError(
+                f"checkpoint_policy={self.remat_policy!r}: expected one of "
+                f"{sorted(_REMAT_POLICIES)}"
+            )
         cls = (
             nn.remat(DiTBlock, policy=_REMAT_POLICIES[self.remat_policy])
             if self.remat

@@ -13,6 +13,7 @@ Parity targets:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 from typing import Optional, Sequence
@@ -67,9 +68,18 @@ def build_vae_trainer(
     # fp32 params, optimizers and losses (GroupNorm stats stay fp32 inside
     # flax). Measured 1.25x on v5e (184 -> 147 ms/step at B=8). Default fp32
     # matches the reference recipe (f16d32_vfdinov2.yaml:66).
-    compute_dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(
-        str(p.get("compute_dtype", "fp32")), jnp.float32
-    )
+    dtype_names = {
+        "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+        "fp32": jnp.float32, "float32": jnp.float32,
+    }
+    dtype_key = str(p.get("compute_dtype", "fp32"))
+    if dtype_key not in dtype_names:
+        raise ValueError(
+            f"model.params.compute_dtype={dtype_key!r}: expected one of "
+            f"{sorted(dtype_names)} (a typo here would otherwise silently "
+            "train fp32)"
+        )
+    compute_dtype = dtype_names[dtype_key]
     vae = AutoencoderKL(
         embed_dim=p.embed_dim,
         ch=dd.get("ch", 128),
@@ -138,8 +148,16 @@ def train_epochs(
     ``start_epoch`` keeps the per-epoch shuffle seeds on the same schedule
     when a run resumes mid-stage (auto-resume in ``run_stages``)."""
     rng = jax.random.PRNGKey(seed)
-    best_val = float("inf")
-    best_path = None
+    best_dir = os.path.join(ckpt_dir, "best")
+    # re-seed the monitor from a previous run's record so a resumed run
+    # can't overwrite a better pre-interruption 'best' checkpoint
+    best_val, best_path = float("inf"), None
+    metric_file = os.path.join(best_dir, "metric.json")
+    if start_epoch > 0 and os.path.exists(metric_file):
+        with open(metric_file) as f:
+            rec = json.load(f)
+        best_val = float(rec.get("val", float("inf")))
+        best_path = ckpt_lib.latest_checkpoint(best_dir)
     loss_acc, log_steps, t0 = [], 0, time.time()
     for epoch in range(start_epoch, epochs):
         # prefetch: batch i+1 decodes on a background thread while the
@@ -183,9 +201,11 @@ def train_epochs(
             if val < best_val:
                 best_val = val
                 best_path = ckpt_lib.save_checkpoint(
-                    os.path.join(ckpt_dir, "best"), int(jax.device_get(state.step)),
-                    jax.device_get(state),
+                    best_dir, int(jax.device_get(state.step)), jax.device_get(state)
                 )
+                if jax.process_index() == 0:
+                    with open(metric_file, "w") as f:
+                        json.dump({"val": best_val, "step": int(jax.device_get(state.step))}, f)
         ckpt_lib.save_checkpoint(
             ckpt_dir, int(jax.device_get(state.step)), jax.device_get(state)
         )

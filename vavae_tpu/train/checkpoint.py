@@ -99,16 +99,19 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 
 def checkpoint_count(ckpt_dir: str) -> int:
-    """Number of step-numbered checkpoints in ``ckpt_dir`` (the VAE loop
-    writes exactly one per completed epoch, so this doubles as the
-    epochs-completed counter for stage resume)."""
+    """Number of DISTINCT step-numbered checkpoints in ``ckpt_dir`` (the VAE
+    loop writes exactly one per completed epoch, so this doubles as the
+    epochs-completed counter for stage resume). Distinct steps, not files:
+    a dir spanning the msgpack→safetensors migration may hold the same step
+    in both formats."""
     if not os.path.isdir(ckpt_dir):
         return 0
-    return sum(
-        1
-        for name in os.listdir(ckpt_dir)
-        if re.fullmatch(r"(\d+)\.(msgpack|safetensors)", name)
-    )
+    steps = set()
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"(\d+)\.(msgpack|safetensors)", name)
+        if m:
+            steps.add(int(m.group(1)))
+    return len(steps)
 
 
 def restore_checkpoint(path: str, target: Any) -> Any:
@@ -149,15 +152,14 @@ def restore_checkpoint(path: str, target: Any) -> Any:
 
     def _fix_shape(r, t):
         # checkpoints written before the ascontiguousarray fix stored 0-d
-        # leaves as (1,); reshape back to the target's shape when the data
-        # size matches (a true size mismatch still surfaces downstream)
+        # leaves as (1,); ONLY that exact case is reshaped — any other
+        # mismatch must surface downstream rather than be silently raveled
+        # into semantically scrambled weights
         if (
-            hasattr(r, "shape")
-            and hasattr(t, "shape")
-            and r.shape != t.shape
-            and np.size(r) == np.size(t)
+            getattr(r, "shape", None) == (1,)
+            and getattr(t, "shape", None) == ()
         ):
-            return np.asarray(r).reshape(t.shape)
+            return np.asarray(r).reshape(())
         return r
 
     return jax.tree_util.tree_map(_fix_shape, restored, target)
