@@ -3,6 +3,8 @@
 Parity target: test_classifier_on_real_data.py:133,268,318 — generalization
 accuracy, per-user breakdown, confusion matrix, and reliability analysis
 (confidence-binned accuracy, the data behind a reliability diagram + ECE).
+The reference is a runnable script; ``python -m vavae_tpu.apps.classifier_eval``
+mirrors it (checkpoint + split file → JSON report).
 """
 from __future__ import annotations
 
@@ -83,3 +85,57 @@ def evaluate_classifier(
         "confusion_matrix": cm.tolist(),
         "reliability": reliability_bins(conf, correct),
     }
+
+
+def main() -> None:
+    import argparse
+    import json
+
+    import jax
+
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    from vavae_tpu.apps.train_classifier import ClassifierTrainer
+    from vavae_tpu.data.image_folder import SplitFileDataset
+    from vavae_tpu.train.checkpoint import restore_checkpoint
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--classifier_ckpt", required=True)
+    ap.add_argument("--split_file", required=True)
+    ap.add_argument("--split", default="val", choices=["train", "val"])
+    ap.add_argument("--mode", default="baseline",
+                    choices=["baseline", "improved", "calibrated"])
+    ap.add_argument("--num_classes", type=int, default=31)
+    ap.add_argument("--image_size", type=int, default=224)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--out", default=None, help="write the JSON report here")
+    args = ap.parse_args()
+
+    trainer = ClassifierTrainer(num_classes=args.num_classes, mode=args.mode)
+    state = trainer.init_state(jax.random.PRNGKey(0), args.image_size)
+    state = restore_checkpoint(args.classifier_ckpt, state)
+
+    ds = SplitFileDataset(args.split_file, args.split, image_size=args.image_size)
+    images, labels = [], []
+    for x, y in (ds[i] for i in range(len(ds))):
+        images.append(x)
+        labels.append(y)
+    report = evaluate_classifier(
+        trainer.predict_fn(state),
+        np.stack(images),
+        np.asarray(labels, np.int64),
+        args.num_classes,
+        batch_size=args.batch_size,
+    )
+    print(
+        f"accuracy {report['accuracy']:.4f}  top5 {report['top5_accuracy']:.4f}  "
+        f"ece {report['reliability']['ece']:.4f}  "
+        f"worst users {report['worst_users']}"
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"report written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -250,7 +250,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from vavae_tpu.data.image_folder import SplitFileDataset
-    from vavae_tpu.train.checkpoint import save_checkpoint
+    from vavae_tpu.train.checkpoint import save_state_file
 
     train_ds = SplitFileDataset(args.split_file, "train", image_size=args.image_size)
     val_ds = SplitFileDataset(args.split_file, "val", image_size=args.image_size)
@@ -258,10 +258,9 @@ def main() -> None:
         train_ds, val_ds, mode=args.mode, num_classes=args.num_classes,
         epochs=args.epochs, batch_size=args.batch_size, image_size=args.image_size,
     )
-    import os
-
-    save_checkpoint(os.path.dirname(os.path.abspath(args.out)) or ".", 0, state)
-    print(f"saved classifier state")
+    out = args.out if args.out.endswith(".safetensors") else args.out + ".safetensors"
+    save_state_file(out, state)
+    print(f"saved classifier state to {out}")
 
 
 if __name__ == "__main__":

@@ -45,16 +45,17 @@ def _to_host(state: Any) -> Any:
     return jax.tree_util.tree_map(fetch, state)
 
 
-def save_checkpoint(ckpt_dir: str, step: int, state: Any, config: Optional[dict] = None) -> str:
-    """Serialize a pytree ``state`` to {ckpt_dir}/{step:07d}.safetensors
-    (atomic tmp+rename; the file is written by process 0, but every process
-    participates in the allgather for multihost-sharded leaves)."""
+def save_state_file(path: str, state: Any) -> str:
+    """Serialize a pytree ``state`` to EXACTLY ``path`` (.safetensors),
+    atomic tmp+rename. The file is written by process 0, but every process
+    participates in the allgather for multihost-sharded leaves. Returns the
+    path ("" on non-zero processes)."""
     host_state = _to_host(state)
     if jax.process_index() != 0:
         return ""
     from safetensors.numpy import save_file
 
-    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     flat = _flatten(host_state)
 
     tensors = {}
@@ -74,13 +75,18 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any, config: Optional[dict]
             # scalar leaves (state.step) round-trip with their true shape
             tensors[k] = np.ascontiguousarray(arr).reshape(arr.shape)
 
-    path = os.path.join(ckpt_dir, f"{step:07d}.safetensors")
     tmp = path + ".tmp"
     # format_version 2 = split-half RoPE weight layout (models/posembed.py)
     meta["format_version"] = 2
     save_file(tensors, tmp, metadata={"tree": json.dumps(meta)})
     os.replace(tmp, path)
-    if config is not None:
+    return path
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Any, config: Optional[dict] = None) -> str:
+    """Serialize a pytree ``state`` to {ckpt_dir}/{step:07d}.safetensors."""
+    path = save_state_file(os.path.join(ckpt_dir, f"{step:07d}.safetensors"), state)
+    if config is not None and jax.process_index() == 0:
         with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
             json.dump(config, f, indent=2, default=str)
     return path
@@ -147,22 +153,20 @@ def restore_checkpoint(path: str, target: Any) -> Any:
         flat[k] = None
     for k in meta.get("empty", []):
         flat[k] = traverse_util.empty_node
+    # checkpoints written before the ascontiguousarray fix stored 0-d leaves
+    # as (1,); ONLY that exact case is reshaped (matched against the target's
+    # flattened state-dict) — any other mismatch must surface downstream
+    # rather than be silently raveled into semantically scrambled weights
+    tgt_flat = traverse_util.flatten_dict(
+        serialization.to_state_dict(target), keep_empty_nodes=True, sep=_SEP
+    )
+    for k, v in flat.items():
+        t = tgt_flat.get(k)
+        if getattr(v, "shape", None) == (1,) and getattr(t, "shape", None) == ():
+            flat[k] = np.asarray(v).reshape(())
+
     sd = traverse_util.unflatten_dict(flat, sep=_SEP)
-    restored = serialization.from_state_dict(target, sd)
-
-    def _fix_shape(r, t):
-        # checkpoints written before the ascontiguousarray fix stored 0-d
-        # leaves as (1,); ONLY that exact case is reshaped — any other
-        # mismatch must surface downstream rather than be silently raveled
-        # into semantically scrambled weights
-        if (
-            getattr(r, "shape", None) == (1,)
-            and getattr(t, "shape", None) == ()
-        ):
-            return np.asarray(r).reshape(())
-        return r
-
-    return jax.tree_util.tree_map(_fix_shape, restored, target)
+    return serialization.from_state_dict(target, sd)
 
 
 def load_torch_dit_checkpoint(path: str, prefer_ema: bool = True) -> dict:
