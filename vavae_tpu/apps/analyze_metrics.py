@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Callable, Dict, Iterable, Optional
 
 import numpy as np
@@ -131,3 +132,87 @@ def save_report(report: Dict, path: str) -> str:
     with open(path, "w") as f:
         json.dump(report, f, indent=2, default=str)
     return path
+
+
+def _load_image_dir(path: str, image_size: int):
+    """Generated-sample layout: {path}/user_XX/NNNNN.png → (uint8 NHWC, labels)."""
+    import re
+    from glob import glob
+
+    from PIL import Image
+
+    imgs, labels = [], []
+    for udir in sorted(glob(os.path.join(path, "user_*"))):
+        m = re.search(r"user_(\d+)", os.path.basename(udir))
+        uid = int(m.group(1)) if m else 0
+        for p in sorted(glob(os.path.join(udir, "*.png"))):
+            with Image.open(p) as im:
+                im = im.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
+                imgs.append(np.asarray(im, np.uint8))
+            labels.append(uid)
+    return np.stack(imgs), np.asarray(labels, np.int64)
+
+
+def main() -> None:
+    """CLI mirroring analyze_real_data_metrics.py / analyze_filtering_metrics.py:
+    metric distributions on real data (→ recommended thresholds), optionally
+    compared against a generated-sample directory."""
+    import argparse
+
+    import jax
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    from vavae_tpu.apps.train_classifier import ClassifierTrainer
+    from vavae_tpu.data.image_folder import SplitFileDataset
+    from vavae_tpu.train.checkpoint import restore_checkpoint
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--classifier_ckpt", required=True)
+    ap.add_argument("--split_file", required=True)
+    ap.add_argument("--split", default="val", choices=["train", "val"])
+    ap.add_argument("--generated_dir", default=None,
+                    help="user_XX/NNNNN.png tree from generate_and_filter")
+    ap.add_argument("--num_classes", type=int, default=31)
+    ap.add_argument("--image_size", type=int, default=224)
+    ap.add_argument("--percentile", type=float, default=5.0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    trainer = ClassifierTrainer(num_classes=args.num_classes)
+    state = trainer.init_state(jax.random.PRNGKey(0), args.image_size)
+    state = restore_checkpoint(args.classifier_ckpt, state)
+    predict = trainer.predict_fn(state)
+
+    ds = SplitFileDataset(args.split_file, args.split, image_size=args.image_size)
+    pairs = [ds[i] for i in range(len(ds))]
+    real_imgs = np.stack([
+        np.clip((p[0] + 1) * 127.5, 0, 255).astype(np.uint8) for p in pairs
+    ])
+    real_labels = np.asarray([p[1] for p in pairs], np.int64)
+    real = compute_sample_metrics(real_imgs, real_labels, predict)
+
+    if args.generated_dir:
+        gen_imgs, gen_labels = _load_image_dir(args.generated_dir, args.image_size)
+        gen = compute_sample_metrics(gen_imgs, gen_labels, predict)
+        report = compare_real_vs_generated(real, gen)
+        print(
+            f"real acc {report['real']['accuracy']:.3f}, generated acc "
+            f"{report['generated']['accuracy']:.3f}, pass rate "
+            f"{report['generated_pass_rate']:.3f}"
+        )
+    else:
+        report = {
+            "real": real.summary(),
+            "recommended_thresholds": recommend_thresholds_from_real(
+                real, args.percentile
+            ),
+        }
+        print(
+            f"real acc {report['real']['accuracy']:.3f}; thresholds: "
+            f"{report['recommended_thresholds']}"
+        )
+    if args.out:
+        print(f"written to {save_report(report, args.out)}")
+
+
+if __name__ == "__main__":
+    main()

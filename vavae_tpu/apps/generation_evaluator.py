@@ -73,6 +73,8 @@ def knn_coverage(
     g, r = _norm(gen_features), _norm(real_features)
     d_rr = 1.0 - r @ r.T
     np.fill_diagonal(d_rr, np.inf)
+    # with fewer than k+1 real samples, use the farthest finite neighbour
+    k = min(k, max(len(r) - 1, 1))
     knn_radius = np.sort(d_rr, axis=-1)[:, k - 1]  # per-real kNN radius
     d_rg = 1.0 - r @ g.T
     covered = (d_rg.min(axis=-1) <= knn_radius).mean()
@@ -116,3 +118,68 @@ def recommend_thresholds(
         name: float(np.percentile(values, percentile))
         for name, values in real_metrics.items()
     }
+
+
+def main() -> None:
+    """CLI mirroring comprehensive_generation_evaluator.py: per-user identity
+    / diversity / coverage composite scores for a generated-sample tree."""
+    import argparse
+    import json
+
+    import jax
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    from vavae_tpu.apps.analyze_metrics import _load_image_dir
+    from vavae_tpu.apps.train_classifier import ClassifierTrainer
+    from vavae_tpu.data.image_folder import SplitFileDataset
+    from vavae_tpu.train.checkpoint import restore_checkpoint
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--classifier_ckpt", required=True)
+    ap.add_argument("--generated_dir", required=True)
+    ap.add_argument("--split_file", required=True, help="real data for coverage")
+    ap.add_argument("--split", default="val", choices=["train", "val"])
+    ap.add_argument("--num_classes", type=int, default=31)
+    ap.add_argument("--image_size", type=int, default=224)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    trainer = ClassifierTrainer(num_classes=args.num_classes)
+    state = trainer.init_state(jax.random.PRNGKey(0), args.image_size)
+    state = restore_checkpoint(args.classifier_ckpt, state)
+    predict = trainer.predict_fn(state)
+    features = trainer.feature_fn(state)
+
+    ds = SplitFileDataset(args.split_file, args.split, image_size=args.image_size)
+    pairs = [ds[i] for i in range(len(ds))]
+    real_x = np.stack([p[0] for p in pairs])
+    real_labels = np.asarray([p[1] for p in pairs], np.int64)
+    real_feats = np.asarray(features(real_x))
+
+    gen_imgs, gen_labels = _load_image_dir(args.generated_dir, args.image_size)
+    gen_x = gen_imgs.astype(np.float32) / 127.5 - 1.0
+    gen_probs = np.asarray(predict(gen_x))
+    gen_feats = np.asarray(features(gen_x))
+
+    ev = ComprehensiveGenerationEvaluator()
+    report = {}
+    for uid in np.unique(gen_labels):
+        m = gen_labels == uid
+        rm = real_labels == uid
+        report[int(uid)] = ev.evaluate_user(
+            gen_probs[m], gen_feats[m],
+            real_feats[rm] if rm.any() else real_feats, int(uid),
+        )
+        r = report[int(uid)]
+        print(
+            f"user {uid}: identity {r['identity_acc']:.3f} diversity "
+            f"{r['feature_diversity']:.3f} coverage {r['coverage']:.3f} "
+            f"overall {r['overall_score']:.3f}"
+        )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

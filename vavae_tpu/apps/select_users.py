@@ -59,3 +59,54 @@ def select_users(
         idx = np.linspace(0, len(ranked) - 1, num=min(n, len(ranked))).astype(int)
         return [ranked[i] for i in idx]
     raise ValueError(strategy)
+
+
+def main() -> None:
+    """CLI mirroring select_users_by_classifier.py: classifier stats on real
+    validation data → ranked/selected user ids."""
+    import argparse
+    import json
+
+    import jax
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    from vavae_tpu.apps.train_classifier import ClassifierTrainer
+    from vavae_tpu.data.image_folder import SplitFileDataset
+    from vavae_tpu.train.checkpoint import restore_checkpoint
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--classifier_ckpt", required=True)
+    ap.add_argument("--split_file", required=True)
+    ap.add_argument("--split", default="val", choices=["train", "val"])
+    ap.add_argument("--num_classes", type=int, default=31)
+    ap.add_argument("--image_size", type=int, default=224)
+    ap.add_argument("--n", type=int, default=10)
+    ap.add_argument("--strategy", default="best",
+                    choices=["best", "worst", "median", "spread"])
+    ap.add_argument("--min_accuracy", type=float, default=0.0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    trainer = ClassifierTrainer(num_classes=args.num_classes)
+    state = trainer.init_state(jax.random.PRNGKey(0), args.image_size)
+    state = restore_checkpoint(args.classifier_ckpt, state)
+    predict = trainer.predict_fn(state)
+
+    ds = SplitFileDataset(args.split_file, args.split, image_size=args.image_size)
+    probs, labels = [], []
+    for s in range(0, len(ds), 64):
+        batch = [ds[i] for i in range(s, min(s + 64, len(ds)))]
+        x = np.stack([b[0] for b in batch])
+        probs.append(np.asarray(predict(x)))
+        labels.extend(int(b[1]) for b in batch)
+    stats = user_classifier_stats(np.concatenate(probs), np.asarray(labels))
+    selected = select_users(stats, n=args.n, strategy=args.strategy,
+                            min_accuracy=args.min_accuracy)
+    print(f"selected ({args.strategy}, n={args.n}): {selected}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"selected": selected, "stats": stats}, f, indent=2)
+        print(f"written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

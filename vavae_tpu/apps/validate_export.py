@@ -113,3 +113,66 @@ def export_encoder(vae, out_path: str) -> str:
     with open(out_path, "wb") as f:
         f.write(serialization.to_bytes(subset))
     return out_path
+
+
+def main() -> None:
+    """CLI mirroring step5_validate_export.py: recon quality per user,
+    latent user-discrimination, latent statistics, optional encoder export."""
+    import argparse
+    import json
+
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    from vavae_tpu.data.image_folder import SplitFileDataset
+    from vavae_tpu.tokenizer import VA_VAE
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--split_file", required=True)
+    ap.add_argument("--split", default="val", choices=["train", "val"])
+    ap.add_argument("--vae_config", default=None)
+    ap.add_argument("--vae_ckpt", default=None)
+    ap.add_argument("--num_users", type=int, default=31)
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--max_per_user", type=int, default=32)
+    ap.add_argument("--out", default=None, help="JSON report path")
+    ap.add_argument("--export_encoder", default=None,
+                    help="write a standalone encoder+quant_conv msgpack here")
+    args = ap.parse_args()
+
+    vae = VA_VAE(args.vae_config, ckpt_path=args.vae_ckpt, img_size=args.image_size)
+    ds = SplitFileDataset(args.split_file, args.split, image_size=args.image_size)
+
+    recon = per_user_reconstruction(
+        vae, ds, args.num_users, max_per_user=args.max_per_user
+    )
+    imgs, labels = zip(*(ds[i] for i in range(len(ds))))
+    x = np.stack(imgs)
+    lab = np.asarray(labels, np.int64)
+    latents = np.asarray(vae.encode_moments(x).mode())
+    disc = latent_user_discrimination(latents, lab)
+    stats = latent_statistics(latents)
+
+    report = {
+        "per_user_reconstruction": recon,
+        "latent_user_discrimination": disc,
+        "latent_stats": {
+            "global_mean": float(stats["global_mean"]),
+            "global_std": float(stats["global_std"]),
+            "channel_mean_first8": stats["mean"].reshape(-1)[:8].tolist(),
+        },
+    }
+    mean_psnr = np.mean([r["psnr"] for r in recon.values()]) if recon else float("nan")
+    print(
+        f"users {len(recon)}: mean psnr {mean_psnr:.2f}, "
+        f"between/within {disc['between_within_ratio']:.3f}, "
+        f"centroid acc {disc['nearest_centroid_acc']:.3f}"
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"report written to {args.out}")
+    if args.export_encoder:
+        print(f"encoder exported to {export_encoder(vae, args.export_encoder)}")
+
+
+if __name__ == "__main__":
+    main()
