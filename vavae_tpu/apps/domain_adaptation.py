@@ -331,3 +331,95 @@ DEFAULT_SEARCH_SPACE = {
     "pnc_fusion_weight": [0.3, 0.5, 0.7],
     "confidence_adaptive": [True, False],
 }
+
+
+def main() -> None:
+    """CLI mirroring the domain_adaptation_experiment drivers: load a source
+    classifier, strategically split a target-domain dataset into disjoint
+    support/test sets, run the LCCS+PNC grid search, and report baseline vs
+    best-adapted accuracy."""
+    import argparse
+    import json
+
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    from vavae_tpu.apps.train_classifier import ClassifierTrainer
+    from vavae_tpu.data.image_folder import SplitFileDataset
+    from vavae_tpu.train.checkpoint import restore_checkpoint
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--classifier_ckpt", required=True)
+    ap.add_argument("--target_split_file", required=True,
+                    help="target-domain split file (its 'val' side is used)")
+    ap.add_argument("--split", default="val", choices=["train", "val"])
+    ap.add_argument("--num_classes", type=int, default=31)
+    ap.add_argument("--image_size", type=int, default=224)
+    ap.add_argument("--support_per_class", type=int, default=5)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--full_grid", action="store_true",
+                    help="search the full eval_config.py grid (default: a 2x2 sub-grid)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    trainer = ClassifierTrainer(num_classes=args.num_classes)
+    state = trainer.init_state(jax.random.PRNGKey(0), args.image_size)
+    state = restore_checkpoint(args.classifier_ckpt, state)
+    model, params, source_stats = trainer.model, state.params, state.batch_stats
+
+    ds = SplitFileDataset(args.target_split_file, args.split, image_size=args.image_size)
+    pairs = [ds[i] for i in range(len(ds))]
+    images = np.stack([p[0] for p in pairs])
+    labels = np.asarray([p[1] for p in pairs], np.int64)
+    sup_idx, test_idx = strategic_split(labels, args.support_per_class, seed=args.seed)
+    sup_x, sup_y = images[sup_idx], labels[sup_idx]
+    test_x, test_y = images[test_idx], labels[test_idx]
+    print(f"target: {len(sup_x)} support / {len(test_x)} test")
+
+    def feature_fn(x):
+        return np.asarray(model.apply(
+            {"params": params, "batch_stats": source_stats},
+            jnp.asarray(x), train=False, features=True,
+        ))
+
+    baseline = evaluate_adaptation(
+        model, params, source_stats, feature_fn, test_x, test_y
+    )
+    print(f"baseline (no adaptation): {baseline.accuracy:.4f}")
+
+    grid = DEFAULT_SEARCH_SPACE if args.full_grid else {
+        "lccs_alpha": [0.2, 0.5],
+        "pnc_temperature": [0.1],
+        "pnc_fusion_weight": [0.3, 0.7],
+        "confidence_adaptive": [True],
+    }
+
+    def eval_cfg(cfg):
+        stats, protos, predict = lccs_pnc_combined(
+            model, params, source_stats, sup_x, sup_y, args.num_classes,
+            alpha=cfg["lccs_alpha"],
+            pnc_cfg=dict(
+                temperature=cfg["pnc_temperature"],
+                fusion_weight=cfg["pnc_fusion_weight"],
+                confidence_adaptive=cfg["confidence_adaptive"],
+            ),
+        )
+        preds = []
+        for s in range(0, len(test_x), 64):
+            preds.append(predict(test_x[s : s + 64]).argmax(-1))
+        return float((np.concatenate(preds) == test_y).mean())
+
+    best_cfg, best_acc, results = hyperparameter_search(eval_cfg, grid)
+    print(f"best adapted: {best_acc:.4f} with {best_cfg} "
+          f"(delta {best_acc - baseline.accuracy:+.4f})")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "baseline_accuracy": baseline.accuracy,
+                "best_accuracy": best_acc,
+                "best_config": best_cfg,
+                "grid_results": [(c, a) for c, a in results],
+            }, f, indent=2)
+        print(f"written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

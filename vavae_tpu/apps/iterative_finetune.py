@@ -13,6 +13,7 @@ import dataclasses
 from typing import Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vavae_tpu.apps.generate_and_filter import FilterConfig, generate_and_filter_for_user
@@ -88,3 +89,132 @@ class IterativeTraining:
             if metrics is not None:
                 history[-1]["final_loss"] = float(jax.device_get(metrics["loss"]))
         return state, history
+
+
+def main() -> None:
+    """CLI mirroring iterative_finetune_dit.py: generate → filter via the
+    classifier → re-encode accepted samples → finetune the DiT on the
+    augmented latent set, repeated for --iterations rounds."""
+    import argparse
+
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    from vavae_tpu.apps.train_classifier import ClassifierTrainer
+    from vavae_tpu.data.latent_dataset import ImgLatentDataset
+    from vavae_tpu.models.dit import create_dit
+    from vavae_tpu.parallel.mesh import make_mesh, multihost_init
+    from vavae_tpu.pipelines.sample import build_sample_fn, load_dit_params
+    from vavae_tpu.pipelines.train_dit import build_transport
+    from vavae_tpu.tokenizer import VA_VAE
+    from vavae_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from vavae_tpu.train.dit_trainer import DiTTrainer
+    from vavae_tpu.utils.config import load_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="DiT config (ckpt_path set)")
+    ap.add_argument("--classifier_ckpt", required=True)
+    ap.add_argument("--iterations", type=int, default=3)
+    ap.add_argument("--steps_per_iteration", type=int, default=1000)
+    ap.add_argument("--samples_per_user", type=int, default=100)
+    ap.add_argument("--confidence", type=float, default=0.9)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--out_dir", default="output/iterative")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+
+    multihost_init()
+    cfg = load_config(args.config, overrides=args.overrides)
+    mesh = make_mesh()
+    latent_size = cfg.data.image_size // cfg.get("vae", {}).get("downsample_ratio", 16)
+    num_users = cfg.data.num_classes - 1  # last class = CFG null
+    model = create_dit(cfg.model, latent_size, cfg.data.num_classes)
+    transport = build_transport(cfg)
+    trainer = DiTTrainer(
+        model, transport, mesh,
+        lr=cfg.get("optimizer", {}).get("lr", 5e-5),
+        ema_decay=cfg.train.get("ema_decay", 0.999),
+    )
+    params = load_dit_params(cfg, model, cfg.ckpt_path)
+    C = model.in_channels
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), (args.batch_size, latent_size, latent_size, C)
+    )
+    state = state.replace(
+        params=params, ema_params=jax.tree_util.tree_map(jnp.copy, params)
+    )
+    state = trainer.replicate(state)
+
+    dataset = ImgLatentDataset(
+        cfg.data.data_path,
+        latent_norm=cfg.data.get("latent_norm", False),
+        latent_multiplier=cfg.data.get("latent_multiplier", 1.0),
+    )
+    mean, std = dataset.latent_stats  # (1, C, 1, 1)
+    mean_nhwc = np.transpose(mean[0], (1, 2, 0))[None]
+    std_nhwc = np.transpose(std[0], (1, 2, 0))[None]
+    mult = dataset.latent_multiplier
+
+    vae = VA_VAE(
+        cfg.get("vae", {}).get("config"),
+        ckpt_path=cfg.get("vae", {}).get("ckpt_path"),
+        img_size=cfg.data.image_size,
+    )
+
+    clf = ClassifierTrainer(num_classes=cfg.data.num_classes)
+    clf_state = clf.init_state(jax.random.PRNGKey(0), cfg.data.image_size)
+    clf_state = restore_checkpoint(args.classifier_ckpt, clf_state)
+
+    def generate_fn_builder(st):
+        p = jax.device_get(st.ema_params)
+        return build_sample_fn(cfg, model, p, latent_stats=(mean, std))
+
+    def encode_fn(images):
+        z = np.asarray(vae.encode_images(np.asarray(images)))
+        if cfg.data.get("latent_norm", False):
+            z = (z - mean_nhwc) / std_nhwc
+        return z * mult
+
+    def real_batches_fn(extra_z, extra_y):
+        def gen():
+            extras = None
+            if extra_z is not None and len(extra_z):
+                order = np.random.default_rng(0).permutation(len(extra_z))
+                extras = (extra_z[order], extra_y[order])
+            ei = 0
+            for lats, labels in dataset.batches(
+                args.batch_size,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            ):
+                yield lats, labels
+                # interleave one synthetic batch per real batch while any remain
+                if extras is not None and ei < len(extras[0]):
+                    ez = extras[0][ei : ei + args.batch_size]
+                    ey = extras[1][ei : ei + args.batch_size]
+                    ei += len(ez)
+                    if len(ez) == args.batch_size:
+                        yield ez.astype(np.float32), ey.astype(np.int32)
+
+        return gen()
+
+    it = IterativeTraining(
+        trainer=trainer,
+        generate_fn_builder=generate_fn_builder,
+        decode_fn=vae.decode_to_images,
+        encode_fn=encode_fn,
+        classifier_fn=clf.predict_fn(clf_state),
+        num_users=num_users,
+        iterations=args.iterations,
+        steps_per_iteration=args.steps_per_iteration,
+        samples_per_user=args.samples_per_user,
+        confidence=args.confidence,
+        batch_size=args.batch_size,
+    )
+    state, history = it.run(state, real_batches_fn)
+    for h in history:
+        print(h)
+    path = save_checkpoint(args.out_dir, int(jax.device_get(state.step)), jax.device_get(state))
+    print(f"saved finetuned state to {path}")
+
+
+if __name__ == "__main__":
+    main()
