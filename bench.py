@@ -33,10 +33,14 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     # full config on TPU; tiny proxy on CPU so the script stays runnable.
-    # batch 8/chip measured best on v5e (1.35 vs 1.31 samples/s at 16, 1.17
-    # at 32); the reference itself samples at per-proc batch 4.
+    # batch 8/chip measured best on v5e (natural-layout kernel:
+    # 1.40/1.39/1.37 samples/s at 8/16/32 — the padded kernel's b32 cliff
+    # to 1.17 is gone); the reference itself samples at per-proc batch 4.
+    # Optional argv override for sweeps: python bench.py [batch].
     model_name = "LightningDiT-XL/1" if on_tpu else "LightningDiT-S/2"
     batch = 8 if on_tpu else 2
+    if len(sys.argv) > 1 and sys.argv[1].isdigit():
+        batch = int(sys.argv[1])
     num_steps = 250 if on_tpu else 4
 
     model = LightningDiT_models[model_name](
