@@ -39,7 +39,9 @@ def main() -> None:
     # Optional argv override for sweeps: python bench.py [batch].
     model_name = "LightningDiT-XL/1" if on_tpu else "LightningDiT-S/2"
     batch = 8 if on_tpu else 2
-    if len(sys.argv) > 1 and sys.argv[1].isdigit():
+    if len(sys.argv) > 1:
+        if not sys.argv[1].isdigit():
+            sys.exit(f"usage: bench.py [batch]; got {sys.argv[1]!r}")
         batch = int(sys.argv[1])
     num_steps = 250 if on_tpu else 4
 

@@ -150,6 +150,11 @@ def _load_image_dir(path: str, image_size: int):
                 im = im.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
                 imgs.append(np.asarray(im, np.uint8))
             labels.append(uid)
+    if not imgs:
+        raise FileNotFoundError(
+            f"no user_*/NNNNN.png images under {path!r} — empty filter "
+            "output (try a lower --confidence) or a mistyped --generated_dir"
+        )
     return np.stack(imgs), np.asarray(labels, np.int64)
 
 
@@ -172,12 +177,14 @@ def main() -> None:
     ap.add_argument("--generated_dir", default=None,
                     help="user_XX/NNNNN.png tree from generate_and_filter")
     ap.add_argument("--num_classes", type=int, default=31)
+    ap.add_argument("--mode", default="baseline",
+                    choices=["baseline", "improved", "calibrated"])
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--percentile", type=float, default=5.0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    trainer = ClassifierTrainer(num_classes=args.num_classes)
+    trainer = ClassifierTrainer(num_classes=args.num_classes, mode=args.mode)
     state = trainer.init_state(jax.random.PRNGKey(0), args.image_size)
     state = restore_checkpoint(args.classifier_ckpt, state)
     predict = trainer.predict_fn(state)

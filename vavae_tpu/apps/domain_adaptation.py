@@ -352,6 +352,8 @@ def main() -> None:
                     help="target-domain split file (its 'val' side is used)")
     ap.add_argument("--split", default="val", choices=["train", "val"])
     ap.add_argument("--num_classes", type=int, default=31)
+    ap.add_argument("--mode", default="baseline",
+                    choices=["baseline", "improved", "calibrated"])
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--support_per_class", type=int, default=5)
     ap.add_argument("--seed", type=int, default=42)
@@ -360,7 +362,7 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    trainer = ClassifierTrainer(num_classes=args.num_classes)
+    trainer = ClassifierTrainer(num_classes=args.num_classes, mode=args.mode)
     state = trainer.init_state(jax.random.PRNGKey(0), args.image_size)
     state = restore_checkpoint(args.classifier_ckpt, state)
     model, params, source_stats = trainer.model, state.params, state.batch_stats

@@ -71,10 +71,17 @@ def knn_coverage(
         return f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
 
     g, r = _norm(gen_features), _norm(real_features)
+    if len(r) < 2:
+        # a single real sample has no finite neighbour: the kNN radius is
+        # undefined and any coverage number would be fiction
+        return {
+            "coverage": float("nan"),
+            "mean_nearest_real_dist": float((1.0 - g @ r.T).min(axis=-1).mean()),
+        }
     d_rr = 1.0 - r @ r.T
     np.fill_diagonal(d_rr, np.inf)
     # with fewer than k+1 real samples, use the farthest finite neighbour
-    k = min(k, max(len(r) - 1, 1))
+    k = min(k, len(r) - 1)
     knn_radius = np.sort(d_rr, axis=-1)[:, k - 1]  # per-real kNN radius
     d_rg = 1.0 - r @ g.T
     covered = (d_rg.min(axis=-1) <= knn_radius).mean()
@@ -139,35 +146,55 @@ def main() -> None:
     ap.add_argument("--split_file", required=True, help="real data for coverage")
     ap.add_argument("--split", default="val", choices=["train", "val"])
     ap.add_argument("--num_classes", type=int, default=31)
+    ap.add_argument("--mode", default="baseline",
+                    choices=["baseline", "improved", "calibrated"])
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    trainer = ClassifierTrainer(num_classes=args.num_classes)
+    trainer = ClassifierTrainer(num_classes=args.num_classes, mode=args.mode)
     state = trainer.init_state(jax.random.PRNGKey(0), args.image_size)
     state = restore_checkpoint(args.classifier_ckpt, state)
     predict = trainer.predict_fn(state)
     features = trainer.feature_fn(state)
 
+    def batched(fn, x, bs=64):
+        return np.concatenate(
+            [np.asarray(fn(x[s : s + bs])) for s in range(0, len(x), bs)]
+        )
+
     ds = SplitFileDataset(args.split_file, args.split, image_size=args.image_size)
     pairs = [ds[i] for i in range(len(ds))]
     real_x = np.stack([p[0] for p in pairs])
     real_labels = np.asarray([p[1] for p in pairs], np.int64)
-    real_feats = np.asarray(features(real_x))
+    real_feats = batched(features, real_x)
 
     gen_imgs, gen_labels = _load_image_dir(args.generated_dir, args.image_size)
     gen_x = gen_imgs.astype(np.float32) / 127.5 - 1.0
-    gen_probs = np.asarray(predict(gen_x))
-    gen_feats = np.asarray(features(gen_x))
+    gen_probs = batched(predict, gen_x)
+    gen_feats = batched(features, gen_x)
 
     ev = ComprehensiveGenerationEvaluator()
     report = {}
     for uid in np.unique(gen_labels):
         m = gen_labels == uid
         rm = real_labels == uid
+        if not rm.any():
+            # coverage against OTHER users' features would be a silently
+            # wrong metric — report identity/diversity only
+            r = {
+                **identity_preservation(gen_probs[m], int(uid)),
+                **intra_class_diversity(gen_feats[m]),
+                "coverage": float("nan"),
+                "overall_score": float("nan"),
+                "note": f"no real samples for user {uid} in split "
+                        f"'{args.split}' — coverage/overall undefined",
+            }
+            report[int(uid)] = r
+            print(f"user {uid}: {r['note']}")
+            continue
         report[int(uid)] = ev.evaluate_user(
-            gen_probs[m], gen_feats[m],
-            real_feats[rm] if rm.any() else real_feats, int(uid),
+            gen_probs[m], gen_feats[m], real_feats[rm], int(uid)
         )
         r = report[int(uid)]
         print(

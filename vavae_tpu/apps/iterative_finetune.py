@@ -163,9 +163,13 @@ def main() -> None:
     clf_state = clf.init_state(jax.random.PRNGKey(0), cfg.data.image_size)
     clf_state = restore_checkpoint(args.classifier_ckpt, clf_state)
 
+    # build the jitted sampler ONCE; per-iteration weight swaps go through
+    # the param-explicit jit_fn handle (no retrace/recompile, no host
+    # round-trip of the EMA tree)
+    base_sample = build_sample_fn(cfg, model, params, latent_stats=(mean, std))
+
     def generate_fn_builder(st):
-        p = jax.device_get(st.ema_params)
-        return build_sample_fn(cfg, model, p, latent_stats=(mean, std))
+        return lambda rng, labels: base_sample.jit_fn(st.ema_params, rng, labels)
 
     def encode_fn(images):
         z = np.asarray(vae.encode_images(np.asarray(images)))

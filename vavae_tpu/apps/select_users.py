@@ -78,6 +78,8 @@ def main() -> None:
     ap.add_argument("--split_file", required=True)
     ap.add_argument("--split", default="val", choices=["train", "val"])
     ap.add_argument("--num_classes", type=int, default=31)
+    ap.add_argument("--mode", default="baseline",
+                    choices=["baseline", "improved", "calibrated"])
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--n", type=int, default=10)
     ap.add_argument("--strategy", default="best",
@@ -86,7 +88,7 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    trainer = ClassifierTrainer(num_classes=args.num_classes)
+    trainer = ClassifierTrainer(num_classes=args.num_classes, mode=args.mode)
     state = trainer.init_state(jax.random.PRNGKey(0), args.image_size)
     state = restore_checkpoint(args.classifier_ckpt, state)
     predict = trainer.predict_fn(state)

@@ -147,7 +147,10 @@ def main() -> None:
     imgs, labels = zip(*(ds[i] for i in range(len(ds))))
     x = np.stack(imgs)
     lab = np.asarray(labels, np.int64)
-    latents = np.asarray(vae.encode_moments(x).mode())
+    latents = np.concatenate([
+        np.asarray(vae.encode_moments(x[s : s + 32]).mode())
+        for s in range(0, len(x), 32)
+    ])
     disc = latent_user_discrimination(latents, lab)
     stats = latent_statistics(latents)
 

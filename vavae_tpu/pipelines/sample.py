@@ -72,6 +72,14 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None):
     sampler = Sampler(transport)
     use_cfg = sc.get("cfg_scale", 1.0) > 1.0
     num_classes = cfg.data.num_classes
+    # CFG null label. Default = num_classes, the row class-dropout actually
+    # trains (LabelEmbedder allocates num_classes+1 rows, lightningdit.py
+    # token_drop). The reference's micro-Doppler inference instead passes
+    # y_null = num_classes-1 (generate_and_filter_samples.py:322 uses 31
+    # with num_classes 32 = "31 users + null") — an UNTRAINED row, since its
+    # own training dropout targets row 32. Set sample.null_class to
+    # reproduce that quirk bit-for-bit with converted checkpoints.
+    null_class = sc.get("null_class", num_classes)
 
     mode = sc.get("mode", "ODE")
     if mode.upper() == "ODE":
@@ -144,7 +152,7 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None):
         z = jax.random.normal(z_rng, (B, latent_size, latent_size, C), jnp.float32)
         if use_cfg:
             y_in = jnp.concatenate(
-                [labels, jnp.full((B,), num_classes, labels.dtype)]
+                [labels, jnp.full((B,), null_class, labels.dtype)]
             )
 
             def model_fn(x, t):
