@@ -170,9 +170,11 @@ class InceptionV3FID(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.resize_input:
-            x = jax.image.resize(
-                x, (x.shape[0], 299, 299, x.shape[-1]), method="bilinear"
-            )
+            # calculate_fid.py:196 F.interpolate(bilinear, align_corners=
+            # False), no antialias — torch-exact weights (utils/interp.py)
+            from vavae_tpu.utils.interp import torch_resize_2d
+
+            x = torch_resize_2d(x, (299, 299), "bilinear", antialias=False)
         if self.normalize_input:
             x = 2.0 * x - 1.0
 

@@ -85,10 +85,14 @@ class TimmViT(nn.Module):
         )
         pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
         if (gh, gw) != (self.pretrain_grid, self.pretrain_grid):
-            # timm resample_abs_pos_embed: bicubic, antialias
+            # timm resample_abs_pos_embed: F.interpolate(bicubic,
+            # antialias=True) — torch-exact static weight matrices
+            # (utils/interp.py), NOT jax.image.resize (different kernel)
+            from vavae_tpu.utils.interp import torch_resize_2d
+
             g = self.pretrain_grid
             grid = pos_patch.reshape(1, g, g, self.embed_dim)
-            grid = jax.image.resize(grid, (1, gh, gw, self.embed_dim), "bicubic")
+            grid = torch_resize_2d(grid, (gh, gw), "bicubic", antialias=True)
             pos_patch = grid.reshape(1, gh * gw, self.embed_dim)
 
         x = x + pos_patch
@@ -161,7 +165,12 @@ class FoundationModel:
             B, H, W, _ = x.shape
             gh, gw = H // 16, W // 16  # reference reshapes by original/16
             if kind == "dinov2":
-                x = jax.image.resize(x, (B, 224, 224, 3), "bilinear")
+                # foundation_models.py:56 F.interpolate(bilinear,
+                # align_corners=False) — NO antialias; jax.image.resize
+                # antialiases downsamples by default and would diverge
+                from vavae_tpu.utils.interp import torch_resize_2d
+
+                x = torch_resize_2d(x, (224, 224), "bilinear", antialias=False)
             tokens = model.apply({"params": params}, x)
             patch = tokens[:, 1:]
             return jax.lax.stop_gradient(patch.reshape(B, gh, gw, -1))
