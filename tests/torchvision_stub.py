@@ -184,6 +184,63 @@ def vgg16(pretrained=False, **_ignored):
     return VGG()  # random init; same-weights tests convert the state dict
 
 
+class TorchBasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return F.relu(out + identity)
+
+
+class TorchResNet(nn.Module):
+    def __init__(self, layers=(2, 2, 2, 2), num_classes=1000):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(kernel_size=3, stride=2, padding=1)
+        self.layer1 = self._make_layer(64, layers[0])
+        self.layer2 = self._make_layer(128, layers[1], 2)
+        self.layer3 = self._make_layer(256, layers[2], 2)
+        self.layer4 = self._make_layer(512, layers[3], 2)
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512, num_classes)
+
+    def _make_layer(self, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes, 1, stride, bias=False),
+                nn.BatchNorm2d(planes),
+            )
+        layers = [TorchBasicBlock(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes
+        layers += [TorchBasicBlock(planes, planes) for _ in range(1, blocks)]
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = torch.flatten(self.avgpool(x), 1)
+        return self.fc(x)
+
+
+def resnet18(pretrained=False, **_ignored):
+    return TorchResNet()
+
+
 def install() -> types.ModuleType:
     """Register the stub as ``torchvision`` in sys.modules (idempotent)."""
     if "torchvision" in sys.modules:
@@ -200,6 +257,7 @@ def install() -> types.ModuleType:
     models.inception = inception
     models.inception_v3 = inception_v3
     models.vgg16 = vgg16
+    models.resnet18 = resnet18
     utils = types.ModuleType("torchvision.models.utils")
 
     def load_state_dict_from_url(*a, **k):
@@ -208,12 +266,15 @@ def install() -> types.ModuleType:
     utils.load_state_dict_from_url = load_state_dict_from_url
     models.utils = utils
     transforms = types.ModuleType("torchvision.transforms")
-    tv.models, tv.transforms = models, transforms
+    datasets = types.ModuleType("torchvision.datasets")
+    datasets.ImageFolder = object  # imported, not exercised, by ref scripts
+    tv.models, tv.transforms, tv.datasets = models, transforms, datasets
     sys.modules.update({
         "torchvision": tv,
         "torchvision.models": models,
         "torchvision.models.inception": inception,
         "torchvision.models.utils": utils,
         "torchvision.transforms": transforms,
+        "torchvision.datasets": datasets,
     })
     return tv

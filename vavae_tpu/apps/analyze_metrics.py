@@ -178,7 +178,7 @@ def main() -> None:
                     help="user_XX/NNNNN.png tree from generate_and_filter")
     ap.add_argument("--num_classes", type=int, default=31)
     ap.add_argument("--mode", default="baseline",
-                    choices=["baseline", "improved", "calibrated"])
+                    choices=["baseline", "improved", "calibrated", "domain_adaptive"])
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--percentile", type=float, default=5.0)
     ap.add_argument("--out", default=None)

@@ -147,7 +147,7 @@ def main() -> None:
     ap.add_argument("--split", default="val", choices=["train", "val"])
     ap.add_argument("--num_classes", type=int, default=31)
     ap.add_argument("--mode", default="baseline",
-                    choices=["baseline", "improved", "calibrated"])
+                    choices=["baseline", "improved", "calibrated", "domain_adaptive"])
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()

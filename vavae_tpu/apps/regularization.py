@@ -99,6 +99,109 @@ def supcon_loss(features: jax.Array, labels: jax.Array,
     return -jnp.mean(jnp.sum(jnp.where(pos, logp, 0.0), axis=-1) / pos_count)
 
 
+def interuser_contrastive_loss(features: jax.Array, labels: jax.Array,
+                               temperature: float = 0.07) -> jax.Array:
+    """InfoNCE over the batch: −log(Σ_pos e^s / (Σ_pos e^s + Σ_neg e^s)),
+    averaged over anchors that have a positive.
+
+    Parity: improved_classifier_training.py:158-216 InterUserContrastiveLoss
+    (its SupConLoss :218-277 computes the identical formula — both normalize
+    features, mask the diagonal, and take the summed-positives ratio)."""
+    B = features.shape[0]
+    f = features / jnp.maximum(jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+    sim = f @ f.T / temperature
+    eye = jnp.eye(B, dtype=bool)
+    pos = (labels[:, None] == labels[None, :]) & ~eye
+    neg = (labels[:, None] != labels[None, :])
+    # stability shift (reference subtracts the row max, detached)
+    sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=1, keepdims=True))
+    e = jnp.exp(sim)
+    pos_sum = jnp.maximum(jnp.sum(jnp.where(pos, e, 0.0), axis=1), 1e-8)
+    neg_sum = jnp.sum(jnp.where(neg, e, 0.0), axis=1)
+    loss = -jnp.log(pos_sum / (pos_sum + neg_sum + 1e-8))
+    has_pos = pos.any(axis=1)
+    denom = jnp.maximum(jnp.sum(has_pos), 1)
+    return jnp.sum(jnp.where(has_pos, loss, 0.0)) / denom
+
+
+def init_memory_bank(rng: jax.Array, num_classes: int, dim: int = 64,
+                     memory_size: int = 200) -> dict:
+    """Per-class feature ring buffer (improved_classifier_training.py:66-74):
+    L2-normalized random init + per-class write pointer."""
+    bank = jax.random.normal(rng, (num_classes, memory_size, dim))
+    bank = bank / jnp.linalg.norm(bank, axis=-1, keepdims=True)
+    return {"bank": bank, "ptr": jnp.zeros((num_classes,), jnp.int32)}
+
+
+def update_memory_bank(memory: dict, features: jax.Array, labels: jax.Array) -> dict:
+    """Vectorized ring-buffer write (reference update_memory_bank
+    :76-85 loops over the batch; same result, one scatter here): sample i
+    of class c lands at slot (ptr[c] + rank-of-i-within-c) % memory_size."""
+    bank, ptr = jnp.asarray(memory["bank"]), jnp.asarray(memory["ptr"])
+    memory_size = bank.shape[1]
+    f = features / jnp.maximum(jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+    f = jax.lax.stop_gradient(f)
+    B = labels.shape[0]
+    same = labels[:, None] == labels[None, :]               # (B, B)
+    earlier = jnp.tril(jnp.ones((B, B), bool), k=-1)
+    occ = jnp.sum(same & earlier, axis=1)                   # rank within class
+    slots = (ptr[labels] + occ) % memory_size
+    bank = bank.at[labels, slots].set(f)
+    counts = jnp.sum(jax.nn.one_hot(labels, bank.shape[0], dtype=jnp.int32), axis=0)
+    return {"bank": bank, "ptr": (ptr + counts) % memory_size}
+
+
+def global_negative_contrastive(
+    features: jax.Array,
+    labels: jax.Array,
+    memory: dict,
+    temperature: float = 0.07,
+    margin: float = 0.5,
+    bank_pos: int = 50,
+    bank_neg: int = 20,
+) -> jax.Array:
+    """Global-negative contrastive loss with a class memory bank.
+
+    Parity: improved_classifier_training.py:89-157 — per anchor:
+    positives = same-class batch others + the first ``bank_pos`` bank
+    entries of its class, pos_loss = −mean(sim/T); negatives = the first
+    ``bank_neg`` bank entries of EVERY other class, with hard-negative
+    mining (mean over sims/T > margin when any, else mean over all).
+    Vectorized over the batch (the reference loops in python per sample;
+    its batch-positives mask also drops the first same-class sample
+    instead of self — a bug we do not replicate)."""
+    bank = memory["bank"]
+    num_classes = bank.shape[0]
+    B = features.shape[0]
+    f = features / jnp.maximum(jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+
+    # -- positives ---------------------------------------------------------
+    batch_sim = f @ f.T / temperature                        # (B, B)
+    eye = jnp.eye(B, dtype=bool)
+    pos_mask = (labels[:, None] == labels[None, :]) & ~eye
+    own_bank = bank[labels, :bank_pos]                       # (B, P, D)
+    bank_sim = jnp.einsum("bd,bpd->bp", f, own_bank) / temperature
+    pos_sum = jnp.sum(jnp.where(pos_mask, batch_sim, 0.0), axis=1) + jnp.sum(bank_sim, axis=1)
+    pos_cnt = jnp.sum(pos_mask, axis=1) + bank_sim.shape[1]
+    pos_loss = -pos_sum / pos_cnt
+
+    # -- global negatives with hard mining --------------------------------
+    neg_bank = bank[:, :bank_neg]                            # (C, N, D)
+    neg_sim = jnp.einsum("bd,cnd->bcn", f, neg_bank) / temperature
+    valid = jnp.broadcast_to(
+        (jnp.arange(num_classes)[None, :] != labels[:, None])[..., None],
+        neg_sim.shape,
+    )
+    hard = (neg_sim > margin) & valid
+    hard_cnt = jnp.sum(hard, axis=(1, 2))
+    hard_mean = jnp.sum(jnp.where(hard, neg_sim, 0.0), axis=(1, 2)) / jnp.maximum(hard_cnt, 1)
+    all_cnt = jnp.maximum(jnp.sum(valid, axis=(1, 2)), 1)
+    all_mean = jnp.sum(jnp.where(valid, neg_sim, 0.0), axis=(1, 2)) / all_cnt
+    neg_loss = jnp.where(hard_cnt > 0, hard_mean, all_mean)
+
+    return jnp.mean(pos_loss + neg_loss)
+
+
 def expected_calibration_error(probs: jax.Array, labels: jax.Array,
                                n_bins: int = 15) -> jax.Array:
     """ECE (train_calibrated_classifier.py:262)."""

@@ -24,11 +24,19 @@ from vavae_tpu.data.prefetch import prefetch
 from vavae_tpu.apps.regularization import (
     expected_calibration_error,
     focal_loss,
+    global_negative_contrastive,
+    init_memory_bank,
+    interuser_contrastive_loss,
     label_smoothing_loss,
     mixup,
     supcon_loss,
+    update_memory_bank,
 )
-from vavae_tpu.models.resnet import ResNet18
+from vavae_tpu.models.resnet import (
+    DomainAdaptiveClassifier,
+    ResNet18,
+    update_feature_bank,
+)
 from vavae_tpu.parallel.mesh import (
     data_sharding,
     donate_state_argnums,
@@ -43,35 +51,65 @@ class ClassifierState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # mode-dependent auxiliary state: the global-negative contrastive memory
+    # bank ({"bank", "ptr"}, improved+global) or the EMA prototype feature
+    # bank (domain_adaptive); None otherwise
+    extras: Any = None
 
 
 @dataclasses.dataclass
 class ClassifierTrainer:
     num_classes: int = 31
-    mode: str = "baseline"  # baseline | improved | calibrated
+    mode: str = "baseline"  # baseline | improved | calibrated | domain_adaptive
     lr: float = 1e-3
     weight_decay: float = 1e-4
     supcon_weight: float = 0.5
+    # contrastive criterion for the improved mode
+    # (improved_classifier_training.py --contrastive_type):
+    # supcon | interuser | global (global adds the class memory bank)
+    contrastive_type: str = "supcon"
+    contrastive_temperature: float = 0.07
+    contrastive_margin: float = 0.5
+    memory_size: int = 200
     smoothing: float = 0.1
     focal_gamma: float = 2.0
     use_mixup: bool = False
     mixup_alpha: float = 0.2
+    dropout_rate: float = 0.3
     # freeze tiers (improved_classifier_training.py freeze strategy):
-    # 0 = train everything; k freezes the stem + the first k ResNet stages
-    freeze_stages: int = 0
+    # 0 = train everything; k freezes the stem + the first k ResNet stages.
+    # None = mode default (domain_adaptive freezes stages 1-3, matching the
+    # reference's "all but the last ~20 tensors", others train everything)
+    freeze_stages: Optional[int] = None
     mesh: Any = None
 
     def __post_init__(self):
-        head = 256 if self.mode == "improved" else 0
-        proj = 64 if self.mode == "improved" else 0
-        self.model = ResNet18(num_classes=self.num_classes, head_dim=head, proj_dim=proj)
+        if self.mode == "domain_adaptive" and self.contrastive_type == "global":
+            raise ValueError(
+                "contrastive_type='global' (memory bank) is an improved-mode "
+                "option; domain_adaptive uses supcon/interuser + its EMA "
+                "prototype bank (train_calibrated_classifier.py:78)"
+            )
+        if self.freeze_stages is None:
+            self.freeze_stages = 3 if self.mode == "domain_adaptive" else 0
+        if self.mode == "domain_adaptive":
+            self.model = DomainAdaptiveClassifier(
+                num_classes=self.num_classes, dropout_rate=self.dropout_rate
+            )
+        else:
+            head = 256 if self.mode == "improved" else 0
+            proj = 64 if self.mode == "improved" else 0
+            self.model = ResNet18(
+                num_classes=self.num_classes, head_dim=head, proj_dim=proj
+            )
         tx = optax.adamw(self.lr, weight_decay=self.weight_decay)
         if self.freeze_stages > 0:
             # match TOP-LEVEL modules only: blocks name their own first
             # conv/bn "conv1"/"bn1" too, so a substring match would freeze
             # half of every supposedly-trainable stage
-            frozen_prefixes = ["conv1/", "bn1/"] + [
-                f"layer{s}_" for s in range(1, self.freeze_stages + 1)
+            stem = "backbone/" if self.mode == "domain_adaptive" else ""
+            frozen_prefixes = [f"{stem}conv1/", f"{stem}bn1/"] + [
+                f"{stem}layer{s}_" for s in range(1, self.freeze_stages + 1)
             ]
 
             def trainable(params):
@@ -98,26 +136,59 @@ class ClassifierTrainer:
 
     def init_state(self, rng: jax.Array, image_size: int = 224) -> ClassifierState:
         x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-        variables = self.model.init({"params": rng}, x, train=True)
+        # return_all=True materializes the projection head params even with
+        # train=False (no dropout rng needed at init)
+        variables = self.model.init({"params": rng}, x, train=False,
+                                    return_all=True)
+        extras = None
+        if self.mode == "improved" and self.contrastive_type == "global":
+            extras = init_memory_bank(
+                jax.random.fold_in(rng, 1), self.num_classes, dim=64,
+                memory_size=self.memory_size,
+            )
+        elif self.mode == "domain_adaptive":
+            # EMA prototype bank (train_calibrated_classifier.py:115 zeros)
+            extras = jnp.zeros(
+                (self.num_classes, self.model.feature_dim), jnp.float32
+            )
         return ClassifierState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
             opt_state=self.tx.init(variables["params"]),
+            extras=extras,
         )
 
-    def _loss(self, params, batch_stats, rng, x, y):
+    def _contrastive(self, proj, y, extras):
+        """Selected contrastive criterion; returns (loss, new_extras)."""
+        if self.contrastive_type == "global":
+            # reference forward updates the bank first, then computes
+            # against the updated bank (improved_classifier_training.py:95-98)
+            extras = update_memory_bank(extras, proj, y)
+            loss = global_negative_contrastive(
+                proj, y, extras, self.contrastive_temperature,
+                self.contrastive_margin,
+            )
+        elif self.contrastive_type == "interuser":
+            loss = interuser_contrastive_loss(proj, y, self.contrastive_temperature)
+        else:
+            loss = supcon_loss(proj, y, self.contrastive_temperature)
+        return loss, extras
+
+    def _loss(self, params, batch_stats, extras, rng, x, y):
+        mix_rng, drop_rng = jax.random.split(rng)
         y_soft = None
         if self.use_mixup:
-            x, y_soft = mixup(rng, x, y, self.num_classes, self.mixup_alpha)
+            x, y_soft = mixup(mix_rng, x, y, self.num_classes, self.mixup_alpha)
 
         variables = {"params": params, "batch_stats": batch_stats}
         out, updates = self.model.apply(
-            variables, x, train=True, return_all=True, mutable=["batch_stats"]
+            variables, x, train=True, return_all=True, mutable=["batch_stats"],
+            rngs={"dropout": drop_rng},
         )
         logits, feat, proj = out
 
-        if self.mode == "calibrated":
+        if self.mode in ("calibrated", "domain_adaptive"):
             if y_soft is not None:
                 loss = -jnp.mean(jnp.sum(y_soft * jax.nn.log_softmax(logits), axis=-1))
             else:
@@ -129,19 +200,26 @@ class ClassifierTrainer:
             loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
 
         if self.mode == "improved" and proj is not None:
-            loss = loss + self.supcon_weight * supcon_loss(proj, y)
+            c_loss, extras = self._contrastive(proj, y, extras)
+            loss = loss + self.supcon_weight * c_loss
+        elif self.mode == "domain_adaptive":
+            c_loss, _ = self._contrastive(proj, y, None)
+            loss = loss + self.supcon_weight * c_loss
+            extras = update_feature_bank(extras, feat, y)
 
         acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
-        return loss, (updates["batch_stats"], {"loss": loss, "acc": acc})
+        return loss, (updates["batch_stats"], extras, {"loss": loss, "acc": acc})
 
     def _train_step(self, state: ClassifierState, rng: jax.Array, x, y):
         rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(self._loss, has_aux=True)
-        (loss, (bn, metrics)), grads = grad_fn(state.params, state.batch_stats, rng, x, y)
+        (loss, (bn, extras, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, state.extras, rng, x, y
+        )
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (
-            ClassifierState(state.step + 1, params, bn, opt_state),
+            ClassifierState(state.step + 1, params, bn, opt_state, extras),
             metrics,
         )
 
@@ -161,6 +239,8 @@ class ClassifierTrainer:
     def _eval_step(self, state: ClassifierState, x, y):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         logits = self.model.apply(variables, x, train=False)
+        if isinstance(logits, tuple):  # domain_adaptive returns (logits, feat)
+            logits = logits[0]
         probs = jax.nn.softmax(logits)
         acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
         ece = expected_calibration_error(probs, y)
@@ -184,7 +264,10 @@ class ClassifierTrainer:
 
         @jax.jit
         def predict(v, x):
-            return jax.nn.softmax(model.apply(v, x, train=False))
+            out = model.apply(v, x, train=False)
+            if isinstance(out, tuple):  # domain_adaptive: (logits, feat)
+                out = out[0]
+            return jax.nn.softmax(out)
 
         return lambda x: predict(variables, x)
 
@@ -205,6 +288,7 @@ def train_classifier(
     val_dataset=None,
     *,
     mode: str = "baseline",
+    contrastive_type: str = "supcon",
     num_classes: int = 31,
     epochs: int = 30,
     batch_size: int = 64,
@@ -213,7 +297,10 @@ def train_classifier(
     log_every: int = 50,
     image_size: int = 224,
 ) -> tuple:
-    trainer = ClassifierTrainer(num_classes=num_classes, mode=mode, lr=lr)
+    trainer = ClassifierTrainer(
+        num_classes=num_classes, mode=mode, lr=lr,
+        contrastive_type=contrastive_type,
+    )
     rng = jax.random.PRNGKey(seed)
     state = jax.device_put(trainer.init_state(rng, image_size), replicated(trainer.mesh))
     best_acc = 0.0
@@ -241,7 +328,11 @@ def train_classifier(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--split_file", required=True)
-    ap.add_argument("--mode", default="baseline", choices=["baseline", "improved", "calibrated"])
+    ap.add_argument("--mode", default="baseline", choices=["baseline", "improved", "calibrated", "domain_adaptive"])
+    ap.add_argument("--contrastive_type", default="supcon",
+                    choices=["supcon", "interuser", "global"],
+                    help="improved-mode contrastive criterion "
+                         "(improved_classifier_training.py --contrastive_type)")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--num_classes", type=int, default=31)
@@ -255,7 +346,8 @@ def main() -> None:
     train_ds = SplitFileDataset(args.split_file, "train", image_size=args.image_size)
     val_ds = SplitFileDataset(args.split_file, "val", image_size=args.image_size)
     trainer, state = train_classifier(
-        train_ds, val_ds, mode=args.mode, num_classes=args.num_classes,
+        train_ds, val_ds, mode=args.mode, contrastive_type=args.contrastive_type,
+        num_classes=args.num_classes,
         epochs=args.epochs, batch_size=args.batch_size, image_size=args.image_size,
     )
     out = args.out if args.out.endswith(".safetensors") else args.out + ".safetensors"

@@ -97,6 +97,73 @@ class ResNet18(nn.Module):
         return logits
 
 
+class DomainAdaptiveClassifier(nn.Module):
+    """ResNet18 backbone + BN-regularized projector/classifier heads.
+
+    Parity: train_calibrated_classifier.py:78-143 ``DomainAdaptiveClassifier``
+    — feature_projector Linear(512→feature_dim)+BN1d+ReLU+Dropout, classifier
+    Linear(feature_dim→256)+BN1d+ReLU+Dropout+Linear(256→num_classes).
+    The torch version freezes all but the last ~20 backbone tensors (≈ stages
+    1-3); callers get that via ClassifierTrainer(freeze_stages=3). The EMA
+    feature bank (its ``feature_bank``/``compute_feature_similarity``) is
+    explicit state here — see update_feature_bank / feature_similarity.
+
+    __call__ returns (logits, features); ``features=True`` returns the
+    projected features only (the filter/prototype embedding space).
+    """
+
+    num_classes: int = 31
+    feature_dim: int = 512
+    dropout_rate: float = 0.3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, features: bool = False,
+                 return_all: bool = False):
+        feat512 = ResNet18(
+            num_classes=1, dtype=self.dtype, name="backbone"
+        )(x, train=train, features=True)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        h = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj_fc")(feat512)
+        h = norm(name="proj_bn")(h)
+        h = nn.relu(h)
+        feat = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        if features and not return_all:
+            return feat
+        c = nn.Dense(256, dtype=self.dtype, name="cls_fc1")(feat)
+        c = norm(name="cls_bn")(c)
+        c = nn.relu(c)
+        c = nn.Dropout(self.dropout_rate, deterministic=not train)(c)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="cls_fc2")(c)
+        if return_all:
+            return logits, feat, feat / jnp.maximum(
+                jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12
+            )
+        return logits, feat
+
+
+def update_feature_bank(bank: jax.Array, features: jax.Array,
+                        labels: jax.Array, momentum: float = 0.95) -> jax.Array:
+    """EMA class prototypes (train_calibrated_classifier.py:120-125:
+    bank[l] = 0.95·bank[l] + 0.05·feat). Batch duplicates of a class fold
+    in sequentially, matching the reference's per-sample loop."""
+    def body(b, inp):
+        feat, label = inp
+        return b.at[label].set(b[label] * momentum + feat * (1.0 - momentum)), None
+
+    bank, _ = jax.lax.scan(body, bank, (jax.lax.stop_gradient(features), labels))
+    return bank
+
+
+def feature_similarity(bank: jax.Array, features: jax.Array) -> jax.Array:
+    """Cosine similarity of features vs class prototypes
+    (train_calibrated_classifier.py:135-143)."""
+    f = features / jnp.maximum(jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+    p = bank / jnp.maximum(jnp.linalg.norm(bank, axis=-1, keepdims=True), 1e-12)
+    return f @ p.T
+
+
 def resnet18_params_from_torch(sd) -> dict:
     """Convert torchvision resnet18 state dict to our tree (fc optional)."""
     import numpy as np
@@ -142,3 +209,44 @@ def resnet18_params_from_torch(sd) -> dict:
             "bias": sd["fc.bias"],
         }
     return {"params": params, "batch_stats": stats}
+
+
+def domain_adaptive_params_from_torch(sd) -> dict:
+    """Convert a reference DomainAdaptiveClassifier state dict
+    (train_calibrated_classifier.py:78: ``backbone.*`` torchvision resnet18,
+    ``feature_projector.{0,1}``, ``classifier.{0,1,4}``) to our tree.
+    The ``feature_bank``/``feature_count`` buffers map to the explicit
+    prototype bank (ClassifierState.extras), returned separately."""
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    backbone_sd = {
+        k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    conv = resnet18_params_from_torch(backbone_sd)
+
+    def dense(p):
+        return {"kernel": np.transpose(sd[f"{p}.weight"], (1, 0)),
+                "bias": sd[f"{p}.bias"]}
+
+    def bn(p):
+        return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+
+    def bn_stats(p):
+        return {"mean": sd[f"{p}.running_mean"], "var": sd[f"{p}.running_var"]}
+
+    params = {
+        "backbone": conv["params"],
+        "proj_fc": dense("feature_projector.0"),
+        "proj_bn": bn("feature_projector.1"),
+        "cls_fc1": dense("classifier.0"),
+        "cls_bn": bn("classifier.1"),
+        "cls_fc2": dense("classifier.4"),
+    }
+    stats = {
+        "backbone": conv["batch_stats"],
+        "proj_bn": bn_stats("feature_projector.1"),
+        "cls_bn": bn_stats("classifier.1"),
+    }
+    bank = sd.get("feature_bank")
+    return {"params": params, "batch_stats": stats, "feature_bank": bank}

@@ -164,6 +164,11 @@ def restore_checkpoint(path: str, target: Any) -> Any:
         t = tgt_flat.get(k)
         if getattr(v, "shape", None) == (1,) and getattr(t, "shape", None) == ():
             flat[k] = np.asarray(v).reshape(())
+    # forward-compat: optional state fields added after a checkpoint was
+    # written (e.g. ClassifierState.extras) restore as their None default
+    for k, t in tgt_flat.items():
+        if k not in flat and t is None:
+            flat[k] = None
 
     sd = traverse_util.unflatten_dict(flat, sep=_SEP)
     return serialization.from_state_dict(target, sd)
