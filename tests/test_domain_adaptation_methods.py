@@ -1,0 +1,199 @@
+"""DA method-space depth (VERDICT r1 gap #5): prototype strategies, NCC,
+progressive/mean-shift LCCS, LCCS ensembles, and the full eval_config grid.
+
+Parity targets: domain_adaptation_experiment/{enhanced_prototype_methods.py,
+eval_utils.py, lccs_adapter.py v2/v3, lccs_ensemble.py, eval_config.py}.
+"""
+import numpy as np
+import pytest
+
+from vavae_tpu.apps.domain_adaptation import (
+    EVAL_CONFIG,
+    build_prototypes_strategy,
+    ensemble_predict_probs,
+    full_method_grid,
+    lccs_mean_shift,
+    lccs_progressive,
+    lccs_pnc_combined,
+    ncc_classify,
+)
+
+
+def _toy_features(seed=0, n_per=6, num_classes=3, D=8, spread=0.2):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(num_classes, D)).astype(np.float32) * 3
+    feats, labels = [], []
+    for c in range(num_classes):
+        feats.append(centers[c] + rng.normal(size=(n_per, D)).astype(np.float32) * spread)
+        labels.append(np.full(n_per, c))
+    return np.concatenate(feats), np.concatenate(labels).astype(np.int64), centers
+
+
+@pytest.mark.parametrize(
+    "strategy", ["simple_mean", "weighted_mean", "augmented", "adaptive",
+                 "diversity", "uncertainty"]
+)
+def test_prototype_strategies_recover_centers(strategy):
+    feats, labels, centers = _toy_features()
+    probs = np.full((len(labels), 3), 0.1, np.float32)
+    probs[np.arange(len(labels)), labels] = 0.8
+    protos = build_prototypes_strategy(
+        feats, labels, 3, strategy=strategy, probs=probs, num_select=3
+    )
+    assert protos.shape == (3, 8)
+    np.testing.assert_allclose(np.linalg.norm(protos, axis=1), 1.0, rtol=1e-5)
+    # each prototype is closest (cosine) to its own class center
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    sim = protos @ cn.T
+    assert (sim.argmax(axis=1) == np.arange(3)).all()
+
+
+def test_prototype_strategy_empty_class_zero():
+    feats, labels, _ = _toy_features(num_classes=2)
+    protos = build_prototypes_strategy(feats, labels, 4, strategy="simple_mean")
+    assert np.abs(protos[2]).max() == 0 and np.abs(protos[3]).max() == 0
+
+
+def test_prototype_parity_vs_reference_formulas():
+    """simple_mean / adaptive vs the reference torch formulas re-derived
+    inline (enhanced_prototype_methods.py:33-126)."""
+    import torch
+    import torch.nn.functional as F
+
+    feats, labels, _ = _toy_features(seed=3)
+    tf, tl = torch.from_numpy(feats), torch.from_numpy(labels)
+
+    # v1 simple mean
+    want = []
+    for c in range(3):
+        want.append(F.normalize(tf[tl == c].mean(dim=0), dim=0))
+    want = torch.stack(want).numpy()
+    got = build_prototypes_strategy(feats, labels, 3, strategy="simple_mean")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # v4 adaptive (soft nearest neighbor at temperature)
+    want = []
+    for c in range(3):
+        cf = tf[tl == c]
+        sim = (cf @ cf.T) / 0.1
+        w = F.softmax(sim, dim=1)
+        want.append(F.normalize((w @ cf).mean(dim=0), dim=0))
+    want = torch.stack(want).numpy()
+    got = build_prototypes_strategy(feats, labels, 3, strategy="adaptive",
+                                    temperature=0.1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ncc_classify_both_metrics():
+    feats, labels, _ = _toy_features(seed=4, spread=0.05)
+    protos = build_prototypes_strategy(feats, labels, 3)
+    for metric in ("cosine", "euclidean"):
+        preds, conf, probs = ncc_classify(feats, protos, metric=metric,
+                                          temperature=0.05)
+        assert (preds == labels).mean() == 1.0
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+        assert conf.min() > 1 / 3
+
+
+def test_ensemble_predict_methods_match_reference_semantics():
+    rng = np.random.default_rng(0)
+    o = rng.dirichlet(np.ones(4), size=6).astype(np.float32)
+    a = rng.dirichlet(np.ones(4), size=6).astype(np.float32)
+    # confidence weighting (lccs_ensemble.py:52-61)
+    oc, ac = o.max(-1, keepdims=True), a.max(-1, keepdims=True)
+    want = o * (oc / (oc + ac + 1e-8)) + a * (ac / (oc + ac + 1e-8))
+    np.testing.assert_allclose(
+        ensemble_predict_probs(o, a, "confidence_weighted"), want, rtol=1e-6
+    )
+    got = ensemble_predict_probs(o, a, "max_confidence")
+    for i in range(6):
+        src = a if a[i].max() > o[i].max() else o
+        np.testing.assert_allclose(got[i], src[i])
+    np.testing.assert_allclose(ensemble_predict_probs(o, a, "average"), (o + a) / 2)
+    np.testing.assert_allclose(ensemble_predict_probs(o, a, "lccs_only"), a)
+    with pytest.raises(ValueError):
+        ensemble_predict_probs(o, a, "nope")
+
+
+@pytest.fixture(scope="module")
+def tiny_clf():
+    import jax
+
+    from vavae_tpu.models.resnet import ResNet18
+
+    model = ResNet18(num_classes=3)
+    x = np.random.default_rng(0).normal(size=(6, 32, 32, 3)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
+    return model, variables["params"], variables["batch_stats"], x
+
+
+def test_lccs_progressive_moves_stats_toward_target(tiny_clf):
+    """Progressive update with small momentum: stats move strictly toward
+    the support batch statistics, monotonically in iterations, and far less
+    than a large-momentum run."""
+    import flax
+
+    model, params, stats, x = tiny_clf
+    shifted = x + 2.0  # a domain shift in input statistics
+
+    def dist(a, b):
+        fa = flax.traverse_util.flatten_dict(a, sep="/")
+        fb = flax.traverse_util.flatten_dict(b, sep="/")
+        return float(sum(np.abs(np.asarray(fa[k]) - np.asarray(fb[k])).sum()
+                         for k in fa))
+
+    s_small = lccs_progressive(model, params, stats, shifted, momentum=0.01,
+                               iterations=1)
+    s_more = lccs_progressive(model, params, stats, shifted, momentum=0.01,
+                              iterations=5)
+    s_big = lccs_progressive(model, params, stats, shifted, momentum=0.2,
+                             iterations=5)
+    d1, d5, dbig = dist(stats, s_small), dist(stats, s_more), dist(stats, s_big)
+    assert 0 < d1 < d5 < dbig
+
+
+def test_lccs_mean_shift_only_touches_means(tiny_clf):
+    import flax
+
+    model, params, stats, x = tiny_clf
+    out = lccs_mean_shift(model, params, stats, x + 1.0, shift=0.3)
+    fs = flax.traverse_util.flatten_dict(stats, sep="/")
+    fo = flax.traverse_util.flatten_dict(out, sep="/")
+    mean_moved = var_moved = 0
+    for k in fs:
+        delta = np.abs(np.asarray(fs[k]) - np.asarray(fo[k])).max()
+        if k.endswith("/mean"):
+            mean_moved += delta > 0
+        else:
+            var_moved += delta > 0
+    assert mean_moved > 0 and var_moved == 0
+
+
+def test_lccs_pnc_combined_method_variants(tiny_clf):
+    model, params, stats, x = tiny_clf
+    labels = np.array([0, 0, 1, 1, 2, 2])
+    for method, lp in [("weighted", None),
+                       ("progressive", {"momentum": 0.05, "iterations": 2}),
+                       ("mean_shift", {"shift": 0.3})]:
+        _, protos, predict = lccs_pnc_combined(
+            model, params, stats, x, labels, 3,
+            lccs_method=method, lccs_params=lp,
+            prototype_strategy="weighted_mean",
+            pnc_cfg={"temperature": 0.1, "fusion_weight": 0.5},
+        )
+        probs = predict(x)
+        assert probs.shape == (6, 3)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_full_method_grid_covers_reference_space():
+    combos = full_method_grid()
+    # (4 momentums × 3 iterations + 5 weighted alphas) × 6 fusion α ×
+    # 5 taus × 2 adaptive × 4 strategies  (eval_config.py:8-56)
+    assert len(combos) == (4 * 3 + 5) * 6 * 5 * 2 * 4
+    methods = {c["lccs_method"] for c in combos}
+    assert methods == {"progressive", "weighted"}
+    strategies = {c["prototype_strategy"] for c in combos}
+    assert strategies == set(EVAL_CONFIG["prototype_strategies"])
+    taus = {c["pnc_temperature"] for c in combos}
+    assert taus == set(EVAL_CONFIG["pnc"]["similarity_taus"])

@@ -75,6 +75,83 @@ class LCCSAdapter:
         return self.source_stats
 
 
+# -- LCCS v2: progressive small-momentum BN update ------------------------------
+
+
+def lccs_progressive(
+    model,
+    params: Any,
+    source_stats: Any,
+    support_images: np.ndarray,
+    momentum: float = 0.01,
+    iterations: int = 5,
+    batch_size: int = 32,
+    flax_momentum: float = 0.9,
+) -> Any:
+    """Progressive BN-stat update (lccs_adapter.py:97-124 adapt_bn_stats_v2):
+    repeatedly forward the support set in train mode, folding each batch's
+    statistics in with a SMALL torch-style momentum m: S ← (1−m)·S + m·B.
+
+    flax's BatchNorm applies S' = f·S + (1−f)·B with the module-defined
+    f (=0.9 in models/resnet.py), so the per-batch statistic is recovered
+    exactly as B = (S' − f·S)/(1−f) and re-folded with the requested m —
+    no module surgery, unlike the reference's in-place momentum rewrite."""
+    stats = source_stats
+    for _ in range(iterations):
+        for s in range(0, len(support_images), batch_size):
+            batch = jnp.asarray(support_images[s : s + batch_size])
+            _, updates = model.apply(
+                {"params": params, "batch_stats": stats},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            new = updates["batch_stats"]
+            stats = jax.tree_util.tree_map(
+                lambda S, Sp: (1.0 - momentum) * S
+                + momentum * (Sp - flax_momentum * S) / (1.0 - flax_momentum),
+                stats, new,
+            )
+    return stats
+
+
+def lccs_mean_shift(
+    model,
+    params: Any,
+    source_stats: Any,
+    support_images: np.ndarray,
+    shift: float = 0.3,
+    batch_size: int = 32,
+    flax_momentum: float = 0.9,
+) -> Any:
+    """Mean-shift-only adaptation (lccs_adapter.py:126-180 adapt_bn_stats_v3):
+    μ ← μ + shift·(μ_target − μ), variances untouched. The target means are
+    the support set's per-layer batch means (recovered from one train-mode
+    pass); the reference's hook-based version mixes post-normalization
+    output means into running means — we use the input-statistic form."""
+    batches = []
+    for s in range(0, len(support_images), batch_size):
+        batch = jnp.asarray(support_images[s : s + batch_size])
+        _, updates = model.apply(
+            {"params": params, "batch_stats": source_stats},
+            batch, train=True, mutable=["batch_stats"],
+        )
+        recovered = jax.tree_util.tree_map(
+            lambda S, Sp: (Sp - flax_momentum * S) / (1.0 - flax_momentum),
+            source_stats, updates["batch_stats"],
+        )
+        batches.append(recovered)
+    target = jax.tree_util.tree_map(lambda *xs: jnp.mean(jnp.stack(xs), 0), *batches)
+
+    import flax
+
+    flat_s = flax.traverse_util.flatten_dict(source_stats, sep="/")
+    flat_t = flax.traverse_util.flatten_dict(target, sep="/")
+    fused = {
+        k: (v + shift * (flat_t[k] - v)) if k.endswith("/mean") else v
+        for k, v in flat_s.items()
+    }
+    return flax.traverse_util.unflatten_dict(fused, sep="/")
+
+
 # -- PNC: prototype-based classification fusion --------------------------------
 
 
@@ -261,9 +338,160 @@ def paired_t_test(acc_a: Sequence[float], acc_b: Sequence[float]) -> Dict[str, f
 
 
 def adapted_ensemble_probs(prob_list: Sequence[np.ndarray]) -> np.ndarray:
-    """lccs_ensemble: average the softmax outputs of several adapted variants
+    """Average the softmax outputs of several adapted variants
     (different α / per-layer settings)."""
     return np.mean(np.stack(prob_list), axis=0)
+
+
+def ensemble_predict_probs(
+    orig_probs: np.ndarray,
+    adapt_probs: np.ndarray,
+    method: str = "confidence_weighted",
+) -> np.ndarray:
+    """LCCSEnsemble fusion of original vs LCCS-adapted model predictions
+    (lccs_ensemble.py:38-78): per-sample confidence weighting, max-confidence
+    selection, plain average, or the adapted model alone."""
+    if method == "confidence_weighted":
+        oc = orig_probs.max(axis=-1, keepdims=True)
+        ac = adapt_probs.max(axis=-1, keepdims=True)
+        total = oc + ac + 1e-8
+        return orig_probs * (oc / total) + adapt_probs * (ac / total)
+    if method == "max_confidence":
+        mask = adapt_probs.max(-1, keepdims=True) > orig_probs.max(-1, keepdims=True)
+        return np.where(mask, adapt_probs, orig_probs)
+    if method == "average":
+        return (orig_probs + adapt_probs) / 2.0
+    if method == "lccs_only":
+        return adapt_probs
+    raise ValueError(f"unknown ensemble method {method!r}")
+
+
+# -- prototype strategies (enhanced_prototype_methods.py + eval_utils.py) -------
+
+
+def build_prototypes_strategy(
+    features: np.ndarray,
+    labels: np.ndarray,
+    num_classes: int,
+    strategy: str = "simple_mean",
+    probs: Optional[np.ndarray] = None,
+    temperature: float = 0.1,
+    augment_factor: float = 0.1,
+    num_select: Optional[int] = None,
+    seed: int = 42,
+) -> np.ndarray:
+    """Class prototypes under the reference's strategy space
+    (eval_config.py PROTOTYPE_STRATEGIES + enhanced_prototype_methods.py):
+
+      - simple_mean: mean → L2 normalize (eval_utils.py:161)
+      - weighted_mean: classifier-confidence weights when ``probs`` given,
+        else feature-norm softmax (enhanced v2, :44-75; eval_utils :192)
+      - augmented: base mean averaged with 3 noise-perturbed copies
+        (enhanced v3, :77-102)
+      - adaptive: soft-nearest-neighbor reweighting within the class at
+        ``temperature`` (enhanced v4, :104-126)
+      - diversity: k-means picks ``num_select`` spread-out samples, mean of
+        those (eval_utils :255)
+      - uncertainty: top-half highest-entropy samples, needs ``probs``
+        (eval_utils :305)
+
+    Empty classes get zero prototypes (reference behavior)."""
+    D = features.shape[-1]
+    rng = np.random.default_rng(seed)
+    protos = np.zeros((num_classes, D), np.float32)
+
+    def _norm(v):
+        n = np.linalg.norm(v)
+        return v / n if n > 1e-12 else v
+
+    for c in range(num_classes):
+        mask = labels == c
+        f = features[mask]
+        if len(f) == 0:
+            continue
+        if strategy == "simple_mean":
+            p = f.mean(axis=0)
+        elif strategy == "weighted_mean":
+            if probs is not None:
+                w = probs[mask].max(axis=-1)
+                w = w / max(w.sum(), 1e-12)
+            else:
+                n = np.linalg.norm(f, axis=-1)
+                e = np.exp(n - n.max())
+                w = e / e.sum()
+            p = (f * w[:, None]).sum(axis=0)
+        elif strategy == "augmented":
+            base = f.mean(axis=0)
+            noisy = [base + rng.standard_normal(D).astype(np.float32) * augment_factor
+                     for _ in range(3)]
+            p = np.stack([base] + noisy).mean(axis=0)
+        elif strategy == "adaptive":
+            sim = (f @ f.T) / temperature
+            sim = sim - sim.max(axis=1, keepdims=True)
+            w = np.exp(sim)
+            w = w / w.sum(axis=1, keepdims=True)
+            p = (w @ f).mean(axis=0)
+        elif strategy == "diversity":
+            k = num_select if num_select is not None else len(f)
+            if len(f) <= k:
+                sel = f
+            else:
+                from sklearn.cluster import KMeans
+
+                km = KMeans(n_clusters=k, random_state=42, n_init=10).fit(f)
+                idx = [
+                    int(np.argmin(np.linalg.norm(f - cen, axis=1)))
+                    for cen in km.cluster_centers_
+                ]
+                sel = f[idx]
+            p = sel.mean(axis=0)
+        elif strategy == "uncertainty":
+            assert probs is not None, "uncertainty strategy needs classifier probs"
+            pr = probs[mask]
+            ent = -(pr * np.log(pr + 1e-8)).sum(axis=-1)
+            order = np.argsort(-ent)
+            top_k = min(len(f), max(1, len(f) // 2))
+            p = f[order[:top_k]].mean(axis=0)
+        else:
+            raise ValueError(f"unknown prototype strategy {strategy!r}")
+        protos[c] = _norm(p)
+    return protos
+
+
+def ncc_classify(
+    features: np.ndarray,
+    prototypes: np.ndarray,
+    metric: str = "cosine",
+    temperature: float = 0.1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Nearest-centroid classification (lccs_adapter.py:215-273, soft form
+    enhanced_prototype_methods.py:143-152): returns (preds, confidences,
+    probs). metric ∈ {cosine, euclidean} (NCC_CONFIG distance_metrics);
+    scores are temperature-softmaxed."""
+    if metric == "cosine":
+        f = features / np.maximum(np.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+        p = prototypes / np.maximum(np.linalg.norm(prototypes, axis=-1, keepdims=True), 1e-12)
+        scores = f @ p.T
+    elif metric == "euclidean":
+        d = np.linalg.norm(features[:, None, :] - prototypes[None, :, :], axis=-1)
+        scores = -d
+    else:
+        raise ValueError(f"unknown NCC metric {metric!r}")
+    z = scores / temperature
+    z = z - z.max(axis=-1, keepdims=True)
+    probs = np.exp(z)
+    probs /= probs.sum(axis=-1, keepdims=True)
+    preds = probs.argmax(axis=-1)
+    return preds, probs.max(axis=-1), probs
+
+
+def _apply_logits(model, params, stats, images):
+    out = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(images), train=False
+    )
+    if isinstance(out, tuple):  # DomainAdaptiveClassifier returns (logits, feat)
+        out = out[0]
+    return out
 
 
 def lccs_pnc_combined(
@@ -275,14 +503,34 @@ def lccs_pnc_combined(
     num_classes: int,
     alpha: float = 0.3,
     pnc_cfg: Optional[dict] = None,
+    lccs_method: str = "weighted",
+    lccs_params: Optional[dict] = None,
+    prototype_strategy: Optional[str] = None,
 ):
     """lccs_pnc_combined.py: LCCS-adapt the BN stats on the support set, then
     build prototypes from features computed WITH the adapted stats (the
     whole point of combining the methods). Returns (batch_stats, prototypes,
     predict_fn(images) -> fused probs). Requires the model to support
-    ``features=True`` (models/resnet.py ResNet18 does)."""
-    adapter = LCCSAdapter(model, params, source_stats)
-    stats = adapter.adapt(support_images, alpha=alpha)
+    ``features=True`` (models/resnet.py ResNet18 does).
+
+    lccs_method ∈ {weighted, progressive, mean_shift} (eval_config
+    LCCS_CONFIG methods + the v3 variant); prototype_strategy selects a
+    builder from build_prototypes_strategy (None = the norm-weighted
+    improved_pnc builder)."""
+    if lccs_method == "weighted":
+        stats = LCCSAdapter(model, params, source_stats).adapt(
+            support_images, alpha=alpha
+        )
+    elif lccs_method == "progressive":
+        stats = lccs_progressive(
+            model, params, source_stats, support_images, **(lccs_params or {})
+        )
+    elif lccs_method == "mean_shift":
+        stats = lccs_mean_shift(
+            model, params, source_stats, support_images, **(lccs_params or {})
+        )
+    else:
+        raise ValueError(f"unknown lccs_method {lccs_method!r}")
 
     def adapted_features(images) -> np.ndarray:
         return np.asarray(
@@ -293,13 +541,19 @@ def lccs_pnc_combined(
         )
 
     feats = adapted_features(support_images)
-    protos = build_prototypes(feats, support_labels, num_classes)
+    if prototype_strategy is None:
+        protos = build_prototypes(feats, support_labels, num_classes)
+    else:
+        sup_probs = np.asarray(jax.nn.softmax(
+            _apply_logits(model, params, stats, support_images)
+        ))
+        protos = build_prototypes_strategy(
+            feats, support_labels, num_classes, strategy=prototype_strategy,
+            probs=sup_probs,
+        )
 
     def predict(images: np.ndarray) -> np.ndarray:
-        logits = model.apply(
-            {"params": params, "batch_stats": stats}, jnp.asarray(images), train=False
-        )
-        probs = np.asarray(jax.nn.softmax(logits))
+        probs = np.asarray(jax.nn.softmax(_apply_logits(model, params, stats, images)))
         return pnc_probs(adapted_features(images), probs, protos, **(pnc_cfg or {}))
 
     return stats, protos, predict
@@ -325,12 +579,76 @@ def hyperparameter_search(
 
 
 DEFAULT_SEARCH_SPACE = {
-    # eval_config.py:8-40 search dimensions
+    # compact everyday grid (the full reference space is EVAL_CONFIG below)
     "lccs_alpha": [0.1, 0.2, 0.3, 0.5],
     "pnc_temperature": [0.05, 0.1, 0.2],
     "pnc_fusion_weight": [0.3, 0.5, 0.7],
     "confidence_adaptive": [True, False],
 }
+
+# the reference's complete search space, dimension for dimension
+# (domain_adaptation_experiment/eval_config.py:8-56)
+EVAL_CONFIG = {
+    "data": {
+        "support_sizes": [3, 5, 10],
+        "random_seeds": [42, 123, 456],
+    },
+    "pnc": {
+        "fusion_alphas": [0.3, 0.4, 0.5, 0.6, 0.7, 0.8],
+        "similarity_taus": [0.005, 0.01, 0.02, 0.05, 0.1],
+        "use_adaptive_fusion": [True, False],
+    },
+    "lccs": {
+        "methods": ["progressive", "weighted"],
+        "progressive": {
+            "momentums": [0.001, 0.005, 0.01, 0.02],
+            "iterations": [3, 5, 10],
+        },
+        "weighted": {"alphas": [0.1, 0.2, 0.3, 0.4, 0.5]},
+    },
+    "ncc": {
+        "temperatures": [0.005, 0.01, 0.02, 0.05],
+        "distance_metrics": ["cosine", "euclidean"],
+    },
+    "prototype_strategies": [
+        "simple_mean", "weighted_mean", "diversity", "uncertainty",
+    ],
+    "quick_test": {"support_sizes": [3], "random_seeds": [42]},
+}
+
+
+def full_method_grid(eval_config: Dict = EVAL_CONFIG) -> List[Dict]:
+    """Enumerate every method combination the reference drivers search
+    (run_full/optimized_hyperparameter_search.py over eval_config.py):
+    each LCCS variant (progressive momentum×iterations + weighted alphas)
+    crossed with the PNC grid and each prototype strategy. Returns a list
+    of config dicts consumable by the CLI's eval function."""
+    lccs_variants: List[Dict] = []
+    prog = eval_config["lccs"]["progressive"]
+    for m in prog["momentums"]:
+        for it in prog["iterations"]:
+            lccs_variants.append({
+                "lccs_method": "progressive",
+                "lccs_params": {"momentum": m, "iterations": it},
+            })
+    for a in eval_config["lccs"]["weighted"]["alphas"]:
+        lccs_variants.append({"lccs_method": "weighted", "lccs_alpha": a})
+
+    combos: List[Dict] = []
+    pnc = eval_config["pnc"]
+    for lv in lccs_variants:
+        for fa in pnc["fusion_alphas"]:
+            for tau in pnc["similarity_taus"]:
+                for adaptive in pnc["use_adaptive_fusion"]:
+                    for strat in eval_config["prototype_strategies"]:
+                        combos.append({
+                            **lv,
+                            "pnc_fusion_weight": fa,
+                            "pnc_temperature": tau,
+                            "confidence_adaptive": adaptive,
+                            "prototype_strategy": strat,
+                        })
+    return combos
 
 
 def main() -> None:
@@ -358,7 +676,18 @@ def main() -> None:
     ap.add_argument("--support_per_class", type=int, default=5)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--full_grid", action="store_true",
-                    help="search the full eval_config.py grid (default: a 2x2 sub-grid)")
+                    help="search DEFAULT_SEARCH_SPACE (default: a 2x2 sub-grid)")
+    ap.add_argument("--reference_grid", action="store_true",
+                    help="search the reference's COMPLETE method space "
+                         "(eval_config.py: every LCCS variant × PNC grid × "
+                         "prototype strategy — thousands of combos)")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="cap the number of combos evaluated (sampled evenly)")
+    ap.add_argument("--ensemble", default=None,
+                    choices=["confidence_weighted", "max_confidence",
+                             "average", "lccs_only"],
+                    help="also fuse the best adapted model with the original "
+                         "(lccs_ensemble.py) and report the ensemble accuracy")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -394,24 +723,53 @@ def main() -> None:
         "confidence_adaptive": [True],
     }
 
-    def eval_cfg(cfg):
-        stats, protos, predict = lccs_pnc_combined(
+    def adapt_cfg(cfg):
+        return lccs_pnc_combined(
             model, params, source_stats, sup_x, sup_y, args.num_classes,
-            alpha=cfg["lccs_alpha"],
+            alpha=cfg.get("lccs_alpha", 0.3),
+            lccs_method=cfg.get("lccs_method", "weighted"),
+            lccs_params=cfg.get("lccs_params"),
+            prototype_strategy=cfg.get("prototype_strategy"),
             pnc_cfg=dict(
                 temperature=cfg["pnc_temperature"],
                 fusion_weight=cfg["pnc_fusion_weight"],
                 confidence_adaptive=cfg["confidence_adaptive"],
             ),
         )
+
+    def eval_cfg(cfg):
+        _, _, predict = adapt_cfg(cfg)
         preds = []
         for s in range(0, len(test_x), 64):
             preds.append(predict(test_x[s : s + 64]).argmax(-1))
         return float((np.concatenate(preds) == test_y).mean())
 
-    best_cfg, best_acc, results = hyperparameter_search(eval_cfg, grid)
+    if args.reference_grid:
+        combos = full_method_grid()
+        if args.limit and args.limit < len(combos):
+            idx = np.linspace(0, len(combos) - 1, args.limit).astype(int)
+            combos = [combos[i] for i in idx]
+        print(f"reference grid: {len(combos)} method combinations")
+        results = [(c, eval_cfg(c)) for c in combos]
+        best_cfg, best_acc = max(results, key=lambda r: r[1])
+    else:
+        best_cfg, best_acc, results = hyperparameter_search(eval_cfg, grid)
     print(f"best adapted: {best_acc:.4f} with {best_cfg} "
           f"(delta {best_acc - baseline.accuracy:+.4f})")
+
+    if args.ensemble:
+        stats, _, predict = adapt_cfg(best_cfg)
+        fused_preds = []
+        for s in range(0, len(test_x), 64):
+            xb = test_x[s : s + 64]
+            orig = np.asarray(jax.nn.softmax(
+                _apply_logits(model, params, source_stats, xb)
+            ))
+            fused_preds.append(
+                ensemble_predict_probs(orig, predict(xb), args.ensemble).argmax(-1)
+            )
+        ens_acc = float((np.concatenate(fused_preds) == test_y).mean())
+        print(f"ensemble ({args.ensemble}): {ens_acc:.4f}")
     if args.out:
         with open(args.out, "w") as f:
             json.dump({
