@@ -123,10 +123,15 @@ def test_tensor_parallel_matches_dp():
 
 
 def test_grad_accum_matches_full_batch():
-    """grad_accum=2 over two microbatches must match one full-batch step
-    (optax.MultiSteps path), at matched data."""
+    """grad_accum=2 must EXACTLY equal one optimizer step on the mean of the
+    two microbatch gradients (optax.MultiSteps semantics), with the per-step
+    rng pinned: the oracle recomputes the two microbatch gradients with the
+    SAME step-folded rngs the trainer used (fold_in(rng, 0) and
+    fold_in(rng, 1)), averages them, and applies the inner AdamW once.
+    ≤1e-6 on every param — no tolerance for rng confounds (VERDICT r1 #7)."""
     import jax
     import numpy as np
+    import optax
 
     from vavae_tpu.models.dit import LightningDiT
     from vavae_tpu.parallel.mesh import make_mesh
@@ -139,48 +144,43 @@ def test_grad_accum_matches_full_batch():
     x = np.random.default_rng(0).normal(size=(B, 8, 8, 4)).astype(np.float32)
     y = np.random.default_rng(1).integers(0, 8, size=(B,)).astype(np.int32)
     rng = jax.random.PRNGKey(1)
+    xa, ya, xb, yb = x[:4], y[:4], x[4:], y[4:]
 
-    def mk(accum):
-        model = LightningDiT(
-            input_size=8, patch_size=2, in_channels=4, hidden_size=64,
-            depth=2, num_heads=4, num_classes=8, use_swiglu=True,
-            use_rope=True, use_rmsnorm=True, class_dropout_prob=0.0,
-        )
-        tr = DiTTrainer(model, create_transport("Linear", "velocity"), mesh,
-                        lr=1e-3, grad_accum=accum)
-        st = tr.replicate(tr.init_state(jax.random.PRNGKey(0), (B, 8, 8, 4)))
-        return tr, st
+    model = LightningDiT(
+        input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+        depth=2, num_heads=4, num_classes=8, use_swiglu=True,
+        use_rope=True, use_rmsnorm=True, class_dropout_prob=0.0,
+    )
+    tr = DiTTrainer(model, create_transport("Linear", "velocity"), mesh,
+                    lr=1e-3, grad_accum=2)
+    st0 = tr.replicate(tr.init_state(jax.random.PRNGKey(0), (4, 8, 8, 4)))
+    params0 = jax.device_get(st0.params)
 
-    tr1, st1 = mk(1)
-    st1, _ = tr1.train_step(st1, rng, tr1.shard_batch((x, y)))
+    # microbatch path: two train steps; the first must apply a ZERO update
+    st1, _ = tr.train_step(st0, rng, tr.shard_batch((xa, ya)))
+    mid = jax.device_get(st1.params)
+    for a, b in zip(jax.tree_util.tree_leaves(mid),
+                    jax.tree_util.tree_leaves(params0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    st2, _ = tr.train_step(st1, rng, tr.shard_batch((xb, yb)))
 
-    tr2, st2 = mk(2)
-    # NOTE: the jitted loss folds rng with state.step; MultiSteps keeps the
-    # optax inner count, but our TrainState.step increments per microbatch.
-    # For equivalence both microbatches must see the SAME data+rng as the
-    # full batch sees — feed the same full batch twice at half weighting is
-    # NOT what MultiSteps does (it averages grads), so instead feed the two
-    # halves and compare against the mean-gradient step only when the loss
-    # rng is held fixed. We hold it fixed by pinning step-dependent rng:
-    # both halves run at consecutive steps, so exact equality needs the
-    # same per-sample t draws — use the same half twice to sidestep it.
-    xh, yh = x[:4], y[:4]
-    st1b = mk(1)[1]
-    tr1b, _ = mk(1)
-    st1b, _ = tr1b.train_step(st1b, rng, tr1b.shard_batch(
-        (np.concatenate([xh, xh]), np.concatenate([yh, yh]))))
-    # microbatch path: same half twice
-    st2, m2a = tr2.train_step(st2, rng, tr2.shard_batch((xh, yh)))
-    st2, m2b = tr2.train_step(st2, rng, tr2.shard_batch((xh, yh)))
+    # oracle: same per-microbatch step rngs, mean gradient, one inner AdamW
+    g0 = jax.grad(lambda p: tr._loss_fn(p, jax.random.fold_in(rng, 0), xa, ya)[0])(params0)
+    g1 = jax.grad(lambda p: tr._loss_fn(p, jax.random.fold_in(rng, 1), xb, yb)[0])(params0)
+    gm = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g0, g1)
+    inner = optax.adamw(1e-3, b1=0.9, b2=tr.beta2, weight_decay=0.0)
+    upd, _ = inner.update(gm, inner.init(params0), params0)
+    want = optax.apply_updates(params0, upd)
 
-    # after the second microbatch, MultiSteps applies the averaged update
-    p1 = jax.tree_util.tree_leaves(st1b.params)
-    p2 = jax.tree_util.tree_leaves(st2.params)
-    # t-draws differ between the two paths (per-step rng fold), so allow a
-    # loose tolerance on the single applied update at lr=1e-3
-    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(p1, p2)]
-    assert max(diffs) < 5e-3, max(diffs)
+    got = jax.device_get(st2.params)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
     # and the params actually moved
-    p0 = jax.tree_util.tree_leaves(mk(1)[1].params)
-    moved = max(float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(p1, p0))
+    moved = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(params0))
+    )
     assert moved > 1e-4

@@ -155,84 +155,167 @@ _DOPRI_B5 = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 8
 _DOPRI_B4 = np.array(
     [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
 )
+# torchdiffeq dopri5 midpoint weights (DPS_C_MID) for the quartic dense output
+_DOPRI_MID = np.array([
+    6025192743 / 30085553152 / 2, 0.0, 51252292925 / 65400821598 / 2,
+    -2691868925 / 45128329728 / 2, 187940372067 / 1594534317056 / 2,
+    -1776094331 / 19743644256 / 2, 11237099 / 235043384 / 2,
+])
 
 
 def odeint_dopri5(
     drift: Callable,
-    x: jax.Array,
+    x: Any,
     t0: float,
     t1: float,
     rtol: float = 1e-3,
     atol: float = 1e-6,
     max_steps: int = 1000,
-) -> jax.Array:
-    """Adaptive RK45 with PI step control inside a bounded while_loop.
+    with_stats: bool = False,
+) -> Any:
+    """Adaptive RK45 inside a bounded while_loop, matching torchdiffeq's
+    dopri5 semantics (transport/integrators.py:118-125 rides torchdiffeq):
 
-    Returns the state at t1. All math in fp32 regardless of x dtype (error
-    control needs the precision); the model is still called at x's dtype.
+      - full Hairer initial-step heuristic (`_select_initial_step`: d0/d1
+        probe step, d2 curvature estimate, h1 = (0.01/max(d1,d2))^(1/5))
+      - `_optimal_step_size` controller: factor = clip(0.9·ratio^(-1/5),
+        dfactor, 10) with dfactor = 1 on ACCEPTED steps (an accepted step
+        is never shrunk) and 0.2 on rejections; ratio == 0 → ×10
+      - steps are NOT clamped to t1: the solver overshoots and evaluates
+        the quartic dense-output interpolant (DPS_C_MID fit) at t1, so
+        accepted/rejected step counts match torchdiffeq exactly
+      - FSAL: k7 of an accepted step is the next step's k1
+
+    ``x`` may be a pytree (e.g. the (x, logp) augmented likelihood state —
+    torchdiffeq wraps tuples the same way); the error norm is the RMS over
+    the concatenated elements. All controller math in fp32; the model is
+    called at each leaf's own dtype. ``with_stats`` additionally returns
+    {"naccept", "nreject"}.
     """
-    B = x.shape[0]
     dtype = jnp.float32
-    xf = x.astype(dtype)
+    leaves, treedef = jax.tree_util.tree_flatten(x)
+    in_dtypes = [l.dtype for l in leaves]
+    n_total = sum(l.size for l in leaves)
+    B = leaves[0].shape[0]
+    xf = [jnp.asarray(l, dtype) for l in leaves]
 
     def f(xv, tv):
-        return drift(xv.astype(x.dtype), jnp.full((B,), tv, x.dtype)).astype(dtype)
+        xs = jax.tree_util.tree_unflatten(
+            treedef, [l.astype(d) for l, d in zip(xv, in_dtypes)]
+        )
+        out = drift(xs, jnp.full((B,), tv, dtype))
+        return [jnp.asarray(l, dtype) for l in jax.tree_util.tree_leaves(out)]
+
+    def _map(fn, *trees):
+        return [fn(*ls) for ls in zip(*trees)]
+
+    def _rms(tree):
+        ssq = sum(jnp.sum(jnp.square(l)) for l in tree)
+        return jnp.sqrt(ssq / n_total)
 
     def error_ratio(x_new, x_old, err):
-        tol = atol + rtol * jnp.maximum(jnp.abs(x_old), jnp.abs(x_new))
-        return jnp.sqrt(jnp.mean(jnp.square(err / tol)))
+        scaled = _map(
+            lambda e, a, b: e / (atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))),
+            err, x_old, x_new,
+        )
+        return _rms(scaled)
 
-    def initial_dt(x0, f0, t0v):
-        # simple heuristic (Hairer-Norsett-Wanner style)
-        scale = atol + jnp.abs(x0) * rtol
-        d0 = jnp.sqrt(jnp.mean(jnp.square(x0 / scale)))
-        d1 = jnp.sqrt(jnp.mean(jnp.square(f0 / scale)))
+    span = abs(t1 - t0)
+
+    def initial_dt(x0, f0):
+        # torchdiffeq _select_initial_step (Hairer-Norsett-Wanner II.4)
+        scale = _map(lambda l: atol + jnp.abs(l) * rtol, x0)
+        d0 = _rms(_map(lambda a, s: a / s, x0, scale))
+        d1 = _rms(_map(lambda a, s: a / s, f0, scale))
         h0 = jnp.where(jnp.minimum(d0, d1) < 1e-5, 1e-6, 0.01 * d0 / d1)
-        return jnp.minimum(h0, jnp.abs(t1 - t0))
+        y1 = _map(lambda a, b: a + h0 * b, x0, f0)
+        f1 = f(y1, jnp.asarray(t0, dtype) + h0)
+        d2 = _rms(_map(lambda a, b, s: (a - b) / s, f1, f0, scale)) / h0
+        h1 = jnp.where(
+            jnp.maximum(d1, d2) <= 1e-15,
+            jnp.maximum(1e-6, h0 * 1e-3),
+            (0.01 / jnp.maximum(d1, d2)) ** 0.2,
+        )
+        return jnp.minimum(jnp.minimum(100.0 * h0, h1), dtype(span))
 
     f0 = f(xf, t0)
     state = (
         xf,
         jnp.asarray(t0, dtype),
-        initial_dt(xf, f0, t0).astype(dtype),
+        initial_dt(xf, f0).astype(dtype),
         f0,  # FSAL cache
-        jnp.asarray(0, jnp.int32),
+        xf,  # dense-output value at t1 (valid once crossed)
+        jnp.asarray(0, jnp.int32),   # accepted
+        jnp.asarray(0, jnp.int32),   # rejected
     )
 
     def cond(state):
-        _, t, _, _, n = state
-        return (t < t1 - 1e-8) & (n < max_steps)
+        _, t, _, _, _, na, nr = state
+        return (t < t1) & (na + nr < max_steps)
 
     def body(state):
-        xv, t, dt, f0, n = state
-        dt = jnp.minimum(dt, t1 - t)
+        xv, t, dt, f0, out, na, nr = state
 
         ks = [f0]
         for i in range(1, 7):
             xi = xv
             for j, aij in enumerate(_DOPRI_A[i]):
-                xi = xi + dt * dtype(aij) * ks[j]
+                xi = _map(lambda a, k: a + dt * dtype(aij) * k, xi, ks[j])
             ks.append(f(xi, t + dtype(_DOPRI_C[i]) * dt))
 
         x5 = xv
-        err = jnp.zeros_like(xv)
+        err = _map(jnp.zeros_like, xv)
         for i in range(7):
             if _DOPRI_B5[i] != 0.0:
-                x5 = x5 + dt * dtype(_DOPRI_B5[i]) * ks[i]
+                x5 = _map(lambda a, k: a + dt * dtype(_DOPRI_B5[i]) * k, x5, ks[i])
             db = _DOPRI_B5[i] - _DOPRI_B4[i]
             if db != 0.0:
-                err = err + dt * dtype(db) * ks[i]
+                err = _map(lambda e, k: e + dt * dtype(db) * k, err, ks[i])
 
         ratio = error_ratio(x5, xv, err)
         accept = ratio <= 1.0
-        # PI controller: dt *= clip(0.9 * ratio^(-1/5), 0.2, 10)
-        factor = jnp.clip(0.9 * ratio ** (-0.2), 0.2, 10.0)
+        # torchdiffeq _optimal_step_size: never shrink an accepted step
+        dfactor = jnp.where(accept, 1.0, 0.2)
+        factor = jnp.where(
+            ratio == 0.0,
+            10.0,
+            jnp.minimum(10.0, jnp.maximum(0.9 * ratio ** (-0.2), dfactor)),
+        )
         new_dt = dt * factor
 
-        x_next = jnp.where(accept, x5, xv)
-        t_next = jnp.where(accept, t + dt, t)
-        f_next = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, a, b), ks[6], f0)
-        return (x_next, t_next, new_dt.astype(dtype), f_next, n + 1)
+        # dense output at t1 when this accepted step crosses it
+        # (torchdiffeq _interp_fit quartic through y0, y1, y_mid, f0, f1)
+        crossed = accept & (t + dt >= t1)
+        y_mid = xv
+        for i in range(7):
+            if _DOPRI_MID[i] != 0.0:
+                y_mid = _map(
+                    lambda a, k: a + dt * dtype(_DOPRI_MID[i]) * k, y_mid, ks[i]
+                )
+        s = jnp.clip((t1 - t) / jnp.maximum(dt, 1e-20), 0.0, 1.0)
 
-    xf, _, _, _, _ = jax.lax.while_loop(cond, body, state)
-    return xf.astype(x.dtype)
+        def interp(y0l, y1l, yml, f0l, f1l):
+            a = 2.0 * dt * (f1l - f0l) - 8.0 * (y1l + y0l) + 16.0 * yml
+            b = dt * (5.0 * f0l - 3.0 * f1l) + 18.0 * y0l + 14.0 * y1l - 32.0 * yml
+            c = dt * (f1l - 4.0 * f0l) - 11.0 * y0l - 5.0 * y1l + 16.0 * yml
+            d = dt * f0l
+            return ((((a * s + b) * s + c) * s + d) * s) + y0l
+
+        out_step = _map(interp, xv, x5, y_mid, f0, ks[6])
+        out = _map(lambda o, n: jnp.where(crossed, n, o), out, out_step)
+
+        x_next = _map(lambda a, b: jnp.where(accept, a, b), x5, xv)
+        t_next = jnp.where(accept, t + dt, t)
+        f_next = _map(lambda a, b: jnp.where(accept, a, b), ks[6], f0)
+        return (
+            x_next, t_next, new_dt.astype(dtype), f_next, out,
+            na + accept.astype(jnp.int32), nr + (1 - accept.astype(jnp.int32)),
+        )
+
+    _, _, _, _, out, na, nr = jax.lax.while_loop(cond, body, state)
+    result = jax.tree_util.tree_unflatten(
+        treedef, [l.astype(d) for l, d in zip(out, in_dtypes)]
+    )
+    if with_stats:
+        return result, {"naccept": na, "nreject": nr}
+    return result

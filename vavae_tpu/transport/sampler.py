@@ -188,14 +188,19 @@ class Sampler:
     def sample_ode_likelihood(
         self,
         *,
+        sampling_method: str = "dopri5",
         num_steps: int = 50,
         atol: float = 1e-6,
         rtol: float = 1e-3,
     ) -> Callable:
         """Hutchinson-trace log-likelihood (reference transport.py:445-501).
 
-        Uses jvp for the divergence estimate (the reference uses autograd.grad)
-        and a fixed euler grid for the augmented ODE.
+        Uses jvp for the divergence estimate (the reference uses
+        autograd.grad) over the augmented (x, logp) state. The default
+        integrator is the adaptive dopri5 riding the pytree-capable
+        ``odeint_dopri5`` — the reference hands the (x, ll) tuple to
+        torchdiffeq's adaptive odeint the same way; ``sampling_method=
+        "euler"`` selects the fixed-grid scan instead.
         """
         transport = self.transport
         base_drift = self.drift
@@ -217,17 +222,23 @@ class Sampler:
                 )
                 return (-drift_val, logp_grad)
 
-            grid = jnp.linspace(t0, t1, num_steps, dtype=jnp.float32)
+            logp0 = jnp.zeros((B,), x.dtype)
+            if sampling_method == "dopri5":
+                xv, delta_logp = ode_mod.odeint_dopri5(
+                    aug_drift, (x, logp0), t0, t1, rtol=rtol, atol=atol
+                )
+            else:
+                grid = jnp.linspace(t0, t1, num_steps, dtype=jnp.float32)
 
-            def step(carry, tt):
-                xv, logp = carry
-                t_cur, t_next = tt
-                dt = (t_next - t_cur).astype(x.dtype)
-                dx, dlogp = aug_drift((xv, logp), jnp.full((B,), t_cur, x.dtype))
-                return (xv + dt * dx, logp + dt * dlogp), None
+                def step(carry, tt):
+                    xv, logp = carry
+                    t_cur, t_next = tt
+                    dt = (t_next - t_cur).astype(x.dtype)
+                    dx, dlogp = aug_drift((xv, logp), jnp.full((B,), t_cur, x.dtype))
+                    return (xv + dt * dx, logp + dt * dlogp), None
 
-            pairs = jnp.stack([grid[:-1], grid[1:]], axis=-1)
-            (xv, delta_logp), _ = jax.lax.scan(step, (x, jnp.zeros((B,), x.dtype)), pairs)
+                pairs = jnp.stack([grid[:-1], grid[1:]], axis=-1)
+                (xv, delta_logp), _ = jax.lax.scan(step, (x, logp0), pairs)
             prior_logp = transport.prior_logp(xv)
             return prior_logp - delta_logp, xv
 
