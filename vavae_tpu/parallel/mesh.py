@@ -33,9 +33,20 @@ def multihost_init() -> None:
     Replaces torch.dist init_process_group("nccl") (reference
     extract_features.py:23). No-ops when single-host (the common case for
     tests and single-slice runs, where jax discovers all local devices).
+    Rendezvous via env vars — the same MASTER_ADDR/RANK-style contract as
+    the reference's run_train.sh:4-9: JAX_COORDINATOR_ADDRESS (host:port),
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID. On TPU pods with auto-detection the
+    latter two may be omitted.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kw = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
 
 
 def make_mesh(
@@ -73,15 +84,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host-local pytree of arrays onto the mesh, batch-sharded.
+    """Place a pytree of arrays onto the mesh, batch-sharded.
 
-    For single-host runs this scatters the global batch across local devices;
-    multi-host callers should pass per-host shards and use
-    ``jax.make_array_from_process_local_data`` semantics (handled here via
-    jax.device_put with a NamedSharding, which jax resolves per-process).
+    Single-process: ``batch`` is the global batch, scattered across local
+    devices with a plain device_put. Multi-process: ``batch`` is THIS
+    process's shard (the per-rank loader output, like the reference's
+    DistributedSampler batches) and the global array is assembled via
+    ``jax.make_array_from_process_local_data`` — device_put cannot target
+    non-addressable devices.
     """
+    multi = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        sharding = data_sharding(mesh, np.ndim(x))
+        if multi:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

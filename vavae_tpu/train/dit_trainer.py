@@ -166,12 +166,11 @@ class DiTTrainer:
         return jax.device_put(state, self.state_shardings(state))
 
     def shard_batch(self, batch):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                x, NamedSharding(self.mesh, P((DATA_AXIS, FSDP_AXIS), *([None] * (x.ndim - 1))))
-            ),
-            batch,
-        )
+        # multi-process aware: assembles a global array from per-process
+        # shards when running under jax.distributed (parallel/mesh.py)
+        from vavae_tpu.parallel.mesh import shard_batch as _shard_batch
+
+        return _shard_batch(self.mesh, batch)
 
     # -- steps ------------------------------------------------------------------
 
