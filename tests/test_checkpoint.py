@@ -116,3 +116,25 @@ def test_update_ema_mixed_precision_guard():
     # low decay is representable in bf16 — allowed
     out2 = update_ema({"w": jnp.ones((4,), jnp.bfloat16)}, p, 0.9)
     assert float(np.asarray(out2["w"].astype(jnp.float32))[0]) > 1.05
+
+
+def test_stage_epochs_done_prefers_epoch_json(tmp_path):
+    """ADVICE r1: a zero-step epoch re-saves under the same step number, so
+    distinct-checkpoint counting undercounts — the explicit epoch.json
+    record wins; legacy dirs without it fall back to counting."""
+    import json
+    import os
+
+    from vavae_tpu.pipelines.train_vavae import stage_epochs_done
+
+    d = str(tmp_path / "stage1")
+    os.makedirs(d)
+    assert stage_epochs_done(d) == 0
+    # legacy: two distinct-step checkpoints, no epoch.json
+    open(os.path.join(d, "0000005.safetensors"), "wb").close()
+    open(os.path.join(d, "0000010.safetensors"), "wb").close()
+    assert stage_epochs_done(d) == 2
+    # explicit record wins (e.g. 3 epochs done, one of them zero-step)
+    with open(os.path.join(d, "epoch.json"), "w") as f:
+        json.dump({"epochs_done": 3}, f)
+    assert stage_epochs_done(d) == 3

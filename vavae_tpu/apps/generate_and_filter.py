@@ -173,7 +173,9 @@ def run(
     feature_fn = trainer.feature_fn(state)
 
     if user_ids is None:
-        user_ids = list(range(cfg.data.num_classes - 1))  # last class = null
+        from vavae_tpu.utils.config import num_real_users
+
+        user_ids = list(range(num_real_users(cfg)))
     user_ids = user_ids[jax.process_index() :: jax.process_count()]
 
     results = {}

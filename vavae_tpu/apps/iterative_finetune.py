@@ -125,7 +125,9 @@ def main() -> None:
     cfg = load_config(args.config, overrides=args.overrides)
     mesh = make_mesh()
     latent_size = cfg.data.image_size // cfg.get("vae", {}).get("downsample_ratio", 16)
-    num_users = cfg.data.num_classes - 1  # last class = CFG null
+    from vavae_tpu.utils.config import num_real_users
+
+    num_users = num_real_users(cfg)
     model = create_dit(cfg.model, latent_size, cfg.data.num_classes)
     transport = build_transport(cfg)
     trainer = DiTTrainer(

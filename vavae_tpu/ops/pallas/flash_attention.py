@@ -304,13 +304,17 @@ def _fold_sin(rope, n: int, d: int):
     return cos, sin * sign[None, :]
 
 
-def _nat_group(h: int, n: int, d: int, bwd: bool) -> int:
-    """Heads per program: largest divisor of H fitting the VMEM budget."""
+def _nat_group(h: int, n: int, d: int, bwd: bool, itemsize: int = 2) -> int:
+    """Heads per program: largest divisor of H fitting the VMEM budget.
+
+    ``itemsize`` is the q/k/v/out element size (bf16=2, fp32=4); the n×n
+    score/probs blocks are always fp32. Sizing with the actual dtype keeps
+    long-sequence fp32 runs inside VMEM instead of failing to compile."""
     budget = 8 * 1024 * 1024
     if bwd:
-        per_head = 3 * n * n * 4 + 8 * n * d * 2
+        per_head = 3 * n * n * 4 + 8 * n * d * itemsize
     else:
-        per_head = 2 * n * n * 4 + 4 * n * d * 2
+        per_head = 2 * n * n * 4 + 4 * n * d * itemsize
     g = max(1, min(16, budget // max(per_head, 1)))
     while g > 1 and h % g:
         g -= 1
@@ -326,7 +330,7 @@ def _natural_attention(qkv3: jax.Array, tables, use_rope: bool) -> jax.Array:
 def _nat_forward(qkv3, tables, use_rope):
     B, _, H, N, D = qkv3.shape
     scale = D ** -0.5
-    Gh = _nat_group(H, N, D, bwd=False)
+    Gh = _nat_group(H, N, D, bwd=False, itemsize=qkv3.dtype.itemsize)
     cos, sinf = tables
     qkv_spec = pl.BlockSpec(
         (1, 3, Gh, N, D), lambda b, h: (b, 0, h, 0, 0), memory_space=pltpu.VMEM
@@ -354,7 +358,7 @@ def _nat_bwd_rule(use_rope, res, g):
     qkv3, tables = res
     B, _, H, N, D = qkv3.shape
     scale = D ** -0.5
-    Gh = _nat_group(H, N, D, bwd=True)
+    Gh = _nat_group(H, N, D, bwd=True, itemsize=qkv3.dtype.itemsize)
     cos, sinf = tables
     qkv_spec = pl.BlockSpec(
         (1, 3, Gh, N, D), lambda b, h: (b, 0, h, 0, 0), memory_space=pltpu.VMEM

@@ -209,7 +209,24 @@ def train_epochs(
         ckpt_lib.save_checkpoint(
             ckpt_dir, int(jax.device_get(state.step)), jax.device_get(state)
         )
+        # explicit epochs-done record: a zero-optimizer-step epoch (shard
+        # smaller than batch_size) saves under an unchanged step number, so
+        # counting distinct checkpoints would silently undercount and
+        # re-run completed epochs on resume
+        if jax.process_index() == 0:
+            with open(os.path.join(ckpt_dir, "epoch.json"), "w") as f:
+                json.dump({"epochs_done": epoch + 1}, f)
     return state, best_path
+
+
+def stage_epochs_done(stage_dir: str) -> int:
+    """Completed epochs in a stage dir: the explicit epoch.json record,
+    falling back to distinct-checkpoint counting for legacy dirs."""
+    p = os.path.join(stage_dir, "epoch.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(json.load(f).get("epochs_done", 0))
+    return ckpt_lib.checkpoint_count(stage_dir)
 
 
 def _load_pretrained(state: VAETrainState, path: str, cfg: Config, logger) -> VAETrainState:
@@ -293,7 +310,15 @@ def run_stages(
             lpips_fn=lpips_fn, lpips_params=lpips_params,
         )
         stage_dir = os.path.join(output_dir, f"stage{si + 1}")
-        epochs_done = ckpt_lib.checkpoint_count(stage_dir) if resume else 0
+        if not resume and ckpt_lib.checkpoint_count(stage_dir) > 0:
+            # a later default-resume run would mix this run's checkpoints
+            # with the abandoned ones and restore an inconsistent 'latest'
+            raise RuntimeError(
+                f"--no_resume requested but {stage_dir} already holds "
+                "checkpoints from a previous run — delete the stage dirs "
+                "(or choose a fresh --output_dir) before starting over"
+            )
+        epochs_done = stage_epochs_done(stage_dir) if resume else 0
         if epochs_done > 0:
             # resume mid- (or post-)stage: full train state incl. optimizers
             fresh = trainer.init_state(jax.random.PRNGKey(si))

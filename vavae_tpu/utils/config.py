@@ -109,3 +109,23 @@ def load_config(*paths: str, overrides: Iterable[str] = ()) -> Config:
 def save_config(cfg: Config, path: str) -> None:
     with open(path, "w") as f:
         yaml.safe_dump(cfg.to_dict(), f, sort_keys=False)
+
+
+def num_real_users(cfg: Config) -> int:
+    """Number of REAL user classes to iterate in per-user generation loops.
+
+    Framework convention: ``data.num_classes`` counts only real users — the
+    CFG null is the EXTRA LabelEmbedder row (id = num_classes), so every id
+    in [0, num_classes) is a real user (see pipelines/sample.py null_class
+    note). The reference's micro-Doppler configs instead bake the null INTO
+    num_classes (dit_s_microdoppler.yaml: 32 = 31 users + null) and iterate
+    range(31); that convention applies automatically when
+    ``sample.null_class`` is set (the same flag that reproduces the
+    reference inference quirk), or explicitly via ``data.num_users``.
+    """
+    explicit = cfg.get("data", {}).get("num_users")
+    if explicit is not None:
+        return int(explicit)
+    if cfg.get("sample", {}).get("null_class") is not None:
+        return int(cfg.data.num_classes) - 1
+    return int(cfg.data.num_classes)
