@@ -39,10 +39,19 @@ def main() -> None:
     # Optional argv override for sweeps: python bench.py [batch].
     model_name = "LightningDiT-XL/1" if on_tpu else "LightningDiT-S/2"
     batch = 8 if on_tpu else 2
+    # optional argv: [batch] [cache_interval]. cache_interval > 1 measures
+    # the opt-in velocity-cached sampler — report it ONLY alongside its
+    # measured quality cost (BASELINE.md velocity-cache table: k=3 is
+    # 0.30% latent rel-L2 / 61 dB decoded PSNR / zero classifier delta).
+    cache_interval = 1
     if len(sys.argv) > 1:
         if not sys.argv[1].isdigit():
-            sys.exit(f"usage: bench.py [batch]; got {sys.argv[1]!r}")
+            sys.exit(f"usage: bench.py [batch] [cache_interval]; got {sys.argv[1]!r}")
         batch = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        if not sys.argv[2].isdigit():
+            sys.exit(f"usage: bench.py [batch] [cache_interval]; got {sys.argv[2]!r}")
+        cache_interval = int(sys.argv[2])
     num_steps = 250 if on_tpu else 4
 
     model = LightningDiT_models[model_name](
@@ -71,7 +80,8 @@ def main() -> None:
     # CFG-interval split sampler: the below-interval phase runs the
     # conditional model at half batch (numerically identical for euler)
     sample_fn = sampler.sample_ode_cfg(
-        num_steps=num_steps, timestep_shift=0.3, cfg_interval_start=interval_start
+        num_steps=num_steps, timestep_shift=0.3, cfg_interval_start=interval_start,
+        cache_interval=cache_interval,
     )
     labels = jnp.arange(batch, dtype=jnp.int32) % 32
     y_cfg = jnp.concatenate([labels, jnp.full((batch,), null_class, jnp.int32)])
@@ -108,8 +118,9 @@ def main() -> None:
     n_chips = jax.device_count()
     samples_per_sec_chip = (batch * n_iters) / dt / n_chips
     value = round(samples_per_sec_chip, 4)
+    tag = "" if cache_interval == 1 else f",vcache{cache_interval}"
     result = {
-        "metric": f"dit_xl1_cfg_sampling_throughput[{model_name},{num_steps}steps,b{batch}]",
+        "metric": f"dit_xl1_cfg_sampling_throughput[{model_name},{num_steps}steps,b{batch}{tag}]",
         "value": value,
         "unit": "samples/sec/chip",
         "vs_baseline": round(value / A100_BASELINE_SAMPLES_PER_SEC, 4),

@@ -1,0 +1,234 @@
+"""Quantify the velocity-cache quality/throughput trade (VERDICT r1 #3).
+
+The opt-in ``sample.velocity_cache_interval`` (transport/ode.py
+odeint_euler_cached) reuses the velocity between model evaluations in the
+CFG phase — a training-free FLOP cut whose quality cost was previously
+unmeasured. This benchmark reports, for k ∈ {1 (exact), 2, 3}:
+
+  quality (DiT-S trained on per-class synthetic latents on-chip, the
+  tests/test_learning_tpu.py setup — no released weights in this image):
+    - latent-space L2 / PSNR of cached vs exact samples (same z, labels)
+    - decoded-image PSNR/SSIM through a conv VAE decoder (RANDOM-init
+      f16d32 decoder: measures how latent deviation amplifies through a
+      conv stack; absolute values would shift with released weights)
+    - nearest-class-mean classification accuracy + softmax confidence of
+      the generated latents (the micro-Doppler filter-gate analogue)
+
+  throughput (XL/1, production sampling config, batch 8):
+    - samples/sec/chip at each k
+
+Usage: python scripts/bench_velocity_cache.py [--train_steps N] [--out F]
+Writes one JSON document and prints a summary table.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def psnr(a, b, data_range):
+    import numpy as np
+
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * float(np.log10(data_range**2 / mse))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train_steps", type=int, default=1200)
+    ap.add_argument("--sample_steps", type=int, default=250)
+    ap.add_argument("--cfg_scale", type=float, default=2.0)
+    ap.add_argument("--out", default="output/velocity_cache_bench.json")
+    args = ap.parse_args()
+
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vavae_tpu.models.dit import LightningDiT, LightningDiT_models
+    from vavae_tpu.models.vae import AutoencoderKL
+    from vavae_tpu.parallel.mesh import make_mesh
+    from vavae_tpu.train.dit_trainer import DiTTrainer
+    from vavae_tpu.transport import Sampler, create_transport
+    from vavae_tpu.eval.metrics import ssim as ssim_fn
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        # CPU smoke: tiny everything so the script stays runnable
+        args.train_steps = min(args.train_steps, 10)
+        args.sample_steps = min(args.sample_steps, 8)
+
+    # ---- quality phase: train DiT-S on per-class latent patterns ----------
+    n_classes, B = 4, 64 if on_tpu else 8
+    depth, hidden, heads = (12, 384, 6) if on_tpu else (2, 64, 4)
+    rng_np = np.random.default_rng(0)
+    class_means = 2.0 * rng_np.normal(size=(n_classes, 16, 16, 32)).astype(np.float32)
+
+    def batch():
+        y = rng_np.integers(0, n_classes, size=(B,)).astype(np.int32)
+        x = class_means[y] + 0.05 * rng_np.normal(size=(B, 16, 16, 32)).astype(np.float32)
+        return x, y
+
+    model = LightningDiT(
+        input_size=16, patch_size=2, in_channels=32, hidden_size=hidden,
+        depth=depth, num_heads=heads, num_classes=n_classes,
+        use_swiglu=True, use_rope=True, use_rmsnorm=True, dtype=jnp.bfloat16,
+        class_dropout_prob=0.1,
+    )
+    transport = create_transport("Linear", "velocity", use_cosine_loss=True,
+                                 use_lognorm=True)
+    mesh = make_mesh()
+    trainer = DiTTrainer(model, transport, mesh, lr=3e-4, beta2=0.95,
+                         ema_decay=0.99)
+    rng = jax.random.PRNGKey(0)
+    state = trainer.replicate(trainer.init_state(rng, (B, 16, 16, 32)))
+    t0 = time.time()
+    for step in range(args.train_steps):
+        state, m = trainer.train_step(state, rng, trainer.shard_batch(batch()))
+    last = float(jax.device_get(m["loss"]))
+    print(f"trained DiT-S {args.train_steps} steps in {time.time()-t0:.0f}s, "
+          f"loss {last:.3f}", flush=True)
+
+    sampler = Sampler(transport)
+    n_per = 8 if on_tpu else 2
+    labels = jnp.asarray(np.repeat(np.arange(n_classes), n_per), jnp.int32)
+    Bs = len(labels)
+    y_cfg = jnp.concatenate([labels, jnp.full((Bs,), n_classes, jnp.int32)])
+    ema = state.ema_params
+    z = jax.random.normal(jax.random.PRNGKey(7), (Bs, 16, 16, 32), jnp.float32)
+
+    def sample_with_k(k):
+        fn = sampler.sample_ode_cfg(
+            num_steps=args.sample_steps, timestep_shift=0.3,
+            cfg_interval_start=0.11, cache_interval=k,
+        )
+
+        @jax.jit
+        def generate(p, zz):
+            cond = lambda x, t: model.apply({"params": p}, x, t, labels)
+            cfgf = lambda x, t: model.forward_with_cfg(p, x, t, y_cfg, args.cfg_scale)
+            return fn(zz, cond, cfgf)
+
+        return np.asarray(generate(ema, z), np.float32)
+
+    # random-init f16d32 decoder for the image-space amplification probe
+    vae = AutoencoderKL(embed_dim=32, ch=64 if on_tpu else 32,
+                        ch_mult=(1, 1, 2, 2, 4) if on_tpu else (1, 2),
+                        resolution=256 if on_tpu else 32)
+    vae_params = vae.init(
+        {"params": jax.random.PRNGKey(3)},
+        jnp.zeros((1, 16 * (2 ** (len(vae.ch_mult) - 1)),
+                   16 * (2 ** (len(vae.ch_mult) - 1)), 3)),
+        sample=False,
+    )["params"]
+    decode = jax.jit(lambda p, zz: vae.apply(
+        {"params": p}, zz, method=AutoencoderKL.decode
+    ))
+
+    def classify(samples):
+        flat = samples.reshape(len(samples), -1)
+        means = class_means.reshape(n_classes, -1)
+        d = np.linalg.norm(flat[:, None] - means[None], axis=-1)
+        pred = d.argmin(axis=-1)
+        acc = float((pred == np.asarray(labels)).mean())
+        # softmax confidence over negative distances, scaled by their spread
+        t = np.median(d)
+        p = np.exp(-d / (0.05 * t))
+        p = p / p.sum(axis=-1, keepdims=True)
+        return acc, float(p.max(axis=-1).mean())
+
+    exact = sample_with_k(1)
+    dec_exact = np.asarray(decode(vae_params, jnp.asarray(exact)), np.float32)
+    acc1, conf1 = classify(exact)
+    results = {"train_steps": args.train_steps, "sample_steps": args.sample_steps,
+               "cfg_scale": args.cfg_scale, "final_train_loss": last,
+               "exact": {"acc": acc1, "confidence": conf1}, "cached": {}}
+    lat_range = float(exact.max() - exact.min())
+    img_range = float(dec_exact.max() - dec_exact.min())
+
+    for k in (2, 3):
+        cached = sample_with_k(k)
+        dec_cached = np.asarray(decode(vae_params, jnp.asarray(cached)), np.float32)
+        acc_k, conf_k = classify(cached)
+        l2 = float(np.mean(np.linalg.norm(
+            (cached - exact).reshape(Bs, -1), axis=-1
+        )))
+        rel_l2 = l2 / float(np.mean(np.linalg.norm(exact.reshape(Bs, -1), axis=-1)))
+        ssim_vals = np.asarray(ssim_fn(
+            jnp.asarray(dec_exact), jnp.asarray(dec_cached), data_range=img_range
+        ))
+        results["cached"][f"k{k}"] = {
+            "latent_l2": l2,
+            "latent_rel_l2": rel_l2,
+            "latent_psnr_db": psnr(cached, exact, lat_range),
+            "decoded_psnr_db": psnr(dec_cached, dec_exact, img_range),
+            "decoded_ssim": float(np.mean(ssim_vals)),
+            "acc": acc_k,
+            "acc_delta": acc_k - acc1,
+            "confidence": conf_k,
+            "confidence_delta": conf_k - conf1,
+        }
+        print(f"k={k}: rel_l2 {rel_l2:.4f}, latent_psnr "
+              f"{results['cached'][f'k{k}']['latent_psnr_db']:.1f} dB, "
+              f"decoded_psnr {results['cached'][f'k{k}']['decoded_psnr_db']:.1f} dB, "
+              f"ssim {results['cached'][f'k{k}']['decoded_ssim']:.4f}, "
+              f"acc {acc_k:.3f} (Δ{acc_k - acc1:+.3f}), "
+              f"conf {conf_k:.3f} (Δ{conf_k - conf1:+.3f})", flush=True)
+
+    # ---- throughput phase: XL/1 production config -------------------------
+    del state, trainer, ema
+    if on_tpu:
+        xl = LightningDiT_models["LightningDiT-XL/1"](
+            input_size=16, in_channels=32, num_classes=1000,
+            use_swiglu=True, use_rope=True, use_rmsnorm=True, dtype=jnp.bfloat16,
+        )
+        bsz = 8
+        zshape = (bsz, 16, 16, 32)
+        xp = xl.init({"params": jax.random.PRNGKey(0)},
+                     jnp.zeros(zshape, jnp.bfloat16), jnp.zeros((bsz,)),
+                     jnp.zeros((bsz,), jnp.int32))["params"]
+        xp = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), xp)
+        xl_labels = jnp.arange(bsz, dtype=jnp.int32) % 32
+        xl_ycfg = jnp.concatenate([xl_labels, jnp.full((bsz,), 1000, jnp.int32)])
+        for k in (1, 2, 3):
+            fn = sampler.sample_ode_cfg(
+                num_steps=250, timestep_shift=0.3, cfg_interval_start=0.11,
+                cache_interval=k,
+            )
+
+            @jax.jit
+            def gen(p, rng):
+                cond = lambda x, t: xl.apply({"params": p}, x, t, xl_labels)
+                cfgf = lambda x, t: xl.forward_with_cfg(p, x, t, xl_ycfg, 10.0)
+                zz = jax.random.normal(rng, zshape, jnp.bfloat16)
+                return fn(zz, cond, cfgf)
+
+            np.asarray(gen(xp, jax.random.PRNGKey(1)))  # compile + settle
+            np.asarray(gen(xp, jax.random.PRNGKey(2)))
+            t0 = time.perf_counter()
+            iters = 4
+            for i in range(iters):
+                np.asarray(gen(xp, jax.random.PRNGKey(3 + i)))
+            dt = time.perf_counter() - t0
+            thr = bsz * iters / dt / jax.device_count()
+            key = "exact" if k == 1 else f"k{k}"
+            results.setdefault("throughput_xl1_b8", {})[key] = round(thr, 4)
+            print(f"XL/1 throughput k={k}: {thr:.3f} samples/s/chip", flush=True)
+
+    import os
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -113,7 +113,8 @@ def odeint_euler_cached(
         t_cur, t_next = tt[0], tt[1]
         v = jax.lax.cond(
             i % cache_interval == 0,
-            lambda: drift(x, jnp.full((B,), t_cur, x.dtype)),
+            # cast: a bf16 model output must match the fp32 carried cache
+            lambda: drift(x, jnp.full((B,), t_cur, x.dtype)).astype(x.dtype),
             lambda: v_prev,
         )
         return (x + (t_next - t_cur).astype(x.dtype) * v, v), None
