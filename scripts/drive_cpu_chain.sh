@@ -113,5 +113,19 @@ run "iterative_finetune" python -m vavae_tpu.apps.iterative_finetune \
 run "domain_adaptation" python -m vavae_tpu.apps.domain_adaptation \
   --classifier_ckpt "$W/clf.safetensors" --target_split_file "$W/split.json" \
   --split train --num_classes 2 --image_size 32 --support_per_class 2
+# round-2 surfaces: the full reference method grid (sampled) + ensembles,
+# and the domain-adaptive classifier with global-negative contrastive
+run "domain_adaptation (reference grid + ensemble)" \
+  python -m vavae_tpu.apps.domain_adaptation \
+  --classifier_ckpt "$W/clf.safetensors" --target_split_file "$W/split.json" \
+  --split train --num_classes 2 --image_size 32 --support_per_class 2 \
+  --reference_grid --limit 3 --ensemble confidence_weighted
+run "train_classifier (domain_adaptive)" python -m vavae_tpu.apps.train_classifier \
+  --split_file "$W/split.json" --mode domain_adaptive --epochs 1 --batch_size 4 \
+  --num_classes 2 --image_size 32 --out "$W/clf_da.safetensors"
+run "train_classifier (improved+global)" python -m vavae_tpu.apps.train_classifier \
+  --split_file "$W/split.json" --mode improved --contrastive_type global \
+  --epochs 1 --batch_size 4 --num_classes 2 --image_size 32 \
+  --out "$W/clf_glob.safetensors"
 
 echo "ALL DRIVES PASSED ($W)"
