@@ -210,8 +210,11 @@ def main() -> None:
                 zz = jax.random.normal(rng, zshape, jnp.bfloat16)
                 return fn(zz, cond, cfgf)
 
-            np.asarray(gen(xp, jax.random.PRNGKey(1)))  # compile + settle
-            np.asarray(gen(xp, jax.random.PRNGKey(2)))
+            # compile + 3 settle steps (CLAUDE.md benchmarking rules);
+            # cross-check against a fresh-process `python bench.py 8 [k]`
+            # before publishing numbers — this process already built jits
+            for s in range(4):
+                np.asarray(gen(xp, jax.random.PRNGKey(1 + s)))
             t0 = time.perf_counter()
             iters = 4
             for i in range(iters):

@@ -338,3 +338,24 @@ def test_classifier_state_extras_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.params["fc"]["kernel"]),
         np.asarray(s.params["fc"]["kernel"]),
     )
+
+
+def test_memory_bank_wrap_is_last_write_wins():
+    """A class with more batch samples than memory_size must keep its LAST
+    memory_size samples (the reference's sequential loop semantics) —
+    vectorized scatter with colliding slots would otherwise be
+    order-unspecified."""
+    from vavae_tpu.apps.regularization import update_memory_bank
+
+    M, D = 4, 3
+    bank0 = np.zeros((2, M, D), np.float32)
+    memory = {"bank": bank0, "ptr": np.zeros((2,), np.int32)}
+    feats = np.eye(6, D, k=-2, dtype=np.float32) + np.arange(6)[:, None] + 1.0
+    labels = np.zeros((6,), np.int32)  # six samples, one class, M=4
+    m2 = update_memory_bank(memory, feats, labels)
+    bank = np.asarray(m2["bank"])
+    f = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    # sequential ring: sample i -> slot i % 4; slots 0,1 overwritten by 4,5
+    want = np.stack([f[4], f[5], f[2], f[3]])
+    np.testing.assert_allclose(bank[0], want, rtol=1e-6)
+    assert int(np.asarray(m2["ptr"])[0]) == 6 % M

@@ -197,3 +197,41 @@ def test_full_method_grid_covers_reference_space():
     assert strategies == set(EVAL_CONFIG["prototype_strategies"])
     taus = {c["pnc_temperature"] for c in combos}
     assert taus == set(EVAL_CONFIG["pnc"]["similarity_taus"])
+
+
+def test_lccs_pnc_with_domain_adaptive_classifier():
+    """The DA path must handle DomainAdaptiveClassifier: tuple (logits,
+    feat) outputs in evaluation and dropout rngs in train-mode BN-stat
+    collection (code-review r2 findings)."""
+    import jax
+
+    from vavae_tpu.apps.domain_adaptation import evaluate_adaptation
+    from vavae_tpu.models.resnet import DomainAdaptiveClassifier
+
+    model = DomainAdaptiveClassifier(num_classes=3, feature_dim=32)
+    x = np.random.default_rng(0).normal(size=(6, 32, 32, 3)).astype(np.float32)
+    labels = np.array([0, 0, 1, 1, 2, 2])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def feature_fn(imgs):
+        return np.asarray(model.apply(
+            {"params": params, "batch_stats": stats}, imgs, train=False,
+            features=True,
+        ))
+
+    res = evaluate_adaptation(model, params, stats, feature_fn, x, labels)
+    assert 0.0 <= res.accuracy <= 1.0
+
+    for method, lp in [("weighted", None),
+                       ("progressive", {"momentum": 0.05, "iterations": 1}),
+                       ("mean_shift", None)]:
+        _, protos, predict = lccs_pnc_combined(
+            model, params, stats, x, labels, 3,
+            lccs_method=method, lccs_params=lp,
+            prototype_strategy="diversity",
+            pnc_cfg={"temperature": 0.1, "fusion_weight": 0.5},
+        )
+        probs = predict(x)
+        assert probs.shape == (6, 3)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)

@@ -197,3 +197,25 @@ def test_dopri5_pytree_state_likelihood_path():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(ll_ad), np.asarray(ll_eu), rtol=2e-3,
                                atol=5e-3)
+
+
+def test_dopri5_max_steps_exhaustion_returns_partial_state():
+    """Exhausting max_steps before reaching t1 must return the partially-
+    integrated state, not the initial condition (the dense-output carry is
+    only written on the crossing step)."""
+    import jax.numpy as jnp
+
+    y0 = np.ones((1, 4), np.float32)
+
+    def f_jax(y, t_b):
+        return -y
+
+    full, _ = odeint_dopri5(f_jax, jnp.asarray(y0), 0.0, 1.0,
+                            rtol=1e-6, atol=1e-9, with_stats=True)
+    partial, stats = odeint_dopri5(f_jax, jnp.asarray(y0), 0.0, 1.0,
+                                   rtol=1e-6, atol=1e-9, max_steps=2,
+                                   with_stats=True)
+    assert int(stats["naccept"]) + int(stats["nreject"]) == 2
+    p = np.asarray(partial)
+    assert np.all(p < y0)               # integration actually progressed
+    assert np.all(p > np.asarray(full))  # but not all the way to t1

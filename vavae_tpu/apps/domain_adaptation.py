@@ -28,6 +28,20 @@ import numpy as np
 # -- LCCS: linear combination of channel statistics ---------------------------
 
 
+def _train_mode_apply(model, params, stats, batch, seed: int = 0):
+    """One train-mode pass collecting batch_stats. Models with dropout
+    (DomainAdaptiveClassifier) need a dropout rng in train mode — the torch
+    reference's model.train() likewise leaves dropout active during BN-stat
+    adaptation (lccs_adapter.py:101)."""
+    return model.apply(
+        {"params": params, "batch_stats": stats},
+        batch,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(seed)},
+    )
+
+
 def compute_target_bn_stats(
     model,
     params: Any,
@@ -40,12 +54,7 @@ def compute_target_bn_stats(
     stats = source_stats
     for s in range(0, len(support_images), batch_size):
         batch = jnp.asarray(support_images[s : s + batch_size])
-        _, updates = model.apply(
-            {"params": params, "batch_stats": stats},
-            batch,
-            train=True,
-            mutable=["batch_stats"],
-        )
+        _, updates = _train_mode_apply(model, params, stats, batch, seed=s)
         stats = updates["batch_stats"]
     return stats
 
@@ -97,12 +106,11 @@ def lccs_progressive(
     exactly as B = (S' − f·S)/(1−f) and re-folded with the requested m —
     no module surgery, unlike the reference's in-place momentum rewrite."""
     stats = source_stats
-    for _ in range(iterations):
+    for it in range(iterations):
         for s in range(0, len(support_images), batch_size):
             batch = jnp.asarray(support_images[s : s + batch_size])
-            _, updates = model.apply(
-                {"params": params, "batch_stats": stats},
-                batch, train=True, mutable=["batch_stats"],
+            _, updates = _train_mode_apply(
+                model, params, stats, batch, seed=it * 1000 + s
             )
             new = updates["batch_stats"]
             stats = jax.tree_util.tree_map(
@@ -130,9 +138,8 @@ def lccs_mean_shift(
     batches = []
     for s in range(0, len(support_images), batch_size):
         batch = jnp.asarray(support_images[s : s + batch_size])
-        _, updates = model.apply(
-            {"params": params, "batch_stats": source_stats},
-            batch, train=True, mutable=["batch_stats"],
+        _, updates = _train_mode_apply(
+            model, params, source_stats, batch, seed=s
         )
         recovered = jax.tree_util.tree_map(
             lambda S, Sp: (Sp - flax_momentum * S) / (1.0 - flax_momentum),
@@ -226,10 +233,9 @@ def evaluate_adaptation(
     preds = []
     for s in range(0, len(test_images), batch_size):
         x = jnp.asarray(test_images[s : s + batch_size])
-        logits = model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=False
-        )
-        probs = np.asarray(jax.nn.softmax(logits))
+        probs = np.asarray(jax.nn.softmax(
+            _apply_logits(model, params, batch_stats, x)
+        ))
         if prototypes is not None:
             feats = np.asarray(feature_fn(x))
             probs = pnc_probs(feats, probs, prototypes, **(pnc_cfg or {}))
@@ -506,6 +512,7 @@ def lccs_pnc_combined(
     lccs_method: str = "weighted",
     lccs_params: Optional[dict] = None,
     prototype_strategy: Optional[str] = None,
+    prototype_kwargs: Optional[dict] = None,
 ):
     """lccs_pnc_combined.py: LCCS-adapt the BN stats on the support set, then
     build prototypes from features computed WITH the adapted stats (the
@@ -547,9 +554,17 @@ def lccs_pnc_combined(
         sup_probs = np.asarray(jax.nn.softmax(
             _apply_logits(model, params, stats, support_images)
         ))
+        pk = dict(prototype_kwargs or {})
+        if prototype_strategy == "diversity" and "num_select" not in pk:
+            # the reference drivers call build_prototypes_diversity with its
+            # default num_select=None (eval_components.py:319), which makes
+            # the strategy silently identical to simple_mean — default to
+            # half the smallest class's support so k-means actually selects
+            counts = np.bincount(support_labels, minlength=num_classes)
+            pk["num_select"] = max(1, int(counts[counts > 0].min()) // 2)
         protos = build_prototypes_strategy(
             feats, support_labels, num_classes, strategy=prototype_strategy,
-            probs=sup_probs,
+            probs=sup_probs, **pk,
         )
 
     def predict(images: np.ndarray) -> np.ndarray:

@@ -146,8 +146,17 @@ def update_memory_bank(memory: dict, features: jax.Array, labels: jax.Array) -> 
     earlier = jnp.tril(jnp.ones((B, B), bool), k=-1)
     occ = jnp.sum(same & earlier, axis=1)                   # rank within class
     slots = (ptr[labels] + occ) % memory_size
-    bank = bank.at[labels, slots].set(f)
+    # when a class appears more than memory_size times in one batch, the
+    # ring wraps and slots collide; the reference's sequential loop is
+    # last-write-wins — keep only each class's LAST memory_size samples so
+    # the scatter has unique (class, slot) indices (duplicate-index .set
+    # order is unspecified)
     counts = jnp.sum(jax.nn.one_hot(labels, bank.shape[0], dtype=jnp.int32), axis=0)
+    keep = occ >= (counts[labels] - memory_size)
+    bank = bank.at[
+        jnp.where(keep, labels, bank.shape[0]),  # OOB index drops the write
+        slots,
+    ].set(f, mode="drop")
     return {"bank": bank, "ptr": (ptr + counts) % memory_size}
 
 

@@ -49,7 +49,7 @@ class LSUNBase(ImageFolderDataset):
         flip_p: float = 0.5,
     ):
         with open(txt_file) as f:
-            self.image_paths = f.read().splitlines()
+            self.image_paths = [p for p in f.read().splitlines() if p.strip()]
         self.data_root = data_root
         self.size = size
         self.image_size = size or 256

@@ -313,7 +313,12 @@ def odeint_dopri5(
             na + accept.astype(jnp.int32), nr + (1 - accept.astype(jnp.int32)),
         )
 
-    _, _, _, _, out, na, nr = jax.lax.while_loop(cond, body, state)
+    y_end, t_end, _, _, out, na, nr = jax.lax.while_loop(cond, body, state)
+    # max_steps exhaustion before crossing t1: the dense-output carry was
+    # never written — fall back to the partially-integrated state rather
+    # than silently returning the initial condition
+    done = t_end >= t1
+    out = _map(lambda o, y: jnp.where(done, o, y), out, y_end)
     result = jax.tree_util.tree_unflatten(
         treedef, [l.astype(d) for l, d in zip(out, in_dtypes)]
     )
