@@ -1,0 +1,114 @@
+"""Golden-number orchestrator (docs/GOLDEN_NUMBERS.md).
+
+Chains the three runs that reproduce the reference's headline numbers —
+tokenizer rFID/PSNR/LPIPS/SSIM, latent extraction, FID-50k sampling —
+once the released artifacts exist locally (this image has no egress).
+
+Artifacts via env:
+  VAVAE_GN_VAE_CKPT       vavae-imagenet256-f16d32-dinov2.pt
+  VAVAE_GN_DIT_CKPT       lightningdit-xl-imagenet256-{64,800}ep.pt
+  VAVAE_GN_IMAGENET_VAL   ImageNet val dir (synset folders)
+  VAVAE_GN_IMAGENET_TRAIN ImageNet train dir (optional; extraction)
+  VAVAE_GN_FID_NPZ        VIRTUAL_imagenet256_labeled.npz
+  VAVAE_FID_WEIGHTS       pt_inception-2015-12-05 weights
+  VAVAE_LPIPS_WEIGHTS     taming vgg.pth
+
+`--check` validates the layout and converter loadability without chip
+time; `--config` picks the reproduction config (default 800ep cfg).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REQUIRED = {
+    "VAVAE_GN_VAE_CKPT": "VA-VAE f16d32 checkpoint (.pt/.ckpt)",
+    "VAVAE_GN_DIT_CKPT": "LightningDiT-XL checkpoint (.pt)",
+    "VAVAE_GN_IMAGENET_VAL": "ImageNet val dir",
+    "VAVAE_GN_FID_NPZ": "ADM reference npz",
+    "VAVAE_FID_WEIGHTS": "pytorch-fid Inception weights",
+    "VAVAE_LPIPS_WEIGHTS": "taming vgg.pth",
+}
+
+
+def check() -> bool:
+    ok = True
+    for var, what in REQUIRED.items():
+        path = os.environ.get(var)
+        if not path or not os.path.exists(path):
+            print(f"MISSING {var} ({what}): {path!r}")
+            ok = False
+        else:
+            print(f"ok      {var} -> {path}")
+    if not ok:
+        return False
+    # converter loadability (host-side, no chip): the parity-tested
+    # converters must accept the real checkpoints' key layout
+    import torch
+
+    from vavae_tpu.eval.inception import inception_params_from_torch
+    from vavae_tpu.models.lpips import lpips_params_from_torch
+
+    sd = torch.load(os.environ["VAVAE_FID_WEIGHTS"], map_location="cpu",
+                    weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    inception_params_from_torch({k: v.numpy() for k, v in sd.items()})
+    print("ok      FID Inception checkpoint converts")
+    sd = torch.load(os.environ["VAVAE_LPIPS_WEIGHTS"], map_location="cpu",
+                    weights_only=False)
+    lpips_params_from_torch({k: v.numpy() for k, v in sd.items()})
+    print("ok      LPIPS checkpoint converts")
+    print("all artifacts present — run without --check to execute")
+    return True
+
+
+def run(cmd: list[str]) -> None:
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    ap.add_argument(
+        "--config",
+        default="vavae_tpu/configs/reproductions/lightningdit_xl_vavae_f16d32_800ep_cfg.yaml",
+    )
+    ap.add_argument("--latents", default="output/golden/latents")
+    ap.add_argument("--skip_tokenizer", action="store_true")
+    ap.add_argument("--skip_extraction", action="store_true")
+    args = ap.parse_args()
+
+    if not check():
+        sys.exit(1)
+    if args.check:
+        return
+
+    env = os.environ
+    py = sys.executable
+    if not args.skip_tokenizer:
+        run([py, "-m", "vavae_tpu.pipelines.evaluate_tokenizer",
+             "--vae_ckpt", env["VAVAE_GN_VAE_CKPT"],
+             "--data_path", env["VAVAE_GN_IMAGENET_VAL"],
+             "--image_size", "256"])
+    if not args.skip_extraction and env.get("VAVAE_GN_IMAGENET_TRAIN"):
+        run([py, "-m", "vavae_tpu.pipelines.extract_features",
+             "--data_path", env["VAVAE_GN_IMAGENET_TRAIN"],
+             "--output_path", args.latents,
+             "--vae_ckpt", env["VAVAE_GN_VAE_CKPT"],
+             "--image_size", "256"])
+    run([py, "-m", "vavae_tpu.pipelines.sample",
+         "--config", args.config,
+         f"ckpt_path={env['VAVAE_GN_DIT_CKPT']}",
+         f"vae.ckpt_path={env['VAVAE_GN_VAE_CKPT']}",
+         f"data.data_path={args.latents}",
+         f"data.fid_reference_file={env['VAVAE_GN_FID_NPZ']}"])
+
+
+if __name__ == "__main__":
+    main()
