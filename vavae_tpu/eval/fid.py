@@ -140,3 +140,65 @@ def create_npz_from_sample_folder(folder: str, num: int = 50000) -> str:
     out = f"{folder}.npz"
     np.savez(out, arr_0=arr)
     return out
+
+
+def main() -> None:
+    """Runnable FID tool mirroring the reference CLIs.
+
+    Parity targets: ``tools/calculate_fid.py`` (``python calculate_fid.py
+    path1 path2`` → FID between two folders/npz), ``tools/save_npz.py``
+    (pack a %06d.png sample folder into an ADM arr_0 npz), plus a
+    pytorch-fid-style ``--save_stats`` mode that precomputes mu/sigma for a
+    reference set so repeated evals skip the 50k Inception pass.
+    """
+    import argparse
+
+    import vavae_tpu.utils.jax_cache  # noqa: F401  (VAVAE_PLATFORM pin)
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("paths", nargs="*",
+                    help="two image folders / npz files (arr_0 or mu+sigma)")
+    ap.add_argument("--batch_size", type=int, default=50)
+    ap.add_argument("--max_images", type=int, default=None)
+    ap.add_argument("--weights", default=None,
+                    help="FID InceptionV3 torch weights (default: "
+                         "$VAVAE_FID_WEIGHTS)")
+    ap.add_argument("--save_stats", default=None,
+                    help="compute mu/sigma of paths[0] and write them to "
+                         "this npz instead of computing a FID")
+    ap.add_argument("--save_npz", default=None,
+                    help="pack the %%06d.png folder paths[0] into an ADM "
+                         "arr_0 npz (tools/save_npz.py) instead of a FID")
+    ap.add_argument("--num", type=int, default=50000,
+                    help="image count for --save_npz")
+    args = ap.parse_args()
+
+    if args.save_npz:
+        if len(args.paths) != 1:
+            ap.error("--save_npz takes exactly one sample folder")
+        out = create_npz_from_sample_folder(args.paths[0], num=args.num)
+        if args.save_npz != out:
+            os.replace(out, args.save_npz)
+        print(f"saved {args.num} samples to {args.save_npz}")
+        return
+    if args.save_stats:
+        if len(args.paths) != 1:
+            ap.error("--save_stats takes exactly one image folder / npz")
+        ex = FIDExtractor(args.weights, args.batch_size)
+        mu, sigma = compute_statistics_of_path(args.paths[0], ex, args.max_images)
+        np.savez(args.save_stats, mu=mu, sigma=sigma)
+        print(f"saved statistics of {args.paths[0]} to {args.save_stats}")
+        return
+    if len(args.paths) != 2:
+        ap.error("need exactly two paths to compute a FID")
+    score = fid_given_paths(
+        args.paths[0], args.paths[1],
+        weights_path=args.weights,
+        batch_size=args.batch_size,
+        max_images=args.max_images,
+    )
+    print(f"FID: {score:.6f}")
+
+
+if __name__ == "__main__":
+    main()
