@@ -198,6 +198,25 @@ def do_train(cfg: Config) -> TrainState:
     )
     from vavae_tpu.utils.preemption import PreemptionGuard
 
+    # Overlap checkpoint disk writes with training (train.async_checkpoint,
+    # default on): this VM's ~12 MB/s disk makes a synchronous XL-size save
+    # a multi-minute step-loop stall. The device→host snapshot stays on this
+    # thread; only the serialize+write runs in the background.
+    writer = (
+        ckpt_lib.AsyncCheckpointer()
+        if cfg.train.get("async_checkpoint", True)
+        else None
+    )
+
+    def save_ckpt(dir_: str, at_step: int, with_cfg: bool = True, sync: bool = False):
+        config = cfg.to_dict() if with_cfg else None
+        if writer is None:
+            ckpt_lib.save_checkpoint(dir_, at_step, state, config)
+        else:
+            writer.save(dir_, at_step, state, config)
+            if sync:
+                writer.wait()
+
     loss_acc, log_steps, t_start = [], 0, time.time()
     step = int(jax.device_get(state.step))
     guard = PreemptionGuard().__enter__()
@@ -205,7 +224,7 @@ def do_train(cfg: Config) -> TrainState:
         if guard.should_stop:
             # preemption (SIGTERM): checkpoint the in-flight state and exit
             # cleanly so the relaunch resumes here instead of at ckpt_every
-            ckpt_lib.save_checkpoint(ckpt_dir, step, jax.device_get(state), cfg.to_dict())
+            save_ckpt(ckpt_dir, step, sync=True)
             logger.info(f"preempted: checkpointed at step {step}, exiting")
             break
         batch = trainer.shard_batch(next(it))
@@ -240,7 +259,7 @@ def do_train(cfg: Config) -> TrainState:
                          latent_stats=dataset.latent_stats if cfg.data.get("latent_norm") else None)
 
         if step % ckpt_every == 0 and step > 0:
-            ckpt_lib.save_checkpoint(ckpt_dir, step, jax.device_get(state), cfg.to_dict())
+            save_ckpt(ckpt_dir, step)
             logger.info(f"saved checkpoint at step {step}")
             if valid_dataset is not None:
                 val = evaluate(trainer, state, valid_dataset, per_proc_bs, rng)
@@ -249,9 +268,8 @@ def do_train(cfg: Config) -> TrainState:
                 if patience:
                     if val < best_val - min_delta:
                         best_val, bad_evals = val, 0
-                        ckpt_lib.save_checkpoint(
-                            os.path.join(exp_dir, "best"), step, jax.device_get(state)
-                        )
+                        save_ckpt(os.path.join(exp_dir, "best"), step,
+                                  with_cfg=False)
                     else:
                         bad_evals += 1
                         if bad_evals >= patience:
@@ -259,7 +277,7 @@ def do_train(cfg: Config) -> TrainState:
                             break
 
     guard.__exit__()
-    ckpt_lib.save_checkpoint(ckpt_dir, step, jax.device_get(state), cfg.to_dict())
+    save_ckpt(ckpt_dir, step, sync=True)
     metrics_log.close()
     logger.info("training done")
     return state

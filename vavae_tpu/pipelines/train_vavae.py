@@ -142,6 +142,7 @@ def train_epochs(
     seed: int = 0,
     val_dataset=None,
     start_epoch: int = 0,
+    async_ckpt: bool = True,
 ):
     """Returns (state, best_val_path). dataset yields (B, H, W, 3) in [-1,1].
 
@@ -158,6 +159,11 @@ def train_epochs(
             rec = json.load(f)
         best_val = float(rec.get("val", float("inf")))
         best_path = ckpt_lib.latest_checkpoint(best_dir)
+    # async checkpointing (train.async_checkpoint, default on): the epoch-end
+    # save overlaps the next epoch's steps; epoch.json / best metric.json are
+    # written by the worker AFTER the ckpt file is durable so resume
+    # bookkeeping can never outrun its checkpoint
+    writer = ckpt_lib.AsyncCheckpointer() if async_ckpt else None
     loss_acc, log_steps, t0 = [], 0, time.time()
     for epoch in range(start_epoch, epochs):
         # prefetch: batch i+1 decodes on a background thread while the
@@ -200,22 +206,39 @@ def train_epochs(
             logger.info(f"epoch {epoch}: val/rec_loss {val:.4f}")
             if val < best_val:
                 best_val = val
-                best_path = ckpt_lib.save_checkpoint(
-                    best_dir, int(jax.device_get(state.step)), jax.device_get(state)
-                )
-                if jax.process_index() == 0:
+                step_now, val_now = int(jax.device_get(state.step)), best_val
+
+                def record_best(step=step_now, val=val_now):
                     with open(metric_file, "w") as f:
-                        json.dump({"val": best_val, "step": int(jax.device_get(state.step))}, f)
-        ckpt_lib.save_checkpoint(
-            ckpt_dir, int(jax.device_get(state.step)), jax.device_get(state)
-        )
-        # explicit epochs-done record: a zero-optimizer-step epoch (shard
-        # smaller than batch_size) saves under an unchanged step number, so
-        # counting distinct checkpoints would silently undercount and
-        # re-run completed epochs on resume
-        if jax.process_index() == 0:
+                        json.dump({"val": val, "step": step}, f)
+
+                if writer is not None:
+                    best_path = writer.save(best_dir, step_now, state,
+                                            on_complete=record_best)
+                else:
+                    best_path = ckpt_lib.save_checkpoint(best_dir, step_now, state)
+                    if jax.process_index() == 0:
+                        record_best()
+
+        def record_epoch(done=epoch + 1):
+            # explicit epochs-done record: a zero-optimizer-step epoch (shard
+            # smaller than batch_size) saves under an unchanged step number,
+            # so counting distinct checkpoints would silently undercount and
+            # re-run completed epochs on resume
             with open(os.path.join(ckpt_dir, "epoch.json"), "w") as f:
-                json.dump({"epochs_done": epoch + 1}, f)
+                json.dump({"epochs_done": done}, f)
+
+        if writer is not None:
+            writer.save(ckpt_dir, int(jax.device_get(state.step)), state,
+                        on_complete=record_epoch)
+        else:
+            ckpt_lib.save_checkpoint(ckpt_dir, int(jax.device_get(state.step)), state)
+            if jax.process_index() == 0:
+                record_epoch()
+    if writer is not None:
+        # the stage's last write must be durable before the caller chains the
+        # next stage (auto-resume counts files on disk)
+        writer.wait()
     return state, best_path
 
 
@@ -362,6 +385,7 @@ def run_stages(
             ckpt_dir=stage_dir,
             val_dataset=val_dataset,
             start_epoch=epochs_done,
+            async_ckpt=cfg.get("train", Config()).get("async_checkpoint", True),
         )
     return state
 

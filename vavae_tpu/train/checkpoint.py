@@ -40,6 +40,11 @@ def _to_host(state: Any) -> Any:
             from jax.experimental import multihost_utils
 
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        if isinstance(x, np.ndarray):
+            # device_get returns host arrays AS-IS (no copy) — copy so the
+            # result is a true snapshot even if the caller mutates/donates
+            # the original while an async write is in flight
+            return x.copy()
         return jax.device_get(x)
 
     return jax.tree_util.tree_map(fetch, state)
@@ -53,6 +58,13 @@ def save_state_file(path: str, state: Any) -> str:
     host_state = _to_host(state)
     if jax.process_index() != 0:
         return ""
+    _write_state_file(path, host_state)
+    return path
+
+
+def _write_state_file(path: str, host_state: Any) -> None:
+    """Pure host-side serialize + atomic write of an already-fetched tree.
+    No jax calls — safe to run on a background thread."""
     from safetensors.numpy import save_file
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -80,7 +92,6 @@ def save_state_file(path: str, state: Any) -> str:
     meta["format_version"] = 2
     save_file(tensors, tmp, metadata={"tree": json.dumps(meta)})
     os.replace(tmp, path)
-    return path
 
 
 def save_checkpoint(ckpt_dir: str, step: int, state: Any, config: Optional[dict] = None) -> str:
@@ -90,6 +101,81 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any, config: Optional[dict]
         with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
             json.dump(config, f, indent=2, default=str)
     return path
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint disk writes with training.
+
+    This VM writes ~12 MB/s to disk (CLAUDE.md measurement) — a synchronous
+    XL-size train-state save stalls the step loop for minutes. The device→
+    host fetch (and, multihost, the process_allgather collective) must stay
+    on the caller's thread for a consistent snapshot and because collectives
+    may not run off-thread; only the pure serialize+write is handed to a
+    single background worker. At most ONE write is in flight: a new save
+    first drains the previous one, bounding host memory to one snapshot.
+
+    The reference has no equivalent (Lightning/torch.save block); this is a
+    TPU-production addition in the spirit of orbax's AsyncCheckpointer.
+
+    Writer errors are re-raised on the NEXT ``save``/``wait`` call — call
+    ``wait()`` at loop end (and from preemption handlers) so the last write
+    is durable before exit.
+    """
+
+    def __init__(self) -> None:
+        self._thread = None
+        self._error: Optional[BaseException] = None
+
+    def _drain(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def save(
+        self,
+        ckpt_dir: str,
+        step: int,
+        state: Any,
+        config: Optional[dict] = None,
+        on_complete=None,
+    ) -> str:
+        """Snapshot ``state`` to host and schedule the write. Returns the
+        final checkpoint path ("" on non-zero processes) immediately.
+
+        ``on_complete()`` runs on the worker thread AFTER the file is
+        durable — use it for resume-bookkeeping records (epoch.json,
+        best/metric.json) that must never exist without their checkpoint."""
+        import threading
+
+        self._drain()
+        host_state = _to_host(state)  # consistent snapshot, collectives here
+        if jax.process_index() != 0:
+            return ""
+        path = os.path.join(ckpt_dir, f"{step:07d}.safetensors")
+
+        def work() -> None:
+            try:
+                _write_state_file(path, host_state)
+                if config is not None:
+                    with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+                        json.dump(config, f, indent=2, default=str)
+                if on_complete is not None:
+                    on_complete()
+            except BaseException as e:  # surfaced on next save/wait
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=work, name=f"ckpt-write-{step}", daemon=True
+        )
+        self._thread.start()
+        return path
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) is durable on disk."""
+        self._drain()
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
