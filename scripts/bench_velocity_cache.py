@@ -3,7 +3,8 @@
 The opt-in ``sample.velocity_cache_interval`` (transport/ode.py
 odeint_euler_cached) reuses the velocity between model evaluations in the
 CFG phase — a training-free FLOP cut whose quality cost was previously
-unmeasured. This benchmark reports, for k ∈ {1 (exact), 2, 3}:
+unmeasured. This benchmark reports, for k ∈ {1 (exact), 2, 3, 4} × forecast
+order ∈ {0 (hold), 1 (linear)}:
 
   quality (DiT-S trained on per-class synthetic latents on-chip, the
   tests/test_learning_tpu.py setup — no released weights in this image):
@@ -104,10 +105,10 @@ def main() -> None:
     ema = state.ema_params
     z = jax.random.normal(jax.random.PRNGKey(7), (Bs, 16, 16, 32), jnp.float32)
 
-    def sample_with_k(k):
+    def sample_with_k(k, order=1):
         fn = sampler.sample_ode_cfg(
             num_steps=args.sample_steps, timestep_shift=0.3,
-            cfg_interval_start=0.11, cache_interval=k,
+            cfg_interval_start=0.11, cache_interval=k, cache_order=order,
         )
 
         @jax.jit
@@ -153,8 +154,8 @@ def main() -> None:
     lat_range = float(exact.max() - exact.min())
     img_range = float(dec_exact.max() - dec_exact.min())
 
-    for k in (2, 3):
-        cached = sample_with_k(k)
+    for k, order in ((2, 0), (3, 0), (2, 1), (3, 1), (4, 1)):
+        cached = sample_with_k(k, order)
         dec_cached = np.asarray(decode(vae_params, jnp.asarray(cached)), np.float32)
         acc_k, conf_k = classify(cached)
         l2 = float(np.mean(np.linalg.norm(
@@ -164,7 +165,7 @@ def main() -> None:
         ssim_vals = np.asarray(ssim_fn(
             jnp.asarray(dec_exact), jnp.asarray(dec_cached), data_range=img_range
         ))
-        results["cached"][f"k{k}"] = {
+        results["cached"][f"k{k}o{order}"] = {
             "latent_l2": l2,
             "latent_rel_l2": rel_l2,
             "latent_psnr_db": psnr(cached, exact, lat_range),
@@ -175,10 +176,11 @@ def main() -> None:
             "confidence": conf_k,
             "confidence_delta": conf_k - conf1,
         }
-        print(f"k={k}: rel_l2 {rel_l2:.4f}, latent_psnr "
-              f"{results['cached'][f'k{k}']['latent_psnr_db']:.1f} dB, "
-              f"decoded_psnr {results['cached'][f'k{k}']['decoded_psnr_db']:.1f} dB, "
-              f"ssim {results['cached'][f'k{k}']['decoded_ssim']:.4f}, "
+        r = results["cached"][f"k{k}o{order}"]
+        print(f"k={k} order={order}: rel_l2 {rel_l2:.4f}, latent_psnr "
+              f"{r['latent_psnr_db']:.1f} dB, "
+              f"decoded_psnr {r['decoded_psnr_db']:.1f} dB, "
+              f"ssim {r['decoded_ssim']:.4f}, "
               f"acc {acc_k:.3f} (Δ{acc_k - acc1:+.3f}), "
               f"conf {conf_k:.3f} (Δ{conf_k - conf1:+.3f})", flush=True)
 
@@ -197,7 +199,9 @@ def main() -> None:
         xp = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), xp)
         xl_labels = jnp.arange(bsz, dtype=jnp.int32) % 32
         xl_ycfg = jnp.concatenate([xl_labels, jnp.full((bsz,), 1000, jnp.int32)])
-        for k in (1, 2, 3):
+        # throughput is forecast-order independent (same model-eval count;
+        # the order-1 forecast adds one FMA per element) — sweep k only
+        for k in (1, 2, 3, 4):
             fn = sampler.sample_ode_cfg(
                 num_steps=250, timestep_shift=0.3, cfg_interval_start=0.11,
                 cache_interval=k,

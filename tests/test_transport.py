@@ -227,7 +227,7 @@ def test_velocity_cached_euler(rng):
     np.testing.assert_allclose(np.asarray(same), np.asarray(exact), rtol=1e-6)
 
     k = 2
-    cached = odeint_euler_cached(drift, x0, grid, cache_interval=k)
+    cached = odeint_euler_cached(drift, x0, grid, cache_interval=k, order=0)
     # manual piecewise-frozen reference
     x = np.asarray(x0)
     g = np.asarray(grid)
@@ -240,3 +240,45 @@ def test_velocity_cached_euler(rng):
     np.testing.assert_allclose(np.asarray(cached), x, rtol=1e-5, atol=1e-6)
     # and it genuinely differs from the exact trajectory
     assert np.abs(np.asarray(cached) - np.asarray(exact)).max() > 1e-4
+
+
+def test_velocity_cached_order1_linear_field_is_exact(rng):
+    """The order-1 forecast reproduces euler EXACTLY for any velocity field
+    linear in t (state-independent): after the second evaluation the linear
+    forecast IS the field."""
+    from vavae_tpu.transport.ode import odeint_euler, odeint_euler_cached, time_grid
+
+    shape = (2, 3, 3, 4)
+    x0 = jax.random.normal(rng, shape)
+    a = jax.random.normal(jax.random.fold_in(rng, 1), shape[1:])
+    b = jax.random.normal(jax.random.fold_in(rng, 2), shape[1:])
+
+    def drift(x, t):
+        return a[None] + t[:, None, None, None] * b[None]
+
+    # non-uniform grid (timestep shift) — the forecast must use t gaps
+    grid = jnp.asarray(time_grid(0.0, 1.0, 13, timestep_shift=0.3))
+    exact = odeint_euler(drift, x0, grid)
+    for k in (2, 3, 4):
+        cached = odeint_euler_cached(drift, x0, grid, cache_interval=k, order=1)
+        # only the FIRST cached block (before two evals exist) deviates;
+        # a linear field makes every later forecast exact
+        manual = np.asarray(x0)
+        g = np.asarray(grid)
+        v_last = slope = t_last = None
+        for i in range(len(g) - 1):
+            if i % k == 0:
+                v = np.asarray(a)[None] + g[i] * np.asarray(b)[None]
+                slope = 0.0 if i == 0 else (v - v_last) / (g[i] - t_last)
+                v_last, t_last = v, g[i]
+            else:
+                v = v_last + slope * (g[i] - t_last)
+            manual = manual + (g[i + 1] - g[i]) * v
+        np.testing.assert_allclose(np.asarray(cached), manual, rtol=1e-5, atol=1e-6)
+        # after the warm-up block (slope needs two evals) the forecast IS the
+        # field: error vs same-grid exact euler collapses vs the hold's
+        e0 = np.abs(np.asarray(
+            odeint_euler_cached(drift, x0, grid, cache_interval=k, order=0)
+        ) - np.asarray(exact)).max()
+        e1 = np.abs(np.asarray(cached) - np.asarray(exact)).max()
+        assert e1 < 0.1 * e0, (k, e0, e1)

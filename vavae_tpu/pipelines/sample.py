@@ -137,8 +137,11 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None):
             cfg_interval_start=interval_start,
             reverse=sc.get("reverse", False),
             # opt-in training-free acceleration: reuse the velocity between
-            # model evaluations (1 = exact; 2-3 trade small quality for FLOPs)
+            # model evaluations (1 = exact; 2-4 trade small quality for FLOPs)
             cache_interval=sc.get("velocity_cache_interval", 1),
+            # 1 = linear forecast from the last two evals (default; same
+            # cost, lower error), 0 = hold the last velocity
+            cache_order=sc.get("velocity_cache_order", 1),
         )
 
     is_sde = mode.upper() != "ODE"

@@ -92,34 +92,59 @@ def odeint_euler_split(
 
 
 def odeint_euler_cached(
-    drift: Callable, x: jax.Array, t: jax.Array, cache_interval: int = 1
+    drift: Callable,
+    x: jax.Array,
+    t: jax.Array,
+    cache_interval: int = 1,
+    order: int = 1,
 ) -> jax.Array:
     """Euler with velocity caching: the model is evaluated only every
-    ``cache_interval``-th step; between evaluations the cached velocity is
-    reused (training-free acceleration in the spirit of the feature/trajectory
-    caching literature for rectified-flow DiTs — PAPERS.md). The rectified-flow
-    velocity field changes slowly along most of the trajectory, so small
-    intervals (2-3) trade little quality for a proportional FLOP cut.
-    ``cache_interval=1`` is exactly ``odeint_euler``."""
+    ``cache_interval``-th step (training-free acceleration in the spirit of
+    the feature/trajectory caching literature for rectified-flow DiTs —
+    PAPERS.md). The rectified-flow velocity field changes slowly along most
+    of the trajectory, so small intervals (2-4) trade little quality for a
+    proportional FLOP cut. ``cache_interval=1`` is exactly ``odeint_euler``.
+
+    Between evaluations, ``order`` picks the forecast:
+      - 0: zero-order hold — reuse the last evaluated velocity verbatim.
+      - 1: linear forecast v(t) ≈ v_k + (t - t_k)·(v_k - v_{k-1})/(t_k -
+        t_{k-1}) from the LAST TWO evaluations (the forecast-then-hold idea
+        of the caching papers). Identical model-eval count and memory-
+        bandwidth cost, strictly smaller truncation error on smooth
+        trajectories; exact for any velocity field linear in t.
+    The grid may be non-uniform (timestep shift) — the forecast uses actual
+    t gaps, not step counts."""
     if cache_interval <= 1:
         return odeint_euler(drift, x, t)
     B = x.shape[0]
     pairs = jnp.stack([t[:-1], t[1:]], axis=-1)
     idx = jnp.arange(pairs.shape[0])
+    zero = jnp.zeros_like(x)
 
     def step(carry, inp):
-        x, v_prev = carry
+        x, v_last, slope, t_last = carry
         tt, i = inp
         t_cur, t_next = tt[0], tt[1]
-        v = jax.lax.cond(
-            i % cache_interval == 0,
-            # cast: a bf16 model output must match the fp32 carried cache
-            lambda: drift(x, jnp.full((B,), t_cur, x.dtype)).astype(x.dtype),
-            lambda: v_prev,
-        )
-        return (x + (t_next - t_cur).astype(x.dtype) * v, v), None
 
-    (x, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x)), (pairs, idx))
+        def evaluate():
+            # cast: a bf16 model output must match the fp32 carried cache
+            v = drift(x, jnp.full((B,), t_cur, x.dtype)).astype(x.dtype)
+            dt_prev = t_cur - t_last
+            safe = jnp.where(i == 0, jnp.ones_like(dt_prev), dt_prev)
+            gate = jnp.where(i == 0, 0.0, 1.0).astype(x.dtype)
+            new_slope = gate * (v - v_last) / safe.astype(x.dtype)
+            return v, v, new_slope, t_cur
+
+        def forecast():
+            v = v_last + (order * (t_cur - t_last)).astype(x.dtype) * slope
+            return v, v_last, slope, t_last
+
+        v, v_last, slope, t_last = jax.lax.cond(
+            i % cache_interval == 0, evaluate, forecast
+        )
+        return (x + (t_next - t_cur).astype(x.dtype) * v, v_last, slope, t_last), None
+
+    (x, _, _, _), _ = jax.lax.scan(step, (x, zero, zero, t[0]), (pairs, idx))
     return x
 
 

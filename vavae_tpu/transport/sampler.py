@@ -73,6 +73,7 @@ class Sampler:
         cfg_interval_start: float = 0.0,
         reverse: bool = False,
         cache_interval: int = 1,
+        cache_order: int = 1,
     ) -> Callable:
         """Euler CFG sampler with the interval split run as two scan phases.
 
@@ -88,6 +89,9 @@ class Sampler:
         ``cache_interval > 1`` additionally reuses the cached velocity
         between model evaluations in the CFG phase (odeint_euler_cached) —
         training-free acceleration at a small quality cost; 1 = exact.
+        ``cache_order`` picks the between-evaluation forecast (0 = hold the
+        last velocity, 1 = linear forecast from the last two evaluations —
+        same cost, measurably lower error; see odeint_euler_cached).
         """
         transport = self.transport
         base_drift = self.drift
@@ -116,7 +120,7 @@ class Sampler:
                 x = ode_mod.odeint_euler(d_cond, x, grid[: split_idx + 1])
             x2 = jnp.concatenate([x, x], axis=0)
             out = ode_mod.odeint_euler_cached(
-                d_cfg, x2, grid[split_idx:], cache_interval
+                d_cfg, x2, grid[split_idx:], cache_interval, order=cache_order
             )
             return out[:B]
 
