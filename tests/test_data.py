@@ -77,3 +77,86 @@ def test_image_folder_batches_worker_invariant(image_tree):
         np.testing.assert_array_equal(xa, xb)
     # pixel range is [-1, 1]
     assert a[0][0].min() >= -1.0 and a[0][0].max() <= 1.0
+
+
+def test_parse_user_id_conventions():
+    """ID_k is 1-based, User_k/user_k 0-based, bare number as-is
+    (domain_classifier_training.py:373-389)."""
+    from vavae_tpu.data.image_folder import parse_user_id
+
+    assert parse_user_id("ID_1") == 0
+    assert parse_user_id("ID_31") == 30
+    assert parse_user_id("User_5") == 5
+    assert parse_user_id("user_0") == 0
+    assert parse_user_id("7") == 7
+    assert parse_user_id("ID_x") is None
+    assert parse_user_id("misc") is None
+
+
+@pytest.fixture()
+def mixed_tree(tmp_path):
+    """Real root with ID_* user dirs (10 imgs each) + one generated root."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+
+    def fill(root, n):
+        for uid in (1, 2):
+            d = root / f"ID_{uid}"
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = (rng.random((32, 32, 3)) * 255).astype("uint8")
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+    real, gen = tmp_path / "real", tmp_path / "gen"
+    fill(real, 10)
+    fill(gen, 4)
+    return real, gen
+
+
+def test_mixed_domain_split_and_merge(mixed_tree):
+    """Per-user 80/20 split is deterministic and disjoint; generated data
+    merges into train only (domain_classifier_training.py:279-541)."""
+    from vavae_tpu.data.image_folder import MixedDomainDataset
+
+    real, gen = mixed_tree
+    mk = lambda split, use_gen: MixedDomainDataset(
+        real_dir=str(real), generated_dirs=[str(gen)], split=split,
+        image_size=32, use_generated=use_gen, verbose=False)
+
+    tr, va = mk("train", False), mk("val", False)
+    assert len(tr) == 16 and len(va) == 4  # 2 users x (8 train / 2 val)
+    assert set(p for p, _ in tr.items).isdisjoint(p for p, _ in va.items)
+    # deterministic across instantiations
+    assert mk("train", False).items == tr.items
+
+    tr_aug = mk("train", True)
+    assert len(tr_aug) == 16 + 8
+    s = tr_aug.summary()
+    assert s == {"real": 16, "generated": 8, "users": 2,
+                 "per_source": {"real": 16, "generated_1": 8}}
+    # val never sees generated data, labels are 0-based from ID_k
+    va_aug = mk("val", True)
+    assert len(va_aug) == 4
+    assert {uid for _, uid in tr_aug.items} == {0, 1}
+
+
+def test_mixed_domain_presplit_reference_layout(tmp_path, mixed_tree):
+    """Reference presplit JSON layout {split: {user_folder: [paths]}} loads
+    with ID_k -> k-1 labels and skips missing files."""
+    import json as _json
+
+    from vavae_tpu.data.image_folder import MixedDomainDataset
+
+    real, _ = mixed_tree
+    imgs = sorted(str(p) for p in (real / "ID_1").glob("*.png"))
+    split = {"train": {"ID_1": imgs[:3] + ["/nonexistent.png"]},
+             "val": {"ID_1": imgs[3:5]}}
+    sf = tmp_path / "split.json"
+    sf.write_text(_json.dumps(split))
+    tr = MixedDomainDataset(real_dir=str(real), split="train", image_size=32,
+                            split_file=str(sf), verbose=False)
+    assert len(tr) == 3 and all(uid == 0 for _, uid in tr.items)
+    va = MixedDomainDataset(real_dir=str(real), split="val", image_size=32,
+                            split_file=str(sf), verbose=False)
+    assert len(va) == 2

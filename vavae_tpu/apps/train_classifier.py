@@ -296,6 +296,7 @@ def train_classifier(
     seed: int = 0,
     log_every: int = 50,
     image_size: int = 224,
+    patience: Optional[int] = None,
 ) -> tuple:
     trainer = ClassifierTrainer(
         num_classes=num_classes, mode=mode, lr=lr,
@@ -303,7 +304,7 @@ def train_classifier(
     )
     rng = jax.random.PRNGKey(seed)
     state = jax.device_put(trainer.init_state(rng, image_size), replicated(trainer.mesh))
-    best_acc = 0.0
+    best_acc, epochs_since_best = 0.0, 0
     for epoch in range(epochs):
         t0, steps = time.time(), 0
         for batch in prefetch(dataset.batches(batch_size, seed=seed + epoch, epochs=1)):
@@ -320,14 +321,37 @@ def train_classifier(
                 m = trainer.eval_step(state, shard_batch(trainer.mesh, batch))
                 accs.append(float(m["acc"]))
             acc = float(np.mean(accs)) if accs else 0.0
-            best_acc = max(best_acc, acc)
+            if acc > best_acc:
+                best_acc, epochs_since_best = acc, 0
+            else:
+                epochs_since_best += 1
             print(f"epoch {epoch}: val acc {acc:.4f} (best {best_acc:.4f})")
+            # early stopping on val acc (domain_classifier_training.py
+            # --patience, default 5 there; opt-in here)
+            if patience is not None and epochs_since_best >= patience:
+                print(f"early stop: no val improvement for {patience} epochs")
+                break
     return trainer, state
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--split_file", required=True)
+    ap.add_argument("--split_file", default=None,
+                    help="presplit JSON (required unless --real_dir is given)")
+    # mixed real+generated training — the cross-domain-generalization
+    # experiment of domain_classifier_training.py:919-1005
+    ap.add_argument("--real_dir", default=None,
+                    help="real data root with ID_*/User_* user dirs; "
+                         "deterministic per-user 80/20 split when no "
+                         "--split_file is given")
+    ap.add_argument("--generated_dir", action="append", default=None,
+                    help="generated data dir (repeatable); merged into the "
+                         "train split with --use_generated")
+    ap.add_argument("--use_generated", action="store_true",
+                    help="augment the train split with --generated_dir data")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--patience", type=int, default=None,
+                    help="early-stop after N epochs without val-acc improvement")
     ap.add_argument("--mode", default="baseline", choices=["baseline", "improved", "calibrated", "domain_adaptive"])
     ap.add_argument("--contrastive_type", default="supcon",
                     choices=["supcon", "interuser", "global"],
@@ -340,14 +364,27 @@ def main() -> None:
     ap.add_argument("--out", default="classifier.safetensors")
     args = ap.parse_args()
 
-    from vavae_tpu.data.image_folder import SplitFileDataset
+    from vavae_tpu.data.image_folder import MixedDomainDataset, SplitFileDataset
     from vavae_tpu.train.checkpoint import save_state_file
 
-    train_ds = SplitFileDataset(args.split_file, "train", image_size=args.image_size)
-    val_ds = SplitFileDataset(args.split_file, "val", image_size=args.image_size)
+    if args.real_dir or args.generated_dir:
+        if not args.real_dir:
+            # the reference requires real_data_dir: validation is real-only
+            raise SystemExit("--generated_dir requires --real_dir")
+        mk = lambda split: MixedDomainDataset(
+            real_dir=args.real_dir, generated_dirs=args.generated_dir,
+            split=split, image_size=args.image_size,
+            use_generated=args.use_generated, split_file=args.split_file,
+        )
+        train_ds, val_ds = mk("train"), mk("val")
+    elif args.split_file:
+        train_ds = SplitFileDataset(args.split_file, "train", image_size=args.image_size)
+        val_ds = SplitFileDataset(args.split_file, "val", image_size=args.image_size)
+    else:
+        raise SystemExit("one of --split_file or --real_dir is required")
     trainer, state = train_classifier(
         train_ds, val_ds, mode=args.mode, contrastive_type=args.contrastive_type,
-        num_classes=args.num_classes,
+        num_classes=args.num_classes, lr=args.lr, patience=args.patience,
         epochs=args.epochs, batch_size=args.batch_size, image_size=args.image_size,
     )
     out = args.out if args.out.endswith(".safetensors") else args.out + ".safetensors"

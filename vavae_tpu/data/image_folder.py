@@ -105,6 +105,155 @@ class ImageFolderDataset:
                 pool.shutdown(wait=False)
 
 
+def parse_user_id(name: str) -> Optional[int]:
+    """User-dir name → 0-based class id (domain_classifier_training.py:373-389):
+    ``ID_k`` is 1-based (→ k-1), ``User_k``/``user_k`` already 0-based, a bare
+    number is taken as-is; anything else is skipped (None)."""
+    if name.startswith("ID_"):
+        try:
+            return int(name.split("_")[1]) - 1
+        except (IndexError, ValueError):
+            return None
+    if name.startswith(("User_", "user_")):
+        try:
+            return int(name.split("_")[1])
+        except (IndexError, ValueError):
+            return None
+    try:
+        return int(name)
+    except ValueError:
+        return None
+
+
+class MixedDomainDataset(ImageFolderDataset):
+    """Real + generated multi-source classifier dataset — the "does synthetic
+    data improve cross-domain generalization" experiment
+    (domain_adaptation_experiment/domain_classifier_training.py:279-541).
+
+    Semantics matched to the reference's ``DomainAdaptationDataset``:
+      - real data comes from a presplit JSON (either the reference's
+        ``{"train": {user_folder: [paths]}, "val": ...}`` layout from its
+        prepare_dataset_split.py, or this repo's flat
+        ``{"train": [{"path", "user_id"}]}`` layout) or, without a split
+        file, from an ``ID_*``/``User_*``/``user_*`` directory scan with a
+        deterministic per-user 80/20 split (``random.Random(42 + user_id)``
+        shuffle, reference :441-452);
+      - generated dirs (same per-user layout) are merged into the TRAIN
+        split only, each tagged ``generated_{i}`` (reference :313-320, 454+);
+      - a data-statistics summary is printed at construction (reference
+        ``_print_data_statistics``), also available as ``summary()``.
+    """
+
+    def __init__(
+        self,
+        real_dir: Optional[str] = None,
+        generated_dirs: Optional[List[str]] = None,
+        split: str = "train",
+        image_size: int = 256,
+        use_generated: bool = False,
+        split_file: Optional[str] = None,
+        train_ratio: float = 0.8,
+        verbose: bool = True,
+    ):
+        self.image_size = image_size
+        self.split = split
+        self.class_to_idx = {}
+        self.items: List[Tuple[str, int]] = []
+        self.sources: List[str] = []  # parallel to items: "real"/"generated_i"
+
+        if real_dir:
+            if split_file:
+                self._load_presplit(split_file, split)
+            else:
+                self._load_dir(real_dir, "real", split, train_ratio)
+        if use_generated and split == "train":
+            for i, gdir in enumerate(generated_dirs or []):
+                if not os.path.isdir(gdir):
+                    print(f"warning: generated dir not found: {gdir}")
+                    continue
+                self._load_dir(gdir, f"generated_{i + 1}", split, train_ratio)
+        if not self.items:
+            raise ValueError("MixedDomainDataset found no images")
+        if verbose:
+            s = self.summary()
+            amp = (f"{s['generated'] / s['real']:.2f}x" if s["real"]
+                   else "no real data")
+            print(
+                f"[{split}] real {s['real']} + generated {s['generated']} "
+                f"(amplification {amp}) over {s['users']} users; "
+                f"per-source: {s['per_source']}"
+            )
+
+    def _load_presplit(self, split_file: str, split: str) -> None:
+        with open(split_file) as f:
+            data = json.load(f)
+        entries = data.get(split, {})
+        if isinstance(entries, dict):
+            # reference layout: {user_folder_name: [image paths]}
+            for folder, paths in entries.items():
+                uid = parse_user_id(folder)
+                if uid is None:
+                    print(f"warning: cannot parse user id from {folder!r}")
+                    continue
+                for p in paths:
+                    if os.path.exists(p):
+                        self.items.append((p, uid))
+                        self.sources.append("real")
+        else:
+            # this repo's flat layout (prepare_dataset_split.py)
+            for e in entries:
+                if isinstance(e, dict):
+                    path = e.get("path") or e.get("file")
+                    uid = int(e.get("user_id", e.get("label", 0)))
+                else:
+                    path, uid = e[0], int(e[1])
+                self.items.append((path, uid))
+                self.sources.append("real")
+
+    def _load_dir(self, root: str, tag: str, split: str, train_ratio: float) -> None:
+        import random as _random
+
+        user_dirs = []
+        for d in sorted(os.listdir(root)):
+            full = os.path.join(root, d)
+            uid = parse_user_id(d)
+            if os.path.isdir(full) and uid is not None:
+                user_dirs.append((uid, full))
+        if not user_dirs:
+            print(f"warning: no ID_*/User_*/user_* dirs under {root}")
+            return
+        for uid, full in user_dirs:
+            paths = []
+            for ext in ("*.png", "*.jpg", "*.jpeg"):
+                paths.extend(glob(os.path.join(full, ext)))
+            paths.sort()
+            if tag == "real":
+                # deterministic per-user split: the same files land in train
+                # vs val across instantiations (reference seeds 42 + user_id)
+                _random.Random(42 + uid).shuffle(paths)
+                cut = int(len(paths) * train_ratio)
+                paths = paths[:cut] if split == "train" else paths[cut:]
+            elif split != "train":
+                continue  # generated data never enters validation
+            for p in paths:
+                self.items.append((p, uid))
+                self.sources.append(tag)
+
+    def summary(self) -> dict:
+        per_source: dict = {}
+        users = set()
+        for (_, uid), src in zip(self.items, self.sources):
+            per_source[src] = per_source.get(src, 0) + 1
+            users.add(uid)
+        real = per_source.get("real", 0)
+        return {
+            "real": real,
+            "generated": len(self.items) - real,
+            "users": len(users),
+            "per_source": per_source,
+        }
+
+
 class SplitFileDataset(ImageFolderDataset):
     """Micro-Doppler split-file dataset (prepare_dataset_split.py JSON format:
     {"train": [{"path":..., "user_id":...}, ...], "val": [...]})."""
