@@ -21,9 +21,11 @@ w = sys.argv[1]
 rng = np.random.default_rng(0)
 for c in (0, 1):
     os.makedirs(f"{w}/data/c{c}", exist_ok=True)
+    os.makedirs(f"{w}/data_users/ID_{c + 1}", exist_ok=True)  # 1-based user dirs
     for i in range(10):
-        Image.fromarray((rng.random((40, 40, 3)) * 255).astype("uint8")).save(
-            f"{w}/data/c{c}/{i}.png")
+        img = (rng.random((40, 40, 3)) * 255).astype("uint8")
+        Image.fromarray(img).save(f"{w}/data/c{c}/{i}.png")
+        Image.fromarray(img).save(f"{w}/data_users/ID_{c + 1}/{i}.png")
 print("dataset ok")
 EOF
 
@@ -127,5 +129,13 @@ run "train_classifier (improved+global)" python -m vavae_tpu.apps.train_classifi
   --split_file "$W/split.json" --mode improved --contrastive_type global \
   --epochs 1 --batch_size 4 --num_classes 2 --image_size 32 \
   --out "$W/clf_glob.safetensors"
+
+run "preflight doctor" python -m vavae_tpu.apps.preflight \
+  --config "$W/tiny_dit.yaml" --verify_outputs "$W/out"
+run "mixed-domain classifier (real+generated dirs)" \
+  python -m vavae_tpu.apps.train_classifier \
+  --real_dir "$W/data_users" --generated_dir "$W/genfilter" --use_generated \
+  --epochs 1 --batch_size 4 --num_classes 2 --image_size 32 \
+  --out "$W/clf_mixed.safetensors"
 
 echo "ALL DRIVES PASSED ($W)"

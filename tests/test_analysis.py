@@ -191,3 +191,35 @@ def test_preemption_guard():
         assert g.should_stop
     # handler restored after exit
     assert signal.getsignal(signal.SIGUSR1) != g._handler
+
+
+def test_reliability_verdict_thresholds():
+    """Reference verdict bands + warnings
+    (test_classifier_on_real_data.py:268-316)."""
+    from vavae_tpu.apps.classifier_eval import reliability_verdict
+
+    assert reliability_verdict(0.96, 0.96, [0.96])["verdict"] == "HIGHLY RELIABLE"
+    assert reliability_verdict(0.90, 0.92, [0.9])["verdict"] == "RELIABLE"
+    assert reliability_verdict(0.75, 0.75, [0.75])["verdict"] == "MODERATELY RELIABLE"
+    assert reliability_verdict(0.50, 0.50, [0.5])["verdict"] == "UNRELIABLE"
+    # boundary: exactly 0.95 / 0.85 / 0.70 take the higher band
+    assert reliability_verdict(0.95, 0.95, [])["verdict"] == "HIGHLY RELIABLE"
+    assert reliability_verdict(0.85, 0.85, [])["verdict"] == "RELIABLE"
+    assert reliability_verdict(0.70, 0.70, [])["verdict"] == "MODERATELY RELIABLE"
+    # warnings: per-user std > 0.2; high-conf acc trailing overall by > 0.1
+    v = reliability_verdict(0.9, 0.9, [0.2, 0.9, 0.9, 0.9])
+    assert any("biased" in w for w in v["warnings"])
+    v = reliability_verdict(0.9, 0.75, [0.9, 0.9])
+    assert any("calibration" in w for w in v["warnings"])
+    assert reliability_verdict(0.9, 0.85, [0.9, 0.9])["warnings"] == []
+
+
+def test_classifier_eval_high_conf_and_verdict_fields():
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, size=(80, 8, 8, 3)).astype(np.uint8)
+    m = (imgs.astype(np.float32) / 127.5 - 1.0).reshape(80, -1).mean(-1)
+    labels = np.clip(((m + 1) / 2 * 4).astype(int), 0, 3)
+    rep = evaluate_classifier(_fake_classifier(), imgs, labels, num_classes=4)
+    assert set(rep) >= {"high_conf_ratio", "high_conf_accuracy",
+                        "confidence_std", "reliability_verdict"}
+    assert rep["reliability_verdict"]["verdict"] == "HIGHLY RELIABLE"

@@ -446,3 +446,66 @@ def test_simplified_vavae_scale_roundtrip(tmp_path):
     p = str(tmp_path / "vae.ckpt")
     torch.save({"scale_factor": 0.18215, "state_dict": {}}, p)
     assert SimplifiedVAVAE._scale_from_ckpt(p) == 0.18215
+
+
+def test_preflight_checks(tmp_path):
+    """Config doctor (test_config_validation.py + step4_inference.py parity):
+    latent/patch arithmetic failures, dataset shape/label validation,
+    output image verification."""
+    from PIL import Image
+
+    from vavae_tpu.apps.preflight import (
+        check_config_consistency,
+        check_dataset,
+        check_outputs,
+        run_preflight,
+    )
+    from vavae_tpu.utils.config import Config
+
+    def cfg_with(**data):
+        base = {
+            "data": {"image_size": 32, "num_classes": 2,
+                     "data_path": None, **data},
+            "model": {"model_type": "LightningDiT-S/2", "in_chans": 32},
+            "vae": {"downsample_ratio": 16},
+        }
+        return Config(base)
+
+    # happy path arithmetic
+    ok = check_config_consistency(cfg_with())
+    assert all(s == "ok" for s, _, _ in ok)
+
+    # image_size not divisible by downsample -> FAIL, stops early
+    bad = check_config_consistency(cfg_with(image_size=33))
+    assert bad[0][0] == "FAIL" and "not divisible" in bad[0][2]
+
+    # latent not divisible by patch: 48/16=3 latents, patch 2 -> FAIL
+    bad = check_config_consistency(cfg_with(image_size=48))
+    assert any(s == "FAIL" and n == "patch-size" for s, n, _ in bad)
+
+    # num_classes invalid
+    bad = check_config_consistency(cfg_with(num_classes=0))
+    assert any(s == "FAIL" and n == "num-classes" for s, n, _ in bad)
+
+    # dataset missing -> warn (names the producing step), not FAIL
+    w = check_dataset(cfg_with(data_path=str(tmp_path / "nope")))
+    assert w[0][0] == "warn" and "extract_features" in w[0][2]
+
+    # outputs: good + blank + undecodable
+    out_dir = tmp_path / "imgs"
+    out_dir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (8, 8, 3)).astype("uint8")).save(
+        out_dir / "good.png")
+    assert check_outputs(str(out_dir))[0][0] == "ok"
+    Image.fromarray(np.zeros((8, 8, 3), "uint8")).save(out_dir / "blank.png")
+    assert check_outputs(str(out_dir))[0][0] == "warn"
+    (out_dir / "corrupt.png").write_bytes(b"not a png")
+    assert check_outputs(str(out_dir))[0][0] == "FAIL"
+    assert check_outputs(str(tmp_path / "missing"))[0][0] == "FAIL"
+
+    # full run on a consistent config (forward smoke included: S/2 on 2x2
+    # latents compiles in seconds on CPU) — no FAILs, weights warn
+    checks = run_preflight(cfg_with())
+    assert not any(s == "FAIL" for s, _, _ in checks)
+    assert any(n == "model-forward" and s == "ok" for s, n, _ in checks)

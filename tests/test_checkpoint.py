@@ -138,3 +138,44 @@ def test_stage_epochs_done_prefers_epoch_json(tmp_path):
     with open(os.path.join(d, "epoch.json"), "w") as f:
         json.dump({"epochs_done": 3}, f)
     assert stage_epochs_done(d) == 3
+
+
+def test_lenient_restore_shape_checked_finetune_init(tmp_path, capsys):
+    """Finetune-init semantics (load_weights_with_shape_check,
+    train_dit_s_official.py:525-554): shape-mismatched leaves keep the
+    target's fresh init, missing leaves keep the target, extra leaves are
+    dropped, matching leaves load; strict mode still fails on the same file."""
+    src = {
+        "params": {
+            "w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+            # 1000-class label embedder -> 31-class model below
+            "y_embed": jnp.ones((1000, 8), jnp.float32),
+            "legacy_only": jnp.zeros((2,), jnp.float32),
+        },
+        "step": jnp.asarray(5, jnp.int32),
+    }
+    path = save_checkpoint(str(tmp_path), 5, src)
+
+    target = {
+        "params": {
+            "w": jnp.zeros((3, 4), jnp.float32),
+            "y_embed": jnp.full((31, 8), 7.0, jnp.float32),
+            "new_head": jnp.full((4,), 3.0, jnp.float32),
+        },
+        "step": jnp.asarray(0, jnp.int32),
+    }
+    restored = restore_checkpoint(path, target, lenient=True)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(src["params"]["w"]))
+    # mismatched shape -> target init kept
+    np.testing.assert_array_equal(np.asarray(restored["params"]["y_embed"]),
+                                  np.asarray(target["params"]["y_embed"]))
+    # missing in checkpoint -> target init kept
+    np.testing.assert_array_equal(np.asarray(restored["params"]["new_head"]),
+                                  np.asarray(target["params"]["new_head"]))
+    assert int(restored["step"]) == 5
+    out = capsys.readouterr().out
+    assert "shape mismatch" in out and "loaded 2 leaves, skipped 3" in out
+
+    with pytest.raises(Exception):
+        restore_checkpoint(path, target)  # strict stays strict

@@ -45,6 +45,37 @@ def reliability_bins(
     }
 
 
+def reliability_verdict(
+    accuracy: float,
+    high_conf_accuracy: float,
+    user_accuracies,
+) -> Dict:
+    """Can this classifier be trusted to filter generated samples?
+
+    Reference thresholds (test_classifier_on_real_data.py:268-316):
+    ≥95% HIGHLY RELIABLE, ≥85% RELIABLE, ≥70% MODERATELY RELIABLE, else
+    UNRELIABLE; warnings when per-user accuracy std > 0.2 (user bias) or
+    high-confidence accuracy trails overall by > 0.1 (miscalibration)."""
+    if accuracy >= 0.95:
+        verdict = "HIGHLY RELIABLE"
+    elif accuracy >= 0.85:
+        verdict = "RELIABLE"
+    elif accuracy >= 0.70:
+        verdict = "MODERATELY RELIABLE"
+    else:
+        verdict = "UNRELIABLE"
+    warnings = []
+    user_std = float(np.std(list(user_accuracies))) if len(user_accuracies) else 0.0
+    if user_std > 0.2:
+        warnings.append("high per-user accuracy variance: classifier may be "
+                        "biased toward certain users")
+    if high_conf_accuracy < accuracy - 0.1:
+        warnings.append("high-confidence samples LESS accurate than average: "
+                        "confidence calibration issues")
+    return {"verdict": verdict, "user_accuracy_std": user_std,
+            "warnings": warnings}
+
+
 def evaluate_classifier(
     classifier_fn: Callable[[np.ndarray], np.ndarray],
     images: np.ndarray,
@@ -76,14 +107,23 @@ def evaluate_classifier(
         int(c): float(correct[labels == c].mean())
         for c in np.unique(labels)
     }
+    # high-confidence (>0.9) subset stats (test_classifier_on_real_data.py
+    # analyze_results:212-224)
+    hc = conf > 0.9
+    hc_acc = float(correct[hc].mean()) if hc.any() else 0.0
+    acc = float(correct.mean())
     return {
-        "accuracy": float(correct.mean()),
+        "accuracy": acc,
         "top5_accuracy": float(np.concatenate(top5).mean()),
         "mean_confidence": float(conf.mean()),
+        "confidence_std": float(conf.std()),
+        "high_conf_ratio": float(hc.mean()),
+        "high_conf_accuracy": hc_acc,
         "per_user_accuracy": per_user,
         "worst_users": sorted(per_user, key=per_user.get)[:5],
         "confusion_matrix": cm.tolist(),
         "reliability": reliability_bins(conf, correct),
+        "reliability_verdict": reliability_verdict(acc, hc_acc, list(per_user.values())),
     }
 
 
@@ -126,11 +166,15 @@ def main() -> None:
         args.num_classes,
         batch_size=args.batch_size,
     )
+    verdict = report["reliability_verdict"]
     print(
         f"accuracy {report['accuracy']:.4f}  top5 {report['top5_accuracy']:.4f}  "
         f"ece {report['reliability']['ece']:.4f}  "
         f"worst users {report['worst_users']}"
     )
+    print(f"reliability verdict: {verdict['verdict']}")
+    for w in verdict["warnings"]:
+        print(f"  warning: {w}")
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)

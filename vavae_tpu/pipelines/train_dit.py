@@ -141,7 +141,13 @@ def do_train(cfg: Config) -> TrainState:
     init_path = cfg.train.get("weight_init") or cfg.train.get("ckpt")
     if init_path and os.path.exists(str(init_path)):
         if str(init_path).endswith((".msgpack", ".safetensors")):
-            state = ckpt_lib.restore_checkpoint(str(init_path), state)
+            # lenient shape-checked load (train_dit_s_official.py:525-554):
+            # finetuning from a checkpoint with a different num_classes /
+            # head keeps the fresh init for mismatched leaves
+            state = ckpt_lib.restore_checkpoint(
+                str(init_path), state,
+                lenient=str(init_path).endswith(".safetensors"),
+            )
             logger.info(f"restored checkpoint weights from {init_path}")
         else:
             sd = ckpt_lib.load_torch_dit_checkpoint(str(init_path))

@@ -257,7 +257,11 @@ def _load_pretrained(state: VAETrainState, path: str, cfg: Config, logger) -> VA
     checkpoint: ours (.safetensors/.msgpack full train state) or a reference
     torch .ckpt/.pt (converted)."""
     if path.endswith((".safetensors", ".msgpack")):
-        return ckpt_lib.restore_checkpoint(path, state)
+        # lenient: pretrained-init may come from a differently-shaped run
+        # (reference load_weights_with_shape_check semantics)
+        return ckpt_lib.restore_checkpoint(
+            path, state, lenient=path.endswith(".safetensors")
+        )
     import torch
 
     from vavae_tpu.utils.torch_convert import vae_params_from_torch

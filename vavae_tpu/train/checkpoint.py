@@ -206,10 +206,18 @@ def checkpoint_count(ckpt_dir: str) -> int:
     return len(steps)
 
 
-def restore_checkpoint(path: str, target: Any) -> Any:
+def restore_checkpoint(path: str, target: Any, lenient: bool = False) -> Any:
     """Restore into a pytree with the same structure as ``target``.
 
-    Dispatches on extension: .safetensors (current) or .msgpack (legacy)."""
+    Dispatches on extension: .safetensors (current) or .msgpack (legacy).
+
+    ``lenient=True`` is the finetune-init mode (reference
+    ``load_weights_with_shape_check``, train_dit_s_official.py:525-554):
+    leaves whose shape differs from the target's keep the target's fresh
+    init (e.g. a 1000-class label embedder restored into a 31-class model),
+    leaves missing from the file keep the target's value, and extra leaves
+    in the file are dropped — each skip warned, plus a load summary line.
+    Resume paths must stay strict (the default) so real corruption surfaces."""
     if str(path).endswith(".msgpack"):
         import warnings
 
@@ -255,6 +263,30 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     for k, t in tgt_flat.items():
         if k not in flat and t is None:
             flat[k] = None
+
+    if lenient:
+        loaded, skipped = 0, 0
+        for k, t in tgt_flat.items():
+            v = flat.get(k)
+            if k not in flat:
+                print(f"[restore] missing in checkpoint, keeping init: {k}")
+                flat[k] = t
+                skipped += 1
+            elif getattr(v, "shape", None) != getattr(t, "shape", None):
+                print(
+                    f"[restore] shape mismatch for {k}: checkpoint "
+                    f"{getattr(v, 'shape', None)} vs model "
+                    f"{getattr(t, 'shape', None)} — keeping init"
+                )
+                flat[k] = t
+                skipped += 1
+            else:
+                loaded += 1
+        for k in [k for k in flat if k not in tgt_flat]:
+            print(f"[restore] not in model, dropped: {k}")
+            del flat[k]
+            skipped += 1
+        print(f"[restore summary] loaded {loaded} leaves, skipped {skipped}")
 
     sd = traverse_util.unflatten_dict(flat, sep=_SEP)
     return serialization.from_state_dict(target, sd)
