@@ -102,6 +102,17 @@ def main() -> None:
              "--output_path", args.latents,
              "--vae_ckpt", env["VAVAE_GN_VAE_CKPT"],
              "--image_size", "256"])
+    # fail fast: the 800ep config has latent_norm: true, and do_sample
+    # silently skips the un-normalization stats when the latents dir is
+    # missing — that would burn hours of chip time on wrongly-scaled
+    # samples and report a garbage FID
+    if not os.path.isdir(args.latents):
+        sys.exit(
+            f"latents dir not found: {args.latents} — the sampling config "
+            "needs its latent stats for de-normalization. Run the "
+            "extraction step first (set VAVAE_GN_IMAGENET_TRAIN and drop "
+            "--skip_extraction), or pass --latents at an existing dump."
+        )
     run([py, "-m", "vavae_tpu.pipelines.sample",
          "--config", args.config,
          f"ckpt_path={env['VAVAE_GN_DIT_CKPT']}",

@@ -179,3 +179,49 @@ def test_lenient_restore_shape_checked_finetune_init(tmp_path, capsys):
 
     with pytest.raises(Exception):
         restore_checkpoint(path, target)  # strict stays strict
+
+
+def test_weight_init_is_weights_only(tmp_path):
+    """Pretrained weight_init must copy weights ONLY (reference
+    load_weights_with_shape_check + post-load EMA deepcopy): step and
+    optimizer state restart fresh — otherwise a finetune from an 80k-step
+    checkpoint silently runs zero steps and inherits stale Adam moments."""
+    import logging
+
+    from vavae_tpu.models.dit import LightningDiT
+    from vavae_tpu.parallel.mesh import make_mesh
+    from vavae_tpu.pipelines.train_dit import load_weight_init
+    from vavae_tpu.train.dit_trainer import DiTTrainer
+    from vavae_tpu.transport import create_transport
+
+    model = LightningDiT(
+        input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,
+        num_heads=2, num_classes=4, use_swiglu=True, use_rope=True,
+        use_rmsnorm=True,
+    )
+    trainer = DiTTrainer(model, create_transport("Linear", "velocity"),
+                         make_mesh(), lr=1e-3)
+    old = trainer.init_state(jax.random.PRNGKey(0), (4, 8, 8, 4))
+    # simulate a long-trained prior run: bump step, perturb params + moments
+    old = old.replace(
+        step=jnp.asarray(80_000, jnp.int32),
+        params=jax.tree_util.tree_map(lambda p: p + 1.0, old.params),
+    )
+    path = save_checkpoint(str(tmp_path), 80_000, jax.device_get(old))
+
+    fresh = trainer.init_state(jax.random.PRNGKey(1), (4, 8, 8, 4))
+    state = load_weight_init(path, fresh, model, logging.getLogger("t"))
+
+    # weights came from the checkpoint, EMA re-seeded from them
+    got = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    want = jax.tree_util.tree_leaves(jax.device_get(old.params))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    for g, e in zip(got, jax.tree_util.tree_leaves(jax.device_get(state.ema_params))):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
+    # ...but step and optimizer state are FRESH
+    assert int(jax.device_get(state.step)) == 0
+    f_opt = jax.tree_util.tree_leaves(jax.device_get(fresh.opt_state))
+    s_opt = jax.tree_util.tree_leaves(jax.device_get(state.opt_state))
+    for a, b in zip(f_opt, s_opt):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

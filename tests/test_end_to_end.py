@@ -132,3 +132,20 @@ def test_sharded_sampling_matches_single_device(latent_dir, mesh8):
     sharded = sharded_fn(rng, labels)
     assert not sharded.sharding.is_fully_replicated  # actually distributed
     np.testing.assert_allclose(np.asarray(sharded), single, rtol=2e-4, atol=2e-5)
+
+
+def test_do_sample_refuses_missing_latent_stats(tmp_path):
+    """latent_norm: true with a missing latents dir must fail fast — the old
+    silent latent_stats=None skip decoded wrongly-scaled samples after hours
+    of chip time (garbage golden FID)."""
+    from vavae_tpu.pipelines.sample import do_sample
+    from vavae_tpu.utils.config import Config
+
+    cfg = Config({
+        "data": {"data_path": str(tmp_path / "never_extracted"),
+                 "latent_norm": True, "image_size": 32, "num_classes": 2},
+        "model": {"model_type": "LightningDiT-S/2", "in_chans": 32},
+        "sample": {"mode": "ODE"},
+    })
+    with pytest.raises(FileNotFoundError, match="latent_norm"):
+        do_sample(cfg)

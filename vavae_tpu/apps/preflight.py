@@ -130,7 +130,9 @@ def check_dataset(cfg) -> List[Check]:
         feat, label = ds[0]
         downsample = cfg.get("vae", {}).get("downsample_ratio", 16)
         latent = cfg.data.image_size // downsample
-        in_chans = cfg.model.get("in_chans", 32)
+        # same default as create_dit (models/dit.py) so the dataset check
+        # can never contradict a passing model-forward check
+        in_chans = cfg.model.get("in_chans", 4)
         expected = (latent, latent, in_chans)  # NHWC here (ref checks CHW)
         if tuple(feat.shape) != expected:
             out.append(("FAIL", "dataset-shape",

@@ -304,7 +304,7 @@ def train_classifier(
     )
     rng = jax.random.PRNGKey(seed)
     state = jax.device_put(trainer.init_state(rng, image_size), replicated(trainer.mesh))
-    best_acc, epochs_since_best = 0.0, 0
+    best_acc, epochs_since_best, best_state = 0.0, 0, None
     for epoch in range(epochs):
         t0, steps = time.time(), 0
         for batch in prefetch(dataset.batches(batch_size, seed=seed + epoch, epochs=1)):
@@ -323,6 +323,10 @@ def train_classifier(
             acc = float(np.mean(accs)) if accs else 0.0
             if acc > best_acc:
                 best_acc, epochs_since_best = acc, 0
+                # snapshot the best-val state: the saved classifier must be
+                # the one early stopping selected, not the last (the
+                # reference checkpoints best_model on each improvement)
+                best_state = jax.device_get(state)
             else:
                 epochs_since_best += 1
             print(f"epoch {epoch}: val acc {acc:.4f} (best {best_acc:.4f})")
@@ -331,7 +335,7 @@ def train_classifier(
             if patience is not None and epochs_since_best >= patience:
                 print(f"early stop: no val improvement for {patience} epochs")
                 break
-    return trainer, state
+    return trainer, state if best_state is None else best_state
 
 
 def main() -> None:

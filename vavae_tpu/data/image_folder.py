@@ -207,6 +207,12 @@ class MixedDomainDataset(ImageFolderDataset):
                     uid = int(e.get("user_id", e.get("label", 0)))
                 else:
                     path, uid = e[0], int(e[1])
+                # same missing-file policy as the reference layout above:
+                # skip at construction instead of raising mid-epoch in the
+                # decode pool
+                if not os.path.exists(path):
+                    print(f"warning: image file missing: {path}")
+                    continue
                 self.items.append((path, uid))
                 self.sources.append("real")
 

@@ -128,8 +128,14 @@ def fid_folder_vs_npz(folder: str, npz_path: str, **kw) -> float:
     return fid_given_paths(folder, npz_path, **kw)
 
 
-def create_npz_from_sample_folder(folder: str, num: int = 50000) -> str:
-    """Pack %06d.png samples into ADM-format arr_0 npz (tools/save_npz.py)."""
+def create_npz_from_sample_folder(
+    folder: str, num: int = 50000, out: Optional[str] = None
+) -> str:
+    """Pack %06d.png samples into ADM-format arr_0 npz (tools/save_npz.py).
+
+    Writes directly to ``out`` when given (no tempfile-then-rename: a rename
+    fails across filesystems and would clobber the default {folder}.npz as a
+    side effect); defaults to the reference's {folder}.npz."""
     from PIL import Image
 
     samples = []
@@ -137,7 +143,7 @@ def create_npz_from_sample_folder(folder: str, num: int = 50000) -> str:
         with Image.open(os.path.join(folder, f"{i:06d}.png")) as im:
             samples.append(np.asarray(im.convert("RGB"), np.uint8))
     arr = np.stack(samples)
-    out = f"{folder}.npz"
+    out = out or f"{folder}.npz"
     np.savez(out, arr_0=arr)
     return out
 
@@ -176,9 +182,9 @@ def main() -> None:
     if args.save_npz:
         if len(args.paths) != 1:
             ap.error("--save_npz takes exactly one sample folder")
-        out = create_npz_from_sample_folder(args.paths[0], num=args.num)
-        if args.save_npz != out:
-            os.replace(out, args.save_npz)
+        create_npz_from_sample_folder(
+            args.paths[0], num=args.num, out=args.save_npz
+        )
         print(f"saved {args.num} samples to {args.save_npz}")
         return
     if args.save_stats:

@@ -213,15 +213,26 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None):
 def do_sample(cfg: Config, demo: bool = False) -> str:
     multihost_init()
     logger = create_logger()
+
+    latent_stats = None
+    if cfg.data.get("latent_norm", False) and cfg.data.get("data_path"):
+        if not os.path.isdir(cfg.data.data_path):
+            # never silently sample without the de-normalization stats the
+            # config asked for — wrongly-scaled latents decode to garbage
+            # after hours of chip time (inference.py reads the same stats
+            # from its latents_stats.pt)
+            raise FileNotFoundError(
+                f"latent_norm: true but data.data_path is not a directory: "
+                f"{cfg.data.data_path!r} — point it at the extracted-latents "
+                "dump (pipelines.extract_features) that holds the stats "
+                "cache, or set data.latent_norm: false"
+            )
+        ds = ImgLatentDataset(cfg.data.data_path, latent_norm=True)
+        latent_stats = ds.latent_stats
+
     latent_size = cfg.data.image_size // cfg.get("vae", {}).get("downsample_ratio", 16)
     model = create_dit(cfg.model, latent_size, cfg.data.num_classes)
     params = load_dit_params(cfg, model, cfg.ckpt_path)
-
-    latent_stats = None
-    if cfg.data.get("latent_norm", False) and cfg.data.get("data_path") and \
-            os.path.isdir(cfg.data.data_path):
-        ds = ImgLatentDataset(cfg.data.data_path, latent_norm=True)
-        latent_stats = ds.latent_stats
 
     vae = VA_VAE(
         cfg.get("vae", {}).get("config"),

@@ -65,6 +65,43 @@ def build_transport(cfg: Config):
     )
 
 
+def load_weight_init(init_path: str, state: TrainState, model, logger) -> TrainState:
+    """Pretrained WEIGHTS-ONLY init for a finetune run.
+
+    Matches the reference loader's semantics (train_dit_s_official.py:525-554
+    ``load_weights_with_shape_check``): model weights copy over (lenient —
+    shape-mismatched leaves such as a different-num_classes label embedder
+    keep the fresh init), while step, optimizer state and the LR schedule
+    restart at zero and EMA re-seeds from the loaded params (the reference's
+    post-load ``deepcopy(model)``). Resume, by contrast, restores the FULL
+    state strictly (see do_train below)."""
+    if init_path.endswith((".msgpack", ".safetensors")):
+        restored = ckpt_lib.restore_checkpoint(
+            init_path, state, lenient=init_path.endswith(".safetensors")
+        )
+        params = restored.params
+        logger.info(f"restored checkpoint weights from {init_path}")
+    else:
+        sd = ckpt_lib.load_torch_dit_checkpoint(init_path)
+        params = jax.tree_util.tree_map(
+            np.asarray,
+            dit_params_from_torch(
+                sd,
+                model.depth,
+                use_swiglu=model.use_swiglu,
+                use_rmsnorm=model.use_rmsnorm,
+                rope_heads=model.num_heads if model.use_rope else 0,
+            ),
+        )
+        logger.info(f"converted torch weights from {init_path}")
+    # distinct copies — params/ema sharing buffers breaks state donation in
+    # the jitted step
+    return state.replace(
+        params=params,
+        ema_params=jax.tree_util.tree_map(np.copy, jax.device_get(params)),
+    )
+
+
 def do_train(cfg: Config) -> TrainState:
     multihost_init()
     par = cfg.get("parallel", Config())
@@ -140,34 +177,7 @@ def do_train(cfg: Config) -> TrainState:
     # optional pretrained weights (reference 'weight_init'/'ckpt' keys)
     init_path = cfg.train.get("weight_init") or cfg.train.get("ckpt")
     if init_path and os.path.exists(str(init_path)):
-        if str(init_path).endswith((".msgpack", ".safetensors")):
-            # lenient shape-checked load (train_dit_s_official.py:525-554):
-            # finetuning from a checkpoint with a different num_classes /
-            # head keeps the fresh init for mismatched leaves
-            state = ckpt_lib.restore_checkpoint(
-                str(init_path), state,
-                lenient=str(init_path).endswith(".safetensors"),
-            )
-            logger.info(f"restored checkpoint weights from {init_path}")
-        else:
-            sd = ckpt_lib.load_torch_dit_checkpoint(str(init_path))
-            params = jax.tree_util.tree_map(
-                np.asarray,
-                dit_params_from_torch(
-                    sd,
-                    model.depth,
-                    use_swiglu=model.use_swiglu,
-                    use_rmsnorm=model.use_rmsnorm,
-                    rope_heads=model.num_heads if model.use_rope else 0,
-                ),
-            )
-            # distinct copies — params/ema sharing buffers breaks state
-            # donation in the jitted step
-            state = state.replace(
-                params=params,
-                ema_params=jax.tree_util.tree_map(np.copy, params),
-            )
-            logger.info(f"converted torch weights from {init_path}")
+        state = load_weight_init(str(init_path), state, model, logger)
 
     # resume from latest step-numbered checkpoint
     if cfg.train.get("resume", True):

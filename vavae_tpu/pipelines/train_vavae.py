@@ -258,9 +258,17 @@ def _load_pretrained(state: VAETrainState, path: str, cfg: Config, logger) -> VA
     torch .ckpt/.pt (converted)."""
     if path.endswith((".safetensors", ".msgpack")):
         # lenient: pretrained-init may come from a differently-shaped run
-        # (reference load_weights_with_shape_check semantics)
-        return ckpt_lib.restore_checkpoint(
+        # (reference load_weights_with_shape_check semantics). WEIGHTS ONLY:
+        # step and both optimizer states stay fresh — a weight_init must not
+        # inherit the old run's step counter (disc_start gating, stage ckpt
+        # numbering) or its Adam moments
+        restored = ckpt_lib.restore_checkpoint(
             path, state, lenient=path.endswith(".safetensors")
+        )
+        return state.replace(
+            gen_params=restored.gen_params,
+            disc_params=restored.disc_params,
+            disc_batch_stats=restored.disc_batch_stats,
         )
     import torch
 
