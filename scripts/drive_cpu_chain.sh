@@ -138,4 +138,11 @@ run "mixed-domain classifier (real+generated dirs)" \
   --epochs 1 --batch_size 4 --num_classes 2 --image_size 32 \
   --out "$W/clf_mixed.safetensors"
 
+run "export_torch (dit -> reference .pt)" python -m vavae_tpu.apps.export_torch \
+  --kind dit --config "$W/tiny_dit.yaml" \
+  --ckpt "$W/out/tiny/checkpoints/0000005.safetensors" --out "$W/dit_export.pt"
+run "export_torch (vae -> reference .ckpt)" python -m vavae_tpu.apps.export_torch \
+  --kind vae --ckpt "$(ls "$W"/vae_out/stage1/0*.safetensors | tail -1)" \
+  --out "$W/vae_export.ckpt"
+
 echo "ALL DRIVES PASSED ($W)"
