@@ -72,13 +72,11 @@ def export_dit(config_path: str, ckpt_path: str, out: str, overrides=()) -> str:
 
 
 def export_vae(ckpt_path: str, out: str) -> str:
-    import jax
     import numpy as np
     import torch
+    from flax import traverse_util
 
-    from vavae_tpu.train import checkpoint as ckpt_lib
     from vavae_tpu.utils.torch_export import vae_params_to_torch
-    from flax import serialization, traverse_util
 
     # the stored tree layout is self-describing — pull the generator's vae
     # subtree straight from the flat state dict (no model rebuild needed)
