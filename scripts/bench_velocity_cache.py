@@ -4,7 +4,7 @@ The opt-in ``sample.velocity_cache_interval`` (transport/ode.py
 odeint_euler_cached) reuses the velocity between model evaluations in the
 CFG phase — a training-free FLOP cut whose quality cost was previously
 unmeasured. This benchmark reports, for k ∈ {1 (exact), 2, 3, 4} × forecast
-order ∈ {0 (hold), 1 (linear)}:
+order ∈ {0 (hold), 1 (linear), 2 (quadratic)}:
 
   quality (DiT-S trained on per-class synthetic latents on-chip, the
   tests/test_learning_tpu.py setup — no released weights in this image):
@@ -154,7 +154,8 @@ def main() -> None:
     lat_range = float(exact.max() - exact.min())
     img_range = float(dec_exact.max() - dec_exact.min())
 
-    for k, order in ((2, 0), (3, 0), (2, 1), (3, 1), (4, 1)):
+    for k, order in ((2, 0), (3, 0), (2, 1), (3, 1), (4, 1),
+                     (3, 2), (4, 2), (5, 2), (6, 2)):
         cached = sample_with_k(k, order)
         dec_cached = np.asarray(decode(vae_params, jnp.asarray(cached)), np.float32)
         acc_k, conf_k = classify(cached)
@@ -201,7 +202,7 @@ def main() -> None:
         xl_ycfg = jnp.concatenate([xl_labels, jnp.full((bsz,), 1000, jnp.int32)])
         # throughput is forecast-order independent (same model-eval count;
         # the order-1 forecast adds one FMA per element) — sweep k only
-        for k in (1, 2, 3, 4):
+        for k in (1, 2, 3, 4, 5, 6):
             fn = sampler.sample_ode_cfg(
                 num_steps=250, timestep_shift=0.3, cfg_interval_start=0.11,
                 cache_interval=k,

@@ -509,3 +509,37 @@ def test_preflight_checks(tmp_path):
     checks = run_preflight(cfg_with())
     assert not any(s == "FAIL" for s, _, _ in checks)
     assert any(n == "model-forward" and s == "ok" for s, n, _ in checks)
+
+
+def test_preflight_cli_exit_codes(tmp_path):
+    """The doctor CLI exits 1 on a FAILing config and 0 on a consistent one
+    (reference main() returns nonzero on any failed check)."""
+    import subprocess
+    import sys as _sys
+
+    import yaml
+
+    cfg = {
+        "data": {"image_size": 33, "num_classes": 2, "data_path": None},
+        "model": {"model_type": "LightningDiT-S/2", "in_chans": 4},
+        "vae": {"downsample_ratio": 16},
+    }
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(yaml.safe_dump(cfg))
+    env = dict(os.environ, VAVAE_PLATFORM="cpu")
+    r = subprocess.run(
+        [_sys.executable, "-m", "vavae_tpu.apps.preflight", "--config",
+         str(bad), "--skip_forward"],
+        capture_output=True, text=True, env=env, timeout=240,
+    )
+    assert r.returncode == 1 and "not divisible" in r.stdout
+
+    cfg["data"]["image_size"] = 32
+    good = tmp_path / "good.yaml"
+    good.write_text(yaml.safe_dump(cfg))
+    r = subprocess.run(
+        [_sys.executable, "-m", "vavae_tpu.apps.preflight", "--config",
+         str(good), "--skip_forward"],
+        capture_output=True, text=True, env=env, timeout=240,
+    )
+    assert r.returncode == 0 and "preflight passed" in r.stdout

@@ -282,3 +282,103 @@ def test_velocity_cached_order1_linear_field_is_exact(rng):
         ) - np.asarray(exact)).max()
         e1 = np.abs(np.asarray(cached) - np.asarray(exact)).max()
         assert e1 < 0.1 * e0, (k, e0, e1)
+
+
+def test_velocity_cached_order2_quadratic_field_is_exact(rng):
+    """The order-2 Newton forecast reproduces euler EXACTLY for any velocity
+    field quadratic in t (state-independent) once three evaluations exist;
+    order-1 does NOT on the same field. Also: order-2 degrades gracefully to
+    the order-1 result on a linear field (d2 == 0)."""
+    from vavae_tpu.transport.ode import odeint_euler, odeint_euler_cached, time_grid
+
+    shape = (2, 3, 3, 4)
+    x0 = jax.random.normal(rng, shape)
+    a = jax.random.normal(jax.random.fold_in(rng, 1), shape[1:])
+    b = jax.random.normal(jax.random.fold_in(rng, 2), shape[1:])
+    c = jax.random.normal(jax.random.fold_in(rng, 3), shape[1:])
+
+    def quad(x, t):
+        tt = t[:, None, None, None]
+        return a[None] + tt * b[None] + tt * tt * c[None]
+
+    grid = jnp.asarray(time_grid(0.0, 1.0, 25, timestep_shift=0.3))
+    exact = odeint_euler(quad, x0, grid)
+    g = np.asarray(grid)
+    for k in (2, 3, 4):
+        cached2 = odeint_euler_cached(quad, x0, grid, cache_interval=k, order=2)
+        # manual oracle: hold -> linear -> quadratic Newton gating
+        manual = np.asarray(x0)
+        v_last = d1 = d2 = t_last = t_prev = None
+        for i in range(len(g) - 1):
+            if i % k == 0:
+                v = np.asarray(quad(None, jnp.asarray([g[i]])))[0]
+                nd1 = 0.0 if i == 0 else (v - v_last) / (g[i] - t_last)
+                nd2 = 0.0 if i <= k else (nd1 - d1) / (g[i] - t_prev)
+                v_last, d1, d2 = v, nd1, nd2
+                t_prev, t_last = t_last, g[i]
+            else:
+                v = v_last + (g[i] - t_last) * d1 + (
+                    (g[i] - t_last) * (g[i] - t_prev) * d2 if i > 2 * k else 0.0
+                ) * (1.0 if d2 is not None else 0.0)
+            manual = manual + (g[i + 1] - g[i]) * v
+        np.testing.assert_allclose(np.asarray(cached2), manual, rtol=1e-5, atol=1e-6)
+        # once three evals exist the quadratic forecast IS the field: error
+        # collapses vs order-1 on the same grid
+        e1 = np.abs(np.asarray(
+            odeint_euler_cached(quad, x0, grid, cache_interval=k, order=1)
+        ) - np.asarray(exact)).max()
+        e2 = np.abs(np.asarray(cached2) - np.asarray(exact)).max()
+        assert e2 < 0.2 * e1, (k, e1, e2)
+
+    # linear field: order-2 == order-1 exactly (d2 vanishes)
+    def lin(x, t):
+        return a[None] + t[:, None, None, None] * b[None]
+
+    for k in (2, 3):
+        o1 = odeint_euler_cached(lin, x0, grid, cache_interval=k, order=1)
+        o2 = odeint_euler_cached(lin, x0, grid, cache_interval=k, order=2)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="order"):
+        odeint_euler_cached(lin, x0, grid, cache_interval=2, order=3)
+
+
+def test_sample_ode_cfg_cache_orders(rng):
+    """The cached CFG sampler runs for every forecast order and the higher-
+    order forecasts beat order-0 (hold) on a smooth label-dependent field."""
+    transport = create_transport("Linear", "velocity")
+    sampler = Sampler(transport)
+    B, shape = 2, (2, 2, 2, 4)
+    w = jax.random.normal(rng, shape[1:])
+
+    def field(x, t, y):
+        scale = (y.astype(jnp.float32) + 1.0)[:, None, None, None]
+        return jnp.sin(3.0 * t)[:, None, None, None] * scale * (w[None] - 0.3 * x)
+
+    labels = jnp.array([0, 1], jnp.int32)
+    y_cfg = jnp.concatenate([labels, jnp.full((B,), 7, jnp.int32)])
+
+    def model_cond_fn(x, t):
+        return field(x, t, labels)
+
+    def model_cfg_fn(x, t):
+        half = x[:B]
+        both = field(jnp.concatenate([half, half]), jnp.tile(t[:B], 2), y_cfg)
+        guided = both[B:] + 4.0 * (both[:B] - both[B:])
+        return jnp.concatenate([guided, guided])
+
+    z = jax.random.normal(jax.random.fold_in(rng, 1), shape)
+    kw = dict(num_steps=24, timestep_shift=0.3, cfg_interval_start=0.11)
+    exact = np.asarray(
+        sampler.sample_ode_cfg(**kw)(z, model_cond_fn, model_cfg_fn)
+    )
+    errs = {}
+    for order in (0, 1, 2):
+        got = np.asarray(
+            sampler.sample_ode_cfg(**kw, cache_interval=3, cache_order=order)(
+                z, model_cond_fn, model_cfg_fn
+            )
+        )
+        assert got.shape == exact.shape and np.isfinite(got).all()
+        errs[order] = np.abs(got - exact).max()
+    assert errs[1] < errs[0] and errs[2] < errs[0], errs

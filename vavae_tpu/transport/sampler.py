@@ -91,7 +91,8 @@ class Sampler:
         training-free acceleration at a small quality cost; 1 = exact.
         ``cache_order`` picks the between-evaluation forecast (0 = hold the
         last velocity, 1 = linear forecast from the last two evaluations —
-        same cost, measurably lower error; see odeint_euler_cached).
+        same cost, measurably lower error; 2 = quadratic Newton forecast
+        from the last three — see odeint_euler_cached).
         """
         transport = self.transport
         base_drift = self.drift
