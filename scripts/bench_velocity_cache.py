@@ -154,7 +154,7 @@ def main() -> None:
     lat_range = float(exact.max() - exact.min())
     img_range = float(dec_exact.max() - dec_exact.min())
 
-    for k, order in ((2, 0), (3, 0), (2, 1), (3, 1), (4, 1),
+    for k, order in ((2, 0), (3, 0), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1),
                      (3, 2), (4, 2), (5, 2), (6, 2)):
         cached = sample_with_k(k, order)
         dec_cached = np.asarray(decode(vae_params, jnp.asarray(cached)), np.float32)

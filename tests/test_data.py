@@ -160,3 +160,54 @@ def test_mixed_domain_presplit_reference_layout(tmp_path, mixed_tree):
     va = MixedDomainDataset(real_dir=str(real), split="val", image_size=32,
                             split_file=str(sf), verbose=False)
     assert len(va) == 2
+
+
+def test_split_file_dataset_all_reference_layouts(tmp_path, mixed_tree):
+    """SplitFileDataset reads every split-JSON layout the reference reads or
+    writes (microdoppler_dataset_diffusion.py:38-85): our flat list of
+    {path, user_id} dicts, the reference's per-user dict of relative paths
+    (missing files skipped), and the legacy list of dir names / file paths."""
+    import json as _json
+
+    from vavae_tpu.data.image_folder import SplitFileDataset
+
+    real, _ = mixed_tree
+    rel = lambda p: str(p.relative_to(real))
+    u1 = sorted((real / "ID_1").glob("*.png"))
+    u2 = sorted((real / "ID_2").glob("*.png"))
+
+    # 1) flat list (ours)
+    flat = {"train": [{"path": str(u1[0]), "user_id": 0},
+                      {"path": str(u2[0]), "user_id": 1}]}
+    sf = tmp_path / "flat.json"
+    sf.write_text(_json.dumps(flat))
+    ds = SplitFileDataset(str(sf), "train", image_size=32)
+    assert [uid for _, uid in ds.items] == [0, 1]
+    x, y = ds[0]
+    assert x.shape == (32, 32, 3) and -1.0 <= x.min() and x.max() <= 1.0
+
+    # 2) reference per-user dict, relative paths + dataset root; ID_k is
+    #    1-based -> k-1; a missing file is skipped, not fatal
+    refd = {"train": {"ID_1": [rel(p) for p in u1[:3]] + ["missing.png"],
+                      "ID_2": [rel(p) for p in u2[:2]]},
+            "val": {"ID_1": [rel(p) for p in u1[3:5]]}}
+    sf2 = tmp_path / "ref.json"
+    sf2.write_text(_json.dumps(refd))
+    tr = SplitFileDataset(str(sf2), "train", image_size=32, root=str(real))
+    assert sorted(uid for _, uid in tr.items) == [0, 0, 0, 1, 1]
+    va = SplitFileDataset(str(sf2), "val", image_size=32, root=str(real))
+    assert len(va) == 2
+    # per-user filter still applies
+    only2 = SplitFileDataset(str(sf2), "train", image_size=32,
+                             root=str(real), user_id=1)
+    assert len(only2) == 2
+
+    # 3) legacy list of strings: a dir name (scanned) + a bare file path
+    legacy = {"train": ["ID_1", rel(u2[0])]}
+    sf3 = tmp_path / "legacy.json"
+    sf3.write_text(_json.dumps(legacy))
+    ds3 = SplitFileDataset(str(sf3), "train", image_size=32, root=str(real))
+    assert sorted(uid for _, uid in ds3.items) == [0] * len(u1) + [1]
+
+    with pytest.raises(ValueError, match="not found"):
+        SplitFileDataset(str(sf3), "test", image_size=32)

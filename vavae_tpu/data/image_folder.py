@@ -261,23 +261,74 @@ class MixedDomainDataset(ImageFolderDataset):
 
 
 class SplitFileDataset(ImageFolderDataset):
-    """Micro-Doppler split-file dataset (prepare_dataset_split.py JSON format:
-    {"train": [{"path":..., "user_id":...}, ...], "val": [...]})."""
+    """Micro-Doppler split-file dataset. Accepts every split-JSON layout the
+    reference reads or writes (microdoppler_dataset_diffusion.py:38-85,
+    extract_microdoppler_features.py:87-110, and this repo's
+    prepare_dataset_split):
+
+      - flat list:  {"train": [{"path":..., "user_id":...}, ...]} (ours;
+        ``[path, uid]`` pairs also accepted)
+      - per-user dict: {"train": {"ID_1": [rel_paths...], ...}} — the
+        reference prepare_dataset_split.py output; user ids parsed from the
+        folder name (`parse_user_id` conventions), missing files skipped with
+        a warning like the reference
+      - legacy list of strings: directory names (scanned recursively for
+        images, user id from the dir name) or file paths (user id from the
+        first path component)
+
+    Relative paths resolve against ``root`` (the reference's dataset_root)."""
 
     def __init__(self, split_file: str, split: str = "train", image_size: int = 256,
                  root: Optional[str] = None, user_id: Optional[int] = None):
         self.image_size = image_size
         with open(split_file) as f:
             data = json.load(f)
+        if split not in data:
+            raise ValueError(f"Split {split!r} not found in {split_file}")
         entries = data[split]
         self.items = []
-        for e in entries:
-            if isinstance(e, dict):
-                path, uid = e.get("path") or e.get("file"), int(e.get("user_id", e.get("label", 0)))
-            else:
-                path, uid = e[0], int(e[1])
+
+        def resolve(path: str) -> str:
             if root and not os.path.isabs(path):
-                path = os.path.join(root, path)
+                return os.path.join(root, path)
+            return path
+
+        def add(path: str, uid: int) -> None:
             if user_id is None or uid == user_id:
                 self.items.append((path, uid))
+
+        if isinstance(entries, dict):
+            # reference layout: {user_folder: [paths]}; missing files skipped
+            # (microdoppler_dataset_diffusion.py:41-56)
+            for folder, paths in sorted(entries.items()):
+                uid = parse_user_id(folder)
+                if uid is None:
+                    continue
+                for p in paths:
+                    p = resolve(p)
+                    if os.path.isfile(p):
+                        add(p, uid)
+                    else:
+                        print(f"SplitFileDataset: missing file skipped: {p}")
+        else:
+            for e in entries:
+                if isinstance(e, dict):
+                    path = e.get("path") or e.get("file")
+                    uid = int(e.get("user_id", e.get("label", 0)))
+                    add(resolve(path), uid)
+                elif isinstance(e, str):
+                    # legacy layout (microdoppler_dataset_diffusion.py:57-83)
+                    p = resolve(e)
+                    if os.path.isdir(p):
+                        uid = parse_user_id(os.path.basename(e.rstrip("/")))
+                        for f_ in sorted(glob(os.path.join(p, "**", "*"),
+                                              recursive=True)):
+                            if f_.endswith(IMG_EXTS):
+                                add(f_, uid if uid is not None else 0)
+                    else:
+                        head = e.split(os.sep)[0]
+                        uid = parse_user_id(head)
+                        add(p, uid if uid is not None else 0)
+                else:
+                    add(resolve(e[0]), int(e[1]))
         self.class_to_idx = {}

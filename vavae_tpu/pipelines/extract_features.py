@@ -66,10 +66,21 @@ def extract(
     image_size: int = 256,
     shard_size: int = 10000,
     seed: int = 0,
+    split_file: str | None = None,
+    split: str = "train",
 ) -> None:
     multihost_init()
     os.makedirs(output_path, exist_ok=True)
-    items = list_image_folder(data_path)
+    if split_file:
+        # split-file driven extraction (extract_microdoppler_features.py:87-110
+        # + microdoppler_dataset_diffusion.py) — user ids become labels
+        from vavae_tpu.data.image_folder import SplitFileDataset
+
+        items = SplitFileDataset(
+            split_file, split, image_size=image_size, root=data_path
+        ).items
+    else:
+        items = list_image_folder(data_path)
     # rank-striped split across processes
     items = items[jax.process_index() :: jax.process_count()]
 
@@ -140,6 +151,9 @@ def main() -> None:
     ap.add_argument("--vae_ckpt", default=None)
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--split_file", default=None,
+                    help="split JSON (any reference layout); labels = user ids")
+    ap.add_argument("--split", default="train")
     args = ap.parse_args()
     from vavae_tpu.parallel.mesh import make_mesh
 
@@ -153,6 +167,8 @@ def main() -> None:
         vae,
         batch_size=args.batch_size,
         image_size=args.image_size,
+        split_file=args.split_file,
+        split=args.split,
     )
 
 
