@@ -41,8 +41,9 @@ def main() -> None:
     batch = 8 if on_tpu else 2
     # optional argv: [batch] [cache_interval]. cache_interval > 1 measures
     # the opt-in velocity-cached sampler — report it ONLY alongside its
-    # measured quality cost (BASELINE.md velocity-cache table: k=3 is
-    # 0.30% latent rel-L2 / 61 dB decoded PSNR / zero classifier delta).
+    # measured quality cost (BASELINE.md velocity-cache table: k=3..6 at
+    # order-1 are 0.25-0.38% latent rel-L2 / ≥60.7 dB decoded PSNR / zero
+    # classifier delta; k=6 runs 4.39 samples/s/chip).
     cache_interval = 1
     if len(sys.argv) > 1:
         if not sys.argv[1].isdigit():
