@@ -114,7 +114,8 @@ run "iterative_finetune" python -m vavae_tpu.apps.iterative_finetune \
   ckpt_path="$W/out/tiny/checkpoints/0000005.safetensors"
 run "domain_adaptation" python -m vavae_tpu.apps.domain_adaptation \
   --classifier_ckpt "$W/clf.safetensors" --target_split_file "$W/split.json" \
-  --split train --num_classes 2 --image_size 32 --support_per_class 2
+  --split train --num_classes 2 --image_size 32 --support_per_class 4 \
+  --support_selection balanced
 # round-2 surfaces: the full reference method grid (sampled) + ensembles,
 # and the domain-adaptive classifier with global-negative contrastive
 run "domain_adaptation (reference grid + ensemble)" \

@@ -235,3 +235,50 @@ def test_lccs_pnc_with_domain_adaptive_classifier():
         probs = predict(x)
         assert probs.shape == (6, 3)
         np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_select_support_strategies_match_reference_semantics():
+    """select_support (sample_selection_pnc.py SampleSelector): each strategy
+    picks the samples its criterion says it should on structured features."""
+    import numpy as np
+
+    from vavae_tpu.apps.domain_adaptation import select_support
+
+    rng = np.random.default_rng(0)
+    # two tight clusters far apart + confidence/entropy gradients
+    n = 20
+    features = np.concatenate([
+        rng.normal(0.0, 0.05, (n // 2, 8)),
+        rng.normal(10.0, 0.05, (n // 2, 8)),
+    ]).astype(np.float32)
+    labels = np.repeat([0, 1], n // 2)
+    # probs: index i has max-softmax increasing with i (entropy decreasing)
+    p_hi = np.linspace(0.5, 0.99, n)
+    probs = np.stack([p_hi, 1.0 - p_hi], axis=1)
+
+    # confidence picks the top-confidence indices exactly
+    sel = select_support(features, labels, probs, 4, "confidence")
+    assert set(sel) == {16, 17, 18, 19}
+    # uncertainty picks the highest-entropy (lowest-confidence) indices
+    sel = select_support(features, labels, probs, 4, "uncertainty")
+    assert set(sel) == {0, 1, 2, 3}
+    # diversity spans both clusters
+    sel = select_support(features, labels, probs, 2, "diversity")
+    assert {labels[i] for i in sel} == {0, 1}
+    # balanced = 0.7 conf + 0.3 mean-distance: with symmetric clusters the
+    # confidence term dominates, but cluster-0 members (far from the
+    # high-confidence cluster-1 mass) can displace mid-confidence picks
+    sel = select_support(features, labels, probs, 4, "balanced")
+    assert len(sel) == 4 and 19 in sel
+    # random is deterministic per seed, without replacement
+    a = select_support(features, labels, probs, 6, "random", seed=1)
+    b = select_support(features, labels, probs, 6, "random", seed=1)
+    assert (a == b).all() and len(set(a)) == 6
+    assert (select_support(features, labels, probs, 6, "random", seed=2) != a).any()
+    # oversized request clips to the pool
+    assert len(select_support(features, labels, probs, 99, "confidence")) == n
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        select_support(features, labels, probs, 4, "nope")

@@ -292,6 +292,61 @@ def strategic_split(
     return np.asarray(sorted(support)), np.asarray(sorted(test))
 
 
+def select_support(
+    features: np.ndarray,
+    labels: np.ndarray,
+    probs: np.ndarray,
+    support_size: int,
+    strategy: str = "random",
+    seed: int = 42,
+) -> np.ndarray:
+    """Support-sample selection strategies (sample_selection_pnc.py
+    SampleSelector:24-160) — pick ``support_size`` indices from the
+    candidate pool for PNC adaptation:
+
+      - random: uniform without replacement (baseline, :31)
+      - confidence: highest classifier max-softmax (:36)
+      - diversity: k-means into ``support_size`` clusters, sample nearest
+        each centroid (:60)
+      - uncertainty: highest predictive entropy (:95)
+      - balanced: 0.7·min-max-normalized confidence + 0.3·normalized mean
+        pairwise feature distance (:120)
+
+    The reference selects globally (not per class) — classes that end up
+    unrepresented get zero prototypes downstream, matching its behavior."""
+    n = len(labels)
+    support_size = min(support_size, n)
+    rng = np.random.default_rng(seed)
+    if strategy == "random":
+        return np.sort(rng.choice(n, support_size, replace=False))
+    conf = probs.max(axis=-1)
+    if strategy == "confidence":
+        return np.sort(np.argsort(-conf)[:support_size])
+    if strategy == "uncertainty":
+        ent = -(probs * np.log(probs + 1e-8)).sum(axis=-1)
+        return np.sort(np.argsort(-ent)[:support_size])
+    if strategy == "diversity":
+        if n <= support_size:
+            return np.arange(n)
+        from sklearn.cluster import KMeans
+
+        km = KMeans(n_clusters=support_size, random_state=42, n_init=10)
+        km.fit(features)
+        picked = [
+            int(np.argmin(np.linalg.norm(features - c, axis=1)))
+            for c in km.cluster_centers_
+        ]
+        return np.sort(np.asarray(picked))
+    if strategy == "balanced":
+        span = conf.max() - conf.min()
+        nc = (conf - conf.min()) / (span + 1e-8)
+        d = np.linalg.norm(features[:, None] - features[None], axis=-1)
+        dv = d.mean(axis=1)
+        nd = (dv - dv.min()) / (dv.max() - dv.min() + 1e-8)
+        return np.sort(np.argsort(0.7 * nc + 0.3 * nd)[-support_size:])
+    raise ValueError(f"unknown support-selection strategy {strategy!r}")
+
+
 def smart_select_support(
     features: np.ndarray,
     labels: np.ndarray,
@@ -689,6 +744,12 @@ def main() -> None:
                     choices=["baseline", "improved", "calibrated", "domain_adaptive"])
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--support_per_class", type=int, default=5)
+    ap.add_argument("--support_selection", default=None,
+                    choices=["random", "confidence", "diversity",
+                             "uncertainty", "balanced", "smart"],
+                    help="subselect HALF the support pool with a "
+                         "sample_selection_pnc.py strategy before adapting "
+                         "(smart = smart_sample_selector greedy per-class)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--full_grid", action="store_true",
                     help="search DEFAULT_SEARCH_SPACE (default: a 2x2 sub-grid)")
@@ -725,6 +786,28 @@ def main() -> None:
             {"params": params, "batch_stats": source_stats},
             jnp.asarray(x), train=False, features=True,
         ))
+
+    if args.support_selection:
+        # strategy comparison protocol (sample_selection_pnc.py): select a
+        # smaller support subset from the disjoint support pool, keep the
+        # test set untouched
+        feats = feature_fn(sup_x)
+        sprobs = np.asarray(jax.nn.softmax(
+            _apply_logits(model, params, source_stats, sup_x)
+        ))
+        keep = max(1, len(sup_x) // 2)
+        if args.support_selection == "smart":
+            sel = smart_select_support(
+                feats, sup_y, sprobs,
+                per_class=max(1, args.support_per_class // 2),
+            )
+        else:
+            sel = select_support(
+                feats, sup_y, sprobs, keep, args.support_selection,
+                seed=args.seed,
+            )
+        sup_x, sup_y = sup_x[sel], sup_y[sel]
+        print(f"support after {args.support_selection} selection: {len(sup_x)}")
 
     baseline = evaluate_adaptation(
         model, params, source_stats, feature_fn, test_x, test_y
