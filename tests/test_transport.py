@@ -382,3 +382,131 @@ def test_sample_ode_cfg_cache_orders(rng):
         assert got.shape == exact.shape and np.isfinite(got).all()
         errs[order] = np.abs(got - exact).max()
     assert errs[1] < errs[0] and errs[2] < errs[0], errs
+
+
+def test_odeint_ab_matches_manual_oracle(rng):
+    """Variable-step AB2/AB3 match a step-by-step numpy oracle of the same
+    scheme (Heun start for order 3, euler for order 2) on a non-uniform
+    shifted grid; order=1 is exactly euler."""
+    from vavae_tpu.transport.ode import odeint_ab, odeint_euler, time_grid
+
+    shape = (2, 3, 3, 4)
+    x0 = jax.random.normal(rng, shape)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), shape[1:])
+
+    def field(x, t):
+        return jnp.sin(3.0 * t)[:, None, None, None] * (w[None] - 0.25 * x)
+
+    grid = jnp.asarray(time_grid(0.0, 1.0, 17, timestep_shift=0.3))
+    g = np.asarray(grid, np.float64)
+
+    same = odeint_ab(field, x0, grid, order=1)
+    np.testing.assert_allclose(
+        np.asarray(same), np.asarray(odeint_euler(field, x0, grid)), rtol=1e-6
+    )
+
+    def f_np(x, t):
+        return np.sin(3.0 * t) * (np.asarray(w)[None] - 0.25 * x)
+
+    for order in (2, 3):
+        got = np.asarray(odeint_ab(field, x0, grid, order=order))
+        x = np.asarray(x0, np.float64)
+        hist = []  # (t, v) newest last
+        start = 0
+        if order == 3:  # Heun first step
+            v0 = f_np(x, g[0])
+            k2 = f_np(x + (g[1] - g[0]) * v0, g[1])
+            x = x + (g[1] - g[0]) * 0.5 * (v0 + k2)
+            hist = [(g[0], v0)]
+            start = 1
+        for i in range(start, len(g) - 1):
+            v = f_np(x, g[i])
+            d1 = d2 = 0.0
+            if len(hist) >= 1:
+                tp1, vp = hist[-1]
+                d1 = (v - vp) / (g[i] - tp1)
+                if order >= 3 and len(hist) >= 2:
+                    tp2, vpp = hist[-2]
+                    d1p = (vp - vpp) / (tp1 - tp2)
+                    d2 = (d1 - d1p) / (g[i] - tp2)
+            h = g[i + 1] - g[i]
+            gg = g[i] - hist[-1][0] if hist else 0.0
+            x = x + h * v + (h * h / 2) * d1 + (h**3 / 3 + gg * h * h / 2) * d2
+            hist.append((g[i], v))
+        np.testing.assert_allclose(got, x, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="order"):
+        odeint_ab(field, x0, grid, order=4)
+
+
+def test_odeint_ab_convergence_orders(rng):
+    """Global convergence order on a smooth state-independent field with an
+    analytic solution: halving h cuts the error by ~2^order (euler ~2,
+    AB2 ~4, AB3 ~8) — proves the Heun startup preserves order 3."""
+    from vavae_tpu.transport.ode import odeint_ab, time_grid
+
+    shape = (1, 2, 2, 2)
+    x0 = jax.random.normal(rng, shape)
+    w = jax.random.normal(jax.random.fold_in(rng, 5), shape[1:])
+
+    def field(x, t):
+        return jnp.sin(3.0 * t)[:, None, None, None] * w[None]
+
+    # exact: x(1) = x0 + w * (1 - cos(3)) / 3
+    exact = np.asarray(x0, np.float64) + np.asarray(w)[None] * (
+        (1.0 - np.cos(3.0)) / 3.0
+    )
+
+    def err(order, n):
+        grid = jnp.asarray(time_grid(0.0, 1.0, n + 1))
+        out = np.asarray(odeint_ab(field, x0, grid, order=order), np.float64)
+        return np.abs(out - exact).max()
+
+    for order, lo, hi in ((1, 1.6, 2.4), (2, 3.0, 5.0), (3, 6.0, 10.5)):
+        r = err(order, 32) / err(order, 64)
+        assert lo < r < hi, (order, r, err(order, 32), err(order, 64))
+
+
+def test_sample_ode_cfg_multistep_beats_euler(rng):
+    """sample_ode_cfg(multistep_order=3) at 1/3 the steps is MORE accurate
+    than euler at full steps vs a fine-grid ground truth; ab methods are
+    also reachable through sample_ode; cache+multistep combo rejects."""
+    transport = create_transport("Linear", "velocity")
+    sampler = Sampler(transport)
+    B, shape = 2, (2, 2, 2, 4)
+    w = jax.random.normal(rng, shape[1:])
+
+    def field(x, t, y):
+        scale = (y.astype(jnp.float32) + 1.0)[:, None, None, None]
+        return jnp.sin(3.0 * t)[:, None, None, None] * scale * (w[None] - 0.3 * x)
+
+    labels = jnp.array([0, 1], jnp.int32)
+    y_cfg = jnp.concatenate([labels, jnp.full((B,), 7, jnp.int32)])
+
+    def model_cond_fn(x, t):
+        return field(x, t, labels)
+
+    def model_cfg_fn(x, t):
+        half = x[:B]
+        both = field(jnp.concatenate([half, half]), jnp.tile(t[:B], 2), y_cfg)
+        guided = both[B:] + 4.0 * (both[:B] - both[B:])
+        return jnp.concatenate([guided, guided])
+
+    z = jax.random.normal(jax.random.fold_in(rng, 1), shape)
+    base = dict(timestep_shift=0.3, cfg_interval_start=0.11)
+    truth = np.asarray(sampler.sample_ode_cfg(num_steps=2000, **base)(
+        z, model_cond_fn, model_cfg_fn))
+    e_euler = np.abs(np.asarray(sampler.sample_ode_cfg(num_steps=96, **base)(
+        z, model_cond_fn, model_cfg_fn)) - truth).max()
+    e_ab3 = np.abs(np.asarray(
+        sampler.sample_ode_cfg(num_steps=32, multistep_order=3, **base)(
+            z, model_cond_fn, model_cfg_fn)) - truth).max()
+    assert e_ab3 < e_euler, (e_ab3, e_euler)
+
+    fn = sampler.sample_ode(sampling_method="ab3", num_steps=16,
+                            timestep_shift=0.3)
+    out = fn(z, lambda x, t: field(x, t, labels))
+    assert out.shape == z.shape and np.isfinite(np.asarray(out)).all()
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sampler.sample_ode_cfg(num_steps=8, cache_interval=2, multistep_order=2)

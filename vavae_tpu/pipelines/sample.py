@@ -142,6 +142,10 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None):
             # 1 = linear forecast from the last two evals (default; same
             # cost, lower error), 0 = hold the last velocity
             cache_order=sc.get("velocity_cache_order", 1),
+            # >1 switches the integrator to Adams-Bashforth of that order:
+            # an EXACT-solver acceleration — same per-step cost, O(h^order)
+            # accuracy, so num_sampling_steps can drop ~3x (BASELINE.md)
+            multistep_order=sc.get("multistep_order", 1),
         )
 
     is_sde = mode.upper() != "ODE"

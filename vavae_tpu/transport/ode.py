@@ -187,6 +187,83 @@ def odeint_heun(drift: Callable, x: jax.Array, t: jax.Array) -> jax.Array:
     return x
 
 
+def odeint_ab(
+    drift: Callable, x: jax.Array, t: jax.Array, order: int = 3
+) -> jax.Array:
+    """Variable-step Adams–Bashforth multistep integrator (orders 1/2/3).
+
+    Same model-eval count as euler — ONE drift evaluation per grid step —
+    but the velocity's Newton interpolation polynomial through the last
+    ``order`` evaluations is integrated EXACTLY over each step, giving
+    O(h^order) global accuracy on the possibly non-uniform (timestep-
+    shifted) grid:
+
+        x_{n+1} = x_n + h·v_n + (h²/2)·d1 + (h³/3 + (h²/2)·g)·d2
+
+    with h = t_{n+1}−t_n, g = t_n−t_{n-1}, d1 = [v_{n-1},v_n],
+    d2 = [v_{n-2},v_{n-1},v_n] divided differences (the ∫(t−t_n) and
+    ∫(t−t_n)(t−t_{n-1}) moments of the step in closed form).
+
+    Startup: order 3 takes its FIRST step with Heun (one extra drift eval
+    per trajectory, keeping the startup local error at O(h³) so the global
+    order is genuinely 3 — a single euler start would cap it at 2); order 2
+    starts with plain euler (consistent with its O(h²) global order).
+    History restarts are the caller's job where the drift changes
+    discontinuously (e.g. the CFG-interval boundary).
+
+    This is a beyond-reference EXACT-solver speedup: it solves the same
+    probability-flow ODE as the reference's 250-step euler
+    (integrators.py:77-92) to equal-or-better accuracy at ~3× fewer model
+    evaluations (measured in BASELINE.md), with none of the velocity
+    cache's forecast approximation.
+    """
+    if order not in (1, 2, 3):
+        raise ValueError(f"Adams-Bashforth order must be 1, 2 or 3, got {order}")
+    if order == 1 or t.shape[0] < 3:
+        return odeint_euler(drift, x, t)
+    B = x.shape[0]
+    use_d2 = 1.0 if order >= 3 else 0.0
+
+    if order >= 3:
+        # Heun first step, seeding the history with v(t0)
+        dt0 = (t[1] - t[0]).astype(x.dtype)
+        v0 = drift(x, jnp.full((B,), t[0], x.dtype)).astype(x.dtype)
+        k2 = drift(x + dt0 * v0, jnp.full((B,), t[1], x.dtype)).astype(x.dtype)
+        x = x + dt0 * 0.5 * (v0 + k2)
+        start = 1
+    else:
+        v0 = jnp.zeros_like(x)
+        start = 0
+
+    pairs = jnp.stack([t[start:-1], t[start + 1:]], axis=-1)
+    idx = jnp.arange(start, start + pairs.shape[0])
+
+    def step(carry, inp):
+        x, v_prev, d1_prev, t_prev1, t_prev2 = carry
+        tt, i = inp
+        t_cur, t_next = tt
+        v = drift(x, jnp.full((B,), t_cur, x.dtype)).astype(x.dtype)
+        # divided differences, gated in as history accumulates
+        dt1 = t_cur - t_prev1
+        g1 = jnp.where(i >= 1, 1.0, 0.0).astype(x.dtype)
+        safe1 = jnp.where(i == 0, jnp.ones_like(dt1), dt1)
+        d1 = g1 * (v - v_prev) / safe1.astype(x.dtype)
+        dt2 = t_cur - t_prev2
+        g2 = (use_d2 * jnp.where(i >= 2, 1.0, 0.0)).astype(x.dtype)
+        safe2 = jnp.where(i <= 1, jnp.ones_like(dt2), dt2)
+        d2 = g2 * (d1 - d1_prev) / safe2.astype(x.dtype)
+        # exact step moments: ∫h = h, ∫(t-t_n) = h²/2, ∫(t-t_n)(t-t_{n-1})
+        # = h³/3 + g·h²/2 with g = t_n - t_{n-1}
+        h = (t_next - t_cur).astype(x.dtype)
+        g = dt1.astype(x.dtype)
+        incr = h * v + (h * h * 0.5) * d1 + (h * h * h / 3.0 + g * h * h * 0.5) * d2
+        return (x + incr, v, d1, t_cur, t_prev1), None
+
+    carry = (x, v0, jnp.zeros_like(x), t[0], t[0])
+    (x, *_), _ = jax.lax.scan(step, carry, (pairs, idx))
+    return x
+
+
 # -- adaptive Dormand-Prince 5(4) --------------------------------------------
 
 # Butcher tableau (same coefficients as torchdiffeq dopri5)

@@ -59,6 +59,9 @@ class Sampler:
             if sampling_method in ("heun", "Heun"):
                 grid = jnp.asarray(ode_mod.time_grid(t0, t1, num_steps, timestep_shift))
                 return ode_mod.odeint_heun(d, x, grid)
+            if sampling_method in ("ab2", "ab3"):
+                grid = jnp.asarray(ode_mod.time_grid(t0, t1, num_steps, timestep_shift))
+                return ode_mod.odeint_ab(d, x, grid, order=int(sampling_method[2]))
             if sampling_method == "dopri5":
                 return ode_mod.odeint_dopri5(d, x, t0, t1, rtol=rtol, atol=atol)
             raise NotImplementedError(f"ODE method {sampling_method}")
@@ -74,6 +77,7 @@ class Sampler:
         reverse: bool = False,
         cache_interval: int = 1,
         cache_order: int = 1,
+        multistep_order: int = 1,
     ) -> Callable:
         """Euler CFG sampler with the interval split run as two scan phases.
 
@@ -93,7 +97,20 @@ class Sampler:
         last velocity, 1 = linear forecast from the last two evaluations —
         same cost, measurably lower error; 2 = quadratic Newton forecast
         from the last three — see odeint_euler_cached).
+
+        ``multistep_order > 1`` integrates each phase with variable-step
+        Adams–Bashforth of that order instead of euler (odeint_ab): the same
+        one-model-eval-per-step cost with O(h^order) accuracy, so the step
+        count can drop ~3× at equal-or-better ODE error than euler at
+        ``num_steps`` (measured in BASELINE.md). History restarts at the
+        CFG-interval boundary, where the integrated field genuinely changes.
+        Mutually exclusive with ``cache_interval > 1``.
         """
+        if multistep_order > 1 and cache_interval > 1:
+            raise ValueError(
+                "multistep_order and cache_interval are mutually exclusive "
+                "accelerations — pick one"
+            )
         transport = self.transport
         base_drift = self.drift
         t0, t1 = transport.check_interval(eval=True, sde=False, reverse=reverse)
@@ -110,6 +127,17 @@ class Sampler:
             B = x.shape[0]
             d_cond = lambda xv, tv: base_drift(xv, tv, model_cond_fn)
             d_cfg = lambda xv, tv: base_drift(xv, tv, model_cfg_fn)
+            if multistep_order > 1:
+                # AB phases with a history restart at the boundary
+                if split_idx > 0:
+                    x = ode_mod.odeint_ab(
+                        d_cond, x, grid[: split_idx + 1], order=multistep_order
+                    )
+                x2 = jnp.concatenate([x, x], axis=0)
+                out = ode_mod.odeint_ab(
+                    d_cfg, x2, grid[split_idx:], order=multistep_order
+                )
+                return out[:B]
             if cache_interval <= 1:
                 lift = lambda xv: jnp.concatenate([xv, xv], axis=0)
                 out = ode_mod.odeint_euler_split(
