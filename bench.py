@@ -44,16 +44,25 @@ def main() -> None:
     # measured quality cost (BASELINE.md velocity-cache table: k=3..6 at
     # order-1 are 0.25-0.38% latent rel-L2 / ≥60.7 dB decoded PSNR / zero
     # classifier delta; k=6 runs 4.39 samples/s/chip).
-    cache_interval = 1
-    if len(sys.argv) > 1:
-        if not sys.argv[1].isdigit():
-            sys.exit(f"usage: bench.py [batch] [cache_interval]; got {sys.argv[1]!r}")
-        batch = int(sys.argv[1])
-    if len(sys.argv) > 2:
-        if not sys.argv[2].isdigit():
-            sys.exit(f"usage: bench.py [batch] [cache_interval]; got {sys.argv[2]!r}")
-        cache_interval = int(sys.argv[2])
-    num_steps = 250 if on_tpu else 4
+    # argv: [batch] [cache_interval] [multistep_order] [num_steps].
+    # multistep_order 2/3 runs the Adams-Bashforth EXACT-solver path
+    # (transport/ode.py odeint_ab) — pair it with a reduced num_steps per
+    # the measured error-match table in BASELINE.md.
+    cache_interval, multistep_order, num_steps = 1, 1, (250 if on_tpu else 4)
+    usage = "usage: bench.py [batch] [cache_interval] [multistep_order] [num_steps]"
+    vals = []
+    for a in sys.argv[1:5]:
+        if not a.isdigit():
+            sys.exit(f"{usage}; got {a!r}")
+        vals.append(int(a))
+    if len(vals) > 0:
+        batch = vals[0]
+    if len(vals) > 1:
+        cache_interval = vals[1]
+    if len(vals) > 2:
+        multistep_order = vals[2]
+    if len(vals) > 3:
+        num_steps = vals[3]
 
     model = LightningDiT_models[model_name](
         input_size=16,
@@ -82,7 +91,7 @@ def main() -> None:
     # conditional model at half batch (numerically identical for euler)
     sample_fn = sampler.sample_ode_cfg(
         num_steps=num_steps, timestep_shift=0.3, cfg_interval_start=interval_start,
-        cache_interval=cache_interval,
+        cache_interval=cache_interval, multistep_order=multistep_order,
     )
     labels = jnp.arange(batch, dtype=jnp.int32) % 32
     y_cfg = jnp.concatenate([labels, jnp.full((batch,), null_class, jnp.int32)])
@@ -120,6 +129,8 @@ def main() -> None:
     samples_per_sec_chip = (batch * n_iters) / dt / n_chips
     value = round(samples_per_sec_chip, 4)
     tag = "" if cache_interval == 1 else f",vcache{cache_interval}"
+    if multistep_order > 1:
+        tag += f",ab{multistep_order}"
     result = {
         "metric": f"dit_xl1_cfg_sampling_throughput[{model_name},{num_steps}steps,b{batch}{tag}]",
         "value": value,
