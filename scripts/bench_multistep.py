@@ -111,6 +111,14 @@ def main() -> None:
         p = p / p.sum(axis=-1, keepdims=True)
         return acc, float(p.max(axis=-1).mean())
 
+    import os
+
+    def dump(results):
+        # incremental dump so a tunnel drop mid-sweep doesn't lose the run
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
     gt_steps = 4000 if on_tpu else 64
     truth = sample(gt_steps)
     tnorm = float(np.mean(np.linalg.norm(truth.reshape(Bs, -1), axis=-1)))
@@ -140,6 +148,7 @@ def main() -> None:
         print(f"{name:6s} N={n:4d}: rel_l2 {rel:.5f}, acc {acc:.3f} "
               f"(Δ{acc - acc_t:+.3f}), conf {conf:.3f} (Δ{conf - conf_t:+.3f})",
               flush=True)
+        dump(results)
 
     # ---- throughput: XL/1 production config --------------------------------
     del state, trainer, ema
@@ -181,12 +190,9 @@ def main() -> None:
             results.setdefault("throughput_xl1_b8", {})[f"{name}_{n}"] = round(thr, 4)
             print(f"XL/1 throughput {name} N={n}: {thr:.3f} samples/s/chip",
                   flush=True)
+            dump(results)
 
-    import os
-
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+    dump(results)
     print(json.dumps(results))
 
 
