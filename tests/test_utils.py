@@ -61,3 +61,46 @@ def test_png_writer_pil_fallback(tmp_path, monkeypatch):
 
     back = np.asarray(Image.open(paths[0]).convert("RGB"))
     np.testing.assert_array_equal(back, imgs[0])
+
+
+def test_window_tracer_env_driven(tmp_path, monkeypatch):
+    """VAVAE_PROFILE captures an xprof trace of the configured step window
+    (start past the settle steps, stop after n, close() ends a cut-short
+    window); unset env is a strict no-op."""
+    import jax
+    import jax.numpy as jnp
+
+    from vavae_tpu.utils.profiling import WindowTracer
+
+    # no-op when unset
+    monkeypatch.delenv("VAVAE_PROFILE", raising=False)
+    t = WindowTracer()
+    t.step(1)
+    t.close()
+
+    out = tmp_path / "trace"
+    monkeypatch.setenv("VAVAE_PROFILE", str(out))
+    monkeypatch.setenv("VAVAE_PROFILE_AT", "2")
+    monkeypatch.setenv("VAVAE_PROFILE_STEPS", "2")
+    t = WindowTracer()
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((8,))
+    for i in range(1, 6):  # window [2, 4): starts at 2, stops at 4
+        x = f(x)
+        t.step(i, sync_on=x)
+    assert not t._active
+    t.close()
+    traced = list(out.rglob("*"))
+    assert any(p.is_file() for p in traced), "no trace artifacts written"
+
+    # a window cut short by loop exit is closed by close()
+    out2 = tmp_path / "trace2"
+    monkeypatch.setenv("VAVAE_PROFILE", str(out2))
+    monkeypatch.setenv("VAVAE_PROFILE_AT", "1")
+    monkeypatch.setenv("VAVAE_PROFILE_STEPS", "100")
+    t2 = WindowTracer()
+    t2.step(1, sync_on=f(x))
+    assert t2._active
+    t2.close()
+    assert not t2._active
+    assert any(p.is_file() for p in out2.rglob("*"))

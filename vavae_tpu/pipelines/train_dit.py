@@ -233,6 +233,9 @@ def do_train(cfg: Config) -> TrainState:
             if sync:
                 writer.wait()
 
+    from vavae_tpu.utils.profiling import WindowTracer
+
+    tracer = WindowTracer()  # VAVAE_PROFILE=/dir captures an xprof window
     loss_acc, log_steps, t_start = [], 0, time.time()
     step = int(jax.device_get(state.step))
     guard = PreemptionGuard().__enter__()
@@ -246,6 +249,7 @@ def do_train(cfg: Config) -> TrainState:
         batch = trainer.shard_batch(next(it))
         state, metrics = trainer.train_step(state, rng, batch)
         step += 1
+        tracer.step(step, sync_on=metrics["loss"])
         # keep the loss ON DEVICE — fetching per step blocks the host on the
         # step and serializes batch prep with device compute; everything is
         # pulled in one transfer at log points
@@ -293,6 +297,7 @@ def do_train(cfg: Config) -> TrainState:
                             break
 
     guard.__exit__()
+    tracer.close()
     save_ckpt(ckpt_dir, step, sync=True)
     metrics_log.close()
     logger.info("training done")

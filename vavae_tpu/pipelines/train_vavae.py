@@ -164,6 +164,10 @@ def train_epochs(
     # written by the worker AFTER the ckpt file is durable so resume
     # bookkeeping can never outrun its checkpoint
     writer = ckpt_lib.AsyncCheckpointer() if async_ckpt else None
+    from vavae_tpu.utils.profiling import WindowTracer
+
+    tracer = WindowTracer()  # VAVAE_PROFILE=/dir captures an xprof window
+    tracer_step = 0
     loss_acc, log_steps, t0 = [], 0, time.time()
     for epoch in range(start_epoch, epochs):
         # prefetch: batch i+1 decodes on a background thread while the
@@ -183,6 +187,8 @@ def train_epochs(
             # would serialize host batch prep with device compute)
             loss_acc.append(metrics["rec_loss"])
             log_steps += 1
+            tracer_step += 1
+            tracer.step(tracer_step, sync_on=metrics["rec_loss"])
             if log_steps % log_every == 0:
                 dt = time.time() - t0
                 rec = float(np.mean(jax.device_get(loss_acc)))
@@ -235,6 +241,7 @@ def train_epochs(
             ckpt_lib.save_checkpoint(ckpt_dir, int(jax.device_get(state.step)), state)
             if jax.process_index() == 0:
                 record_epoch()
+    tracer.close()
     if writer is not None:
         # the stage's last write must be durable before the caller chains the
         # next stage (auto-resume counts files on disk)

@@ -46,6 +46,47 @@ def trace(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+class WindowTracer:
+    """Trace a window of training steps, driven by env vars.
+
+    Set ``VAVAE_PROFILE=/dir`` on any training CLI to capture a
+    TensorBoard/xprof trace of steps [VAVAE_PROFILE_AT,
+    VAVAE_PROFILE_AT + VAVAE_PROFILE_STEPS) (defaults 10 and 5 — past
+    compile and the donated-state settle steps, per the benchmarking
+    rules in CLAUDE.md). Call ``step(i, sync_on=...)`` once per step and
+    ``close()`` at loop end (also stops a window cut short by early
+    exit/preemption). Rank 0 only; no-op when the env var is unset."""
+
+    def __init__(self) -> None:
+        import os
+
+        self.log_dir = os.environ.get("VAVAE_PROFILE")
+        if self.log_dir and jax.process_index() != 0:
+            self.log_dir = None
+        self.at = int(os.environ.get("VAVAE_PROFILE_AT", "10"))
+        self.n = int(os.environ.get("VAVAE_PROFILE_STEPS", "5"))
+        self._active = False
+
+    def step(self, i: int, sync_on: Any = None) -> None:
+        if not self.log_dir:
+            return
+        if i == self.at and not self._active:
+            if sync_on is not None:
+                jax.block_until_ready(sync_on)
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif self._active and i >= self.at + self.n:
+            if sync_on is not None:
+                jax.block_until_ready(sync_on)
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 def device_memory_stats() -> Dict[str, Dict[str, int]]:
     stats = {}
     for d in jax.local_devices():
