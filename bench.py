@@ -31,7 +31,23 @@ def main() -> None:
     from vavae_tpu.models.dit import LightningDiT_models
     from vavae_tpu.transport import Sampler, create_transport
 
-    on_tpu = jax.default_backend() == "tpu"
+    # The tunneled TPU backend occasionally drops for minutes at a time; a
+    # transient blip shouldn't turn the round's recorded benchmark into an
+    # init error. Bounded retry before giving up (VAVAE_BENCH_RETRIES × 60 s).
+    import os
+
+    retries = int(os.environ.get("VAVAE_BENCH_RETRIES", "10"))
+    for attempt in range(retries + 1):
+        try:
+            backend = jax.default_backend()
+            break
+        except RuntimeError as e:
+            if attempt >= retries or "UNAVAILABLE" not in str(e):
+                raise
+            print(f"# backend unavailable (attempt {attempt + 1}/{retries}), "
+                  f"retrying in 60s: {e}", file=sys.stderr, flush=True)
+            time.sleep(60)
+    on_tpu = backend == "tpu"
     # full config on TPU; tiny proxy on CPU so the script stays runnable.
     # batch 8/chip measured best on v5e (natural-layout kernel:
     # 1.40/1.39/1.37 samples/s at 8/16/32 — the padded kernel's b32 cliff
