@@ -147,3 +147,29 @@ def test_quantize_dit_cli(tmp_path, monkeypatch, capsys):
         jnp.zeros((1, 2, 2, 4)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_top_level_dispatcher():
+    """python -m vavae_tpu lists every command; unknown commands exit 2; a
+    known command dispatches to the module CLI (its argparse --help)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-m", "vavae_tpu"],
+                       capture_output=True, text=True)
+    assert "train_dit" in r.stdout and "domain_adaptation" in r.stdout
+    assert r.returncode == 1  # bare invocation: print list, nonzero
+
+    r = subprocess.run([sys.executable, "-m", "vavae_tpu", "--help"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0
+
+    r = subprocess.run([sys.executable, "-m", "vavae_tpu", "nope"],
+                       capture_output=True, text=True)
+    assert r.returncode == 2
+
+    from vavae_tpu.__main__ import COMMANDS
+    import importlib
+
+    for mod, _ in COMMANDS.values():  # every target importable + has main
+        assert hasattr(importlib.import_module(mod), "main"), mod
