@@ -134,6 +134,45 @@ def test_sharded_sampling_matches_single_device(latent_dir, mesh8):
     np.testing.assert_allclose(np.asarray(sharded), single, rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_multistep_sampling_matches_single_device(mesh8):
+    """The Adams-Bashforth CFG path (sample.multistep_order=3) under GSPMD DP
+    over 8 CPU devices must equal the single-device result — the AB scan
+    carries velocity-history state per sample, which must shard cleanly with
+    the batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vavae_tpu.models.dit import create_dit
+    from vavae_tpu.pipelines.sample import build_sample_fn
+    from vavae_tpu.utils.config import Config
+
+    cfg = Config({
+        "data": {"image_size": 32, "num_classes": 4, "latent_norm": False,
+                 "latent_multiplier": 1.0},
+        "vae": {"downsample_ratio": 16},
+        "model": {"model_type": "LightningDiT-S/2", "use_swiglu": True,
+                  "use_rope": True, "use_rmsnorm": True, "in_chans": 32},
+        "sample": {"mode": "ODE", "sampling_method": "euler",
+                   "num_sampling_steps": 6, "cfg_scale": 3.0,
+                   "cfg_interval_start": 0.11, "timestep_shift": 0.3,
+                   "multistep_order": 3},
+        "transport": {"path_type": "Linear", "prediction": "velocity"},
+    })
+    model = create_dit(cfg.model, 2, 4)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 2, 2, 32)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+    )["params"]
+
+    labels = jnp.asarray(np.arange(8) % 4, jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    single = np.asarray(build_sample_fn(cfg, model, params)(rng, labels))
+    sharded = build_sample_fn(cfg, model, params, mesh=mesh8)(rng, labels)
+    assert not sharded.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(sharded), single, rtol=2e-4, atol=2e-5)
+
+
 def test_do_sample_refuses_missing_latent_stats(tmp_path):
     """latent_norm: true with a missing latents dir must fail fast — the old
     silent latent_stats=None skip decoded wrongly-scaled samples after hours
