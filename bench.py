@@ -66,6 +66,8 @@ def main() -> None:
     # the measured error-match table in BASELINE.md.
     cache_interval, multistep_order, num_steps = 1, 1, (250 if on_tpu else 4)
     usage = "usage: bench.py [batch] [cache_interval] [multistep_order] [num_steps]"
+    if len(sys.argv) > 5:
+        sys.exit(f"{usage}; got {len(sys.argv) - 1} args")
     vals = []
     for a in sys.argv[1:5]:
         if not a.isdigit():

@@ -25,19 +25,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
-import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
-
-
-def psnr(a, b, data_range):
-    import numpy as np
-
-    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
-    if mse == 0:
-        return float("inf")
-    return 10.0 * float(np.log10(data_range**2 / mse))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
@@ -53,11 +45,10 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from vavae_tpu.models.dit import LightningDiT, LightningDiT_models
+    import bench_common as bc
+    from bench_common import psnr
     from vavae_tpu.models.vae import AutoencoderKL
-    from vavae_tpu.parallel.mesh import make_mesh
-    from vavae_tpu.train.dit_trainer import DiTTrainer
-    from vavae_tpu.transport import Sampler, create_transport
+    from vavae_tpu.transport import Sampler
     from vavae_tpu.eval.metrics import ssim as ssim_fn
 
     on_tpu = jax.default_backend() == "tpu"
@@ -66,44 +57,18 @@ def main() -> None:
         args.train_steps = min(args.train_steps, 10)
         args.sample_steps = min(args.sample_steps, 8)
 
-    # ---- quality phase: train DiT-S on per-class latent patterns ----------
-    n_classes, B = 4, 64 if on_tpu else 8
-    depth, hidden, heads = (12, 384, 6) if on_tpu else (2, 64, 4)
-    rng_np = np.random.default_rng(0)
-    class_means = 2.0 * rng_np.normal(size=(n_classes, 16, 16, 32)).astype(np.float32)
-
-    def batch():
-        y = rng_np.integers(0, n_classes, size=(B,)).astype(np.int32)
-        x = class_means[y] + 0.05 * rng_np.normal(size=(B, 16, 16, 32)).astype(np.float32)
-        return x, y
-
-    model = LightningDiT(
-        input_size=16, patch_size=2, in_channels=32, hidden_size=hidden,
-        depth=depth, num_heads=heads, num_classes=n_classes,
-        use_swiglu=True, use_rope=True, use_rmsnorm=True, dtype=jnp.bfloat16,
-        class_dropout_prob=0.1,
+    # ---- quality phase (shared harness: bench_common) ----------------------
+    n_classes = bc.N_CLASSES
+    class_means, rng_np = bc.make_class_means()
+    model, transport, ema, last = bc.train_synthetic_dit(
+        args.train_steps, on_tpu, class_means, rng_np
     )
-    transport = create_transport("Linear", "velocity", use_cosine_loss=True,
-                                 use_lognorm=True)
-    mesh = make_mesh()
-    trainer = DiTTrainer(model, transport, mesh, lr=3e-4, beta2=0.95,
-                         ema_decay=0.99)
-    rng = jax.random.PRNGKey(0)
-    state = trainer.replicate(trainer.init_state(rng, (B, 16, 16, 32)))
-    t0 = time.time()
-    for step in range(args.train_steps):
-        state, m = trainer.train_step(state, rng, trainer.shard_batch(batch()))
-    last = float(jax.device_get(m["loss"]))
-    print(f"trained DiT-S {args.train_steps} steps in {time.time()-t0:.0f}s, "
-          f"loss {last:.3f}", flush=True)
-
     sampler = Sampler(transport)
-    n_per = 8 if on_tpu else 2
-    labels = jnp.asarray(np.repeat(np.arange(n_classes), n_per), jnp.int32)
+    labels = bc.eval_labels(on_tpu)
     Bs = len(labels)
     y_cfg = jnp.concatenate([labels, jnp.full((Bs,), n_classes, jnp.int32)])
-    ema = state.ema_params
-    z = jax.random.normal(jax.random.PRNGKey(7), (Bs, 16, 16, 32), jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(7), (Bs,) + bc.LATENT_SHAPE,
+                          jnp.float32)
 
     def sample_with_k(k, order=1):
         fn = sampler.sample_ode_cfg(
@@ -134,16 +99,7 @@ def main() -> None:
     ))
 
     def classify(samples):
-        flat = samples.reshape(len(samples), -1)
-        means = class_means.reshape(n_classes, -1)
-        d = np.linalg.norm(flat[:, None] - means[None], axis=-1)
-        pred = d.argmin(axis=-1)
-        acc = float((pred == np.asarray(labels)).mean())
-        # softmax confidence over negative distances, scaled by their spread
-        t = np.median(d)
-        p = np.exp(-d / (0.05 * t))
-        p = p / p.sum(axis=-1, keepdims=True)
-        return acc, float(p.max(axis=-1).mean())
+        return bc.classify(samples, class_means, labels)
 
     exact = sample_with_k(1)
     dec_exact = np.asarray(decode(vae_params, jnp.asarray(exact)), np.float32)
@@ -185,52 +141,15 @@ def main() -> None:
               f"acc {acc_k:.3f} (Δ{acc_k - acc1:+.3f}), "
               f"conf {conf_k:.3f} (Δ{conf_k - conf1:+.3f})", flush=True)
 
-    # ---- throughput phase: XL/1 production config -------------------------
-    del state, trainer, ema
+    # ---- throughput phase: XL/1, fresh bench.py process per point ---------
+    # (throughput is forecast-order independent: same model-eval count; the
+    # order-1 forecast adds one FMA per element — sweep k only)
     if on_tpu:
-        xl = LightningDiT_models["LightningDiT-XL/1"](
-            input_size=16, in_channels=32, num_classes=1000,
-            use_swiglu=True, use_rope=True, use_rmsnorm=True, dtype=jnp.bfloat16,
-        )
-        bsz = 8
-        zshape = (bsz, 16, 16, 32)
-        xp = xl.init({"params": jax.random.PRNGKey(0)},
-                     jnp.zeros(zshape, jnp.bfloat16), jnp.zeros((bsz,)),
-                     jnp.zeros((bsz,), jnp.int32))["params"]
-        xp = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), xp)
-        xl_labels = jnp.arange(bsz, dtype=jnp.int32) % 32
-        xl_ycfg = jnp.concatenate([xl_labels, jnp.full((bsz,), 1000, jnp.int32)])
-        # throughput is forecast-order independent (same model-eval count;
-        # the order-1 forecast adds one FMA per element) — sweep k only
         for k in (1, 2, 3, 4, 5, 6):
-            fn = sampler.sample_ode_cfg(
-                num_steps=250, timestep_shift=0.3, cfg_interval_start=0.11,
-                cache_interval=k,
-            )
-
-            @jax.jit
-            def gen(p, rng):
-                cond = lambda x, t: xl.apply({"params": p}, x, t, xl_labels)
-                cfgf = lambda x, t: xl.forward_with_cfg(p, x, t, xl_ycfg, 10.0)
-                zz = jax.random.normal(rng, zshape, jnp.bfloat16)
-                return fn(zz, cond, cfgf)
-
-            # compile + 3 settle steps (CLAUDE.md benchmarking rules);
-            # cross-check against a fresh-process `python bench.py 8 [k]`
-            # before publishing numbers — this process already built jits
-            for s in range(4):
-                np.asarray(gen(xp, jax.random.PRNGKey(1 + s)))
-            t0 = time.perf_counter()
-            iters = 4
-            for i in range(iters):
-                np.asarray(gen(xp, jax.random.PRNGKey(3 + i)))
-            dt = time.perf_counter() - t0
-            thr = bsz * iters / dt / jax.device_count()
+            thr = bc.xl_throughput(8, cache_interval=k)
             key = "exact" if k == 1 else f"k{k}"
-            results.setdefault("throughput_xl1_b8", {})[key] = round(thr, 4)
+            results.setdefault("throughput_xl1_b8", {})[key] = thr
             print(f"XL/1 throughput k={k}: {thr:.3f} samples/s/chip", flush=True)
-
-    import os
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

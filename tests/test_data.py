@@ -202,12 +202,17 @@ def test_split_file_dataset_all_reference_layouts(tmp_path, mixed_tree):
                              root=str(real), user_id=1)
     assert len(only2) == 2
 
-    # 3) legacy list of strings: a dir name (scanned) + a bare file path
-    legacy = {"train": ["ID_1", rel(u2[0])]}
+    # 3) legacy list of strings: a dir name (scanned) + a bare file path;
+    #    a stale entry is SKIPPED like the reference's is_file() gate
+    #    (microdoppler_dataset_diffusion.py:76), and an ABSOLUTE file path
+    #    still gets its uid from the first parseable path component
+    legacy = {"train": ["ID_1", rel(u2[0]), "ID_2/deleted.png",
+                        str(u2[1])]}
     sf3 = tmp_path / "legacy.json"
     sf3.write_text(_json.dumps(legacy))
     ds3 = SplitFileDataset(str(sf3), "train", image_size=32, root=str(real))
-    assert sorted(uid for _, uid in ds3.items) == [0] * len(u1) + [1]
+    assert sorted(uid for _, uid in ds3.items) == [0] * len(u1) + [1, 1]
+    assert not any(p.endswith("deleted.png") for p, _ in ds3.items)
 
     with pytest.raises(ValueError, match="not found"):
         SplitFileDataset(str(sf3), "test", image_size=32)

@@ -510,3 +510,21 @@ def test_sample_ode_cfg_multistep_beats_euler(rng):
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         sampler.sample_ode_cfg(num_steps=8, cache_interval=2, multistep_order=2)
+
+
+def test_sampler_validates_acceleration_knobs_at_build_time():
+    """Config typos fail when written, even while the knob is inert:
+    cache_order outside 0-2 and multistep_order outside 1-3 raise at
+    sample_ode_cfg build regardless of cache_interval."""
+    import pytest
+
+    from vavae_tpu.transport import Sampler, create_transport
+
+    s = Sampler(create_transport("Linear", "velocity"))
+    with pytest.raises(ValueError, match="cache_order"):
+        s.sample_ode_cfg(num_steps=4, cache_interval=1, cache_order=3)
+    with pytest.raises(ValueError, match="multistep_order"):
+        s.sample_ode_cfg(num_steps=4, multistep_order=4)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        s.sample_ode_cfg(num_steps=4, cache_interval=2, multistep_order=2)
+    s.sample_ode_cfg(num_steps=4, cache_interval=2, cache_order=2)  # ok

@@ -325,10 +325,19 @@ class SplitFileDataset(ImageFolderDataset):
                                               recursive=True)):
                             if f_.endswith(IMG_EXTS):
                                 add(f_, uid if uid is not None else 0)
+                    elif os.path.isfile(p):
+                        # reference gate: non-existent legacy file entries are
+                        # dropped (microdoppler_dataset_diffusion.py:76); uid
+                        # from the first path component that parses (absolute
+                        # entries have a leading '' component)
+                        uid = next(
+                            (u for u in map(parse_user_id, e.split(os.sep))
+                             if u is not None),
+                            0,
+                        )
+                        add(p, uid)
                     else:
-                        head = e.split(os.sep)[0]
-                        uid = parse_user_id(head)
-                        add(p, uid if uid is not None else 0)
+                        print(f"SplitFileDataset: missing file skipped: {p}")
                 else:
                     add(resolve(e[0]), int(e[1]))
         self.class_to_idx = {}

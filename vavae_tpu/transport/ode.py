@@ -120,10 +120,12 @@ def odeint_euler_cached(
         evaluations exist (hold → linear → quadratic).
     The grid may be non-uniform (timestep shift) — the forecast uses actual
     t gaps, not step counts."""
-    if cache_interval <= 1:
-        return odeint_euler(drift, x, t)
+    # validate BEFORE the caching-off early return so a bad order in a config
+    # fails when written, not when cache_interval is later flipped on
     if order not in (0, 1, 2):
         raise ValueError(f"velocity-cache order must be 0, 1 or 2, got {order}")
+    if cache_interval <= 1:
+        return odeint_euler(drift, x, t)
     B = x.shape[0]
     pairs = jnp.stack([t[:-1], t[1:]], axis=-1)
     idx = jnp.arange(pairs.shape[0])

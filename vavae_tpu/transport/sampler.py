@@ -111,6 +111,16 @@ class Sampler:
                 "multistep_order and cache_interval are mutually exclusive "
                 "accelerations — pick one"
             )
+        # validate at BUILD time even when the knob is currently inert, so a
+        # config typo (e.g. velocity_cache_order: 3, confusing it with
+        # multistep_order) fails when written, not when caching is later
+        # flipped on
+        if cache_order not in (0, 1, 2):
+            raise ValueError(f"cache_order must be 0, 1 or 2, got {cache_order}")
+        if multistep_order not in (1, 2, 3):
+            raise ValueError(
+                f"multistep_order must be 1 (euler), 2 or 3, got {multistep_order}"
+            )
         transport = self.transport
         base_drift = self.drift
         t0, t1 = transport.check_interval(eval=True, sde=False, reverse=reverse)

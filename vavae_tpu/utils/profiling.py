@@ -66,25 +66,32 @@ class WindowTracer:
         self.at = int(os.environ.get("VAVAE_PROFILE_AT", "10"))
         self.n = int(os.environ.get("VAVAE_PROFILE_STEPS", "5"))
         self._active = False
+        self._done = False
+        self._start_i = 0
 
     def step(self, i: int, sync_on: Any = None) -> None:
         if not self.log_dir:
             return
-        if i == self.at and not self._active:
+        # >= (not ==): a checkpoint-resumed loop feeds absolute step numbers
+        # that may already be past `at` — trace the first window we see
+        if i >= self.at and not self._active and not self._done:
             if sync_on is not None:
                 jax.block_until_ready(sync_on)
             jax.profiler.start_trace(self.log_dir)
             self._active = True
-        elif self._active and i >= self.at + self.n:
+            self._start_i = i
+        elif self._active and i >= self._start_i + self.n:
             if sync_on is not None:
                 jax.block_until_ready(sync_on)
             jax.profiler.stop_trace()
             self._active = False
+            self._done = True
 
     def close(self) -> None:
         if self._active:
             jax.profiler.stop_trace()
             self._active = False
+            self._done = True
 
 
 def device_memory_stats() -> Dict[str, Dict[str, int]]:
