@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--train_steps", type=int, default=1200)
     ap.add_argument("--cfg_scale", type=float, default=2.0)
     ap.add_argument("--out", default="output/multistep_bench.json")
+    ap.add_argument("--sweep", choices=["auto", "full", "smoke"], default="auto",
+                    help="full = the production step-count sweep + 4000-step "
+                         "ground truth (default on TPU); smoke = tiny CPU check")
     args = ap.parse_args()
 
     import vavae_tpu.utils.jax_cache  # noqa: F401
@@ -48,7 +51,8 @@ def main() -> None:
     from vavae_tpu.transport import Sampler
 
     on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu:
+    full = args.sweep == "full" or (args.sweep == "auto" and on_tpu)
+    if not on_tpu and args.sweep != "full":
         args.train_steps = min(args.train_steps, 10)
 
     class_means, rng_np = bc.make_class_means()
@@ -82,7 +86,7 @@ def main() -> None:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
 
-    gt_steps = 4000 if on_tpu else 64
+    gt_steps = 4000 if full else 64
     truth = sample(gt_steps)
     tnorm = float(np.mean(np.linalg.norm(truth.reshape(Bs, -1), axis=-1)))
     acc_t, conf_t = bc.classify(truth, class_means, labels)
@@ -96,7 +100,7 @@ def main() -> None:
               ("ab2", 125, 2), ("ab2", 100, 2), ("ab2", 62, 2), ("ab2", 50, 2),
               ("ab3", 125, 3), ("ab3", 100, 3), ("ab3", 83, 3), ("ab3", 62, 3),
               ("ab3", 50, 3), ("ab3", 32, 3)]
-             if on_tpu else
+             if full else
              [("euler", 16, 1), ("ab2", 8, 2), ("ab3", 8, 3)])
     for name, n, order in sweep:
         out = sample(n, order)
