@@ -46,9 +46,12 @@ def make_class_means(seed: int = 0):
     return means, rng_np
 
 
-def train_synthetic_dit(train_steps: int, on_tpu: bool, class_means, rng_np):
+def train_synthetic_dit(train_steps: int, on_tpu: bool, class_means, rng_np,
+                        big: bool | None = None):
     """Train DiT-S on noisy per-class patterns; returns
-    (model, transport, ema_params, final_loss)."""
+    (model, transport, ema_params, final_loss). ``big`` forces the full
+    DiT-S testbed (depth 12 / hidden 384, batch 64) regardless of backend —
+    default: big on TPU, tiny on CPU."""
     import jax
     import jax.numpy as jnp
 
@@ -57,8 +60,10 @@ def train_synthetic_dit(train_steps: int, on_tpu: bool, class_means, rng_np):
     from vavae_tpu.train.dit_trainer import DiTTrainer
     from vavae_tpu.transport import create_transport
 
-    B = 64 if on_tpu else 8
-    depth, hidden, heads = (12, 384, 6) if on_tpu else (2, 64, 4)
+    if big is None:
+        big = on_tpu
+    B = 64 if big else 8
+    depth, hidden, heads = (12, 384, 6) if big else (2, 64, 4)
 
     def batch():
         y = rng_np.integers(0, N_CLASSES, size=(B,)).astype("int32")

@@ -60,7 +60,7 @@ def main() -> None:
         args.train_steps, on_tpu, class_means, rng_np
     )
     sampler = Sampler(transport)
-    labels = bc.eval_labels(on_tpu)
+    labels = bc.eval_labels(full)
     Bs = len(labels)
     y_cfg = jnp.concatenate([labels, jnp.full((Bs,), bc.N_CLASSES, jnp.int32)])
     z = jax.random.normal(jax.random.PRNGKey(7), (Bs,) + bc.LATENT_SHAPE,
