@@ -71,6 +71,12 @@ run "extract_features" python -m vavae_tpu.pipelines.extract_features \
 run "train_dit" python -m vavae_tpu.pipelines.train_dit --config "$W/tiny_dit.yaml"
 run "sample --demo" python -m vavae_tpu.pipelines.sample --config "$W/tiny_dit.yaml" \
   --demo ckpt_path="$W/out/tiny/checkpoints/0000005.safetensors" demo_labels='[0,1]'
+
+# Adams-Bashforth exact-solver path through the top-level dispatcher
+run "sample --demo ab3 (python -m vavae_tpu)" python -m vavae_tpu sample \
+  --config "$W/tiny_dit.yaml" --demo \
+  ckpt_path="$W/out/tiny/checkpoints/0000005.safetensors" demo_labels='[0,1]' \
+  sample.multistep_order=3 sample.num_sampling_steps=6
 run "evaluate_tokenizer" python -m vavae_tpu.pipelines.evaluate_tokenizer \
   --data_path "$W/data" --image_size 32 --max_images 8
 run "train_vavae (1 epoch)" python -m vavae_tpu.pipelines.train_vavae \
