@@ -109,7 +109,8 @@ run "select_users" python -m vavae_tpu.apps.select_users \
   --num_classes 2 --image_size 32 --n 1
 run "validate_export" python -m vavae_tpu.apps.validate_export \
   --split_file "$W/split.json" --num_users 2 --image_size 32 \
-  --export_encoder "$W/encoder.msgpack"
+  --export_encoder "$W/encoder.msgpack" \
+  --train_ckpt "$W/vae_out/stage1/0000005.safetensors"
 run "lora_finetune" python -m vavae_tpu.apps.lora_finetune \
   --config "$W/tiny_dit.yaml" --base_ckpt "$W/out/tiny/checkpoints/0000005.safetensors" \
   --rank 2 --alpha 4 --steps 3 --batch_size 4 --out_dir "$W/lora" --export_merged

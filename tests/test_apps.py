@@ -543,3 +543,63 @@ def test_preflight_cli_exit_codes(tmp_path):
         capture_output=True, text=True, env=env, timeout=240,
     )
     assert r.returncode == 0 and "preflight passed" in r.stdout
+
+
+def test_validate_export_vf_alignment(tmp_path):
+    """load_vf_projector reads gen_params/proj from a training checkpoint
+    (None when trained without VF), and vf_alignment_check returns perfect
+    cosine when the foundation features ARE the projected latents, including
+    through the grid-resize path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from vavae_tpu.apps.validate_export import (load_vf_projector,
+                                                vf_alignment_check)
+    from vavae_tpu.models.vae import AutoencoderKL
+
+    p = str(tmp_path / "train.safetensors")
+    kernel = np.random.default_rng(0).normal(size=(1, 1, 4, 6)).astype("float32")
+    save_file({"gen_params|proj|kernel": kernel}, p)
+    proj = load_vf_projector(p)
+    np.testing.assert_array_equal(np.asarray(proj["kernel"]), kernel)
+
+    p2 = str(tmp_path / "novf.safetensors")
+    save_file({"gen_params|vae|dummy": np.zeros((1,), "float32")}, p2)
+    assert load_vf_projector(p2) is None
+
+    class _VAE:  # encode_moments facade with a fixed latent
+        def __init__(self, z):
+            self._z = z
+
+        def encode_moments(self, images):
+            class _M:
+                def __init__(self, z):
+                    self._z = z
+
+                def mode(self):
+                    return self._z
+
+            return _M(self._z)
+
+    # spatially constant so the grid-resize path is exact (half-pixel linear
+    # resampling mixes neighboring sites on non-constant fields)
+    z = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(1), (2, 1, 1, 4)), (2, 4, 4, 4)
+    )
+    vae = _VAE(z)
+    z_proj = jnp.einsum("bhwc,cd->bhwd", z, jnp.asarray(kernel[0, 0]))
+    images = np.zeros((2, 64, 64, 3), "float32")
+
+    res = vf_alignment_check(vae, proj, lambda im: z_proj, images)
+    assert res["mean_cosine"] > 0.999 and res["frac_above_0.5"] == 1.0
+
+    # mismatched grid: features at 8x8 resize down to the 4x4 latent grid
+    up = jax.image.resize(z_proj, (2, 8, 8, 6), method="nearest")
+    res2 = vf_alignment_check(vae, proj, lambda im: up, images)
+    assert res2["mean_cosine"] > 0.99
+
+    # anti-aligned features hit cosine -1
+    res3 = vf_alignment_check(vae, proj, lambda im: -z_proj, images)
+    assert res3["mean_cosine"] < -0.999 and res3["frac_above_0.5"] == 0.0

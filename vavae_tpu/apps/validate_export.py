@@ -55,6 +55,13 @@ def vf_alignment_check(
     z = vae.encode_moments(images).mode()
     z_proj = jnp.einsum("bhwc,cd->bhwd", z, proj_params["kernel"][0, 0])
     aux = aux_feature_fn(jnp.asarray(images))
+    if aux.shape[1:3] != z_proj.shape[1:3]:
+        # latent grid (img/16) vs foundation grid (224/14=16): equal at the
+        # production 256px, resized like the trainer would otherwise
+        aux = jax.image.resize(
+            aux, (aux.shape[0],) + z_proj.shape[1:3] + (aux.shape[-1],),
+            method="linear",
+        )
     zf = z_proj / jnp.maximum(jnp.linalg.norm(z_proj, axis=-1, keepdims=True), 1e-12)
     af = aux / jnp.maximum(jnp.linalg.norm(aux, axis=-1, keepdims=True), 1e-12)
     cos = jnp.sum(zf * af, axis=-1)
@@ -63,6 +70,19 @@ def vf_alignment_check(
         "min_cosine": float(jnp.min(cos)),
         "frac_above_0.5": float(jnp.mean((cos > 0.5).astype(jnp.float32))),
     }
+
+
+def load_vf_projector(train_ckpt: str):
+    """The VF projector rides the TRAINING state (gen_params/proj — the
+    inference VA_VAE checkpoint doesn't carry it); None if this run trained
+    without VF."""
+    from safetensors import safe_open
+
+    with safe_open(train_ckpt, framework="np") as f:
+        key = "gen_params|proj|kernel"
+        if key not in f.keys():
+            return None
+        return {"kernel": jnp.asarray(f.get_tensor(key))}
 
 
 def latent_user_discrimination(
@@ -136,6 +156,13 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="JSON report path")
     ap.add_argument("--export_encoder", default=None,
                     help="write a standalone encoder+quant_conv msgpack here")
+    ap.add_argument("--train_ckpt", default=None,
+                    help="train_vavae safetensors carrying the VF projector "
+                         "(gen_params/proj) — enables the VF alignment check")
+    ap.add_argument("--vf_kind", default="dinov2", choices=["dinov2", "mae"])
+    ap.add_argument("--allow_random_foundation", action="store_true",
+                    help="random-init foundation weights when VAVAE_*_WEIGHTS "
+                         "is unset (plumbing smoke only — scores meaningless)")
     args = ap.parse_args()
 
     vae = VA_VAE(args.vae_config, ckpt_path=args.vae_ckpt, img_size=args.image_size)
@@ -163,6 +190,26 @@ def main() -> None:
             "channel_mean_first8": stats["mean"].reshape(-1)[:8].tolist(),
         },
     }
+    if args.train_ckpt:
+        # VF alignment (step5_validate_export.py:464): projected latents vs
+        # frozen foundation features
+        proj = load_vf_projector(args.train_ckpt)
+        if proj is None:
+            print("no VF projector in the training checkpoint "
+                  "(trained without VF) — skipping VF alignment")
+        else:
+            from vavae_tpu.pipelines.train_vavae import make_aux_feature_fn
+
+            fn_p, aux_params = make_aux_feature_fn(
+                args.vf_kind, allow_random=args.allow_random_foundation
+            )
+            vf = vf_alignment_check(
+                vae, proj, lambda im: fn_p(aux_params, im), x[:32]
+            )
+            report["vf_alignment"] = vf
+            print(f"VF alignment: mean cosine {vf['mean_cosine']:.3f}, "
+                  f"frac>0.5 {vf['frac_above_0.5']:.2f}")
+
     mean_psnr = np.mean([r["psnr"] for r in recon.values()]) if recon else float("nan")
     print(
         f"users {len(recon)}: mean psnr {mean_psnr:.2f}, "

@@ -419,6 +419,9 @@ def main() -> None:
     ap.add_argument("--stages", default="official", choices=["official", "single"])
     ap.add_argument("--no_resume", action="store_true",
                     help="start from scratch even if stage checkpoints exist")
+    ap.add_argument("--allow_random_foundation", action="store_true",
+                    help="random-init the frozen foundation net when "
+                         "VAVAE_*_WEIGHTS is unset (plumbing smoke only)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     cfg = load_config(args.base, overrides=args.overrides)
@@ -442,6 +445,7 @@ def main() -> None:
     run_stages(
         cfg, dataset, val_dataset, stages=stages,
         output_dir=args.output_dir, batch_size=args.batch_size,
+        allow_random_foundation=args.allow_random_foundation,
         resume=not args.no_resume,
     )
 
