@@ -104,3 +104,19 @@ def test_window_tracer_env_driven(tmp_path, monkeypatch):
     t2.close()
     assert not t2._active
     assert any(p.is_file() for p in out2.rglob("*"))
+
+
+def test_jax_cache_dir_is_host_fingerprinted():
+    """The persistent compile cache stores host machine code (CPU AOT
+    executables); the repo's cache dir persists across machines, so a
+    foreign entry loads only with SIGILL-risk warnings. setup() must key
+    the directory by a stable per-host CPU-feature fingerprint."""
+    import jax
+
+    from vavae_tpu.utils import jax_cache
+
+    fp = jax_cache.host_fingerprint()
+    assert fp and "/" not in fp
+    assert fp == jax_cache.host_fingerprint()  # stable within a host
+    # conftest imported jax_cache at session start -> config reflects setup()
+    assert jax.config.jax_compilation_cache_dir.rstrip("/").endswith(fp)
