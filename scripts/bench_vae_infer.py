@@ -63,6 +63,23 @@ def main() -> None:
             flush=True,
         )
 
+    if dtype == jnp.bfloat16:
+        # quality gauge for --dtype bf16 extraction: how far the bf16-compute
+        # posterior mean strays from fp32, against the posterior's OWN
+        # sampling std (extraction draws posterior.sample, so deviation far
+        # below the injected noise is statistically invisible downstream)
+        vae32 = AutoencoderKL(embed_dim=32, ch=128, ch_mult=(1, 1, 2, 2, 4),
+                              resolution=256, dtype=jnp.float32)
+        post32 = jax.jit(lambda p, x: vae32.apply({"params": p}, x, method=AutoencoderKL.encode))(params, x)
+        post16 = jax.jit(lambda p, x: vae.apply({"params": p}, x, method=AutoencoderKL.encode))(params, x)
+        m32, m16 = np.asarray(post32.mean, np.float32), np.asarray(post16.mean, np.float32)
+        std32 = np.exp(0.5 * np.asarray(post32.logvar, np.float32))
+        dev = m16 - m32
+        rel = np.linalg.norm(dev) / np.linalg.norm(m32)
+        ratio = np.sqrt(np.mean(dev**2)) / np.sqrt(np.mean(std32**2))
+        print(f"bf16 posterior-mean deviation: rel-L2 {rel:.2%}, "
+              f"rms(dev)/rms(posterior std) {ratio:.3f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -134,3 +134,27 @@ def test_vavae_facade_mesh_sharded_matches_single(mesh8):
     d2 = sharded.decode_to_images(z)
     np.testing.assert_array_equal(d1.shape, d2.shape)
     assert np.mean(np.abs(d1.astype(int) - d2.astype(int))) < 1.0  # uint8 rounding
+
+
+def test_encode_bf16_compute_deviation_below_posterior_std():
+    """--dtype bf16 extraction support: a bf16-COMPUTE encoder (fp32 params)
+    must land its posterior mean well inside the posterior's own sampling
+    noise — extraction draws posterior.sample, so a mean deviation far below
+    the injected std is statistically invisible to downstream DiT training.
+    Mirrors the on-chip gauge in scripts/bench_vae_infer.py."""
+    kw = dict(embed_dim=8, ch=32, ch_mult=(1, 1, 2), resolution=32)
+    vae32 = AutoencoderKL(dtype=jnp.float32, **kw)
+    vae16 = AutoencoderKL(dtype=jnp.bfloat16, **kw)
+    rng = jax.random.PRNGKey(0)
+    params = vae32.init({"params": rng}, jnp.zeros((1, 32, 32, 3)), sample=False)["params"]
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), jnp.float32, -1, 1)
+    p32 = vae32.apply({"params": params}, x, method=AutoencoderKL.encode)
+    p16 = vae16.apply({"params": params}, x, method=AutoencoderKL.encode)
+    assert p16.mean.dtype == jnp.float32  # moments come back fp32
+    m32 = np.asarray(p32.mean, np.float32)
+    dev = np.asarray(p16.mean, np.float32) - m32
+    std32 = np.exp(0.5 * np.asarray(p32.logvar, np.float32))
+    rel = np.linalg.norm(dev) / np.linalg.norm(m32)
+    ratio = np.sqrt(np.mean(dev**2)) / np.sqrt(np.mean(std32**2))
+    assert rel < 0.02, f"bf16 mean rel-L2 {rel:.3%}"
+    assert ratio < 0.1, f"bf16 deviation {ratio:.3f}× the posterior's own std"

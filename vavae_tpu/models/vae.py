@@ -247,7 +247,10 @@ class AutoencoderKL(nn.Module):
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype)
 
     def encode(self, x: jax.Array) -> DiagonalGaussian:
-        moments = self.quant_conv(self.encoder(x))
+        # moments leave in fp32 regardless of conv compute dtype: the
+        # distribution math (exp(logvar), sampling, KL) and stored latents
+        # are fp32 even on the bf16-compute inference path
+        moments = self.quant_conv(self.encoder(x)).astype(jnp.float32)
         if not self.use_variational:
             moments = jnp.concatenate([moments, jnp.ones_like(moments)], axis=-1)
         return DiagonalGaussian.from_moments(moments)

@@ -154,12 +154,18 @@ def main() -> None:
     ap.add_argument("--split_file", default=None,
                     help="split JSON (any reference layout); labels = user ids")
     ap.add_argument("--split", default="train")
+    ap.add_argument("--dtype", choices=("fp32", "bf16"), default="fp32",
+                    help="encoder COMPUTE dtype (params and stored latents stay "
+                    "fp32); bf16 roughly halves encode time at a latent "
+                    "deviation far below the posterior's own sampling std "
+                    "(measured by scripts/bench_vae_infer.py bf16)")
     args = ap.parse_args()
     from vavae_tpu.parallel.mesh import make_mesh
 
     # the facade pads remainder batches transparently, so every local device
     # participates regardless of batch size
     vae = VA_VAE(args.config, ckpt_path=args.vae_ckpt, img_size=args.image_size,
+                 dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
                  mesh=make_mesh())
     extract(
         args.data_path,
