@@ -1,6 +1,10 @@
 """Microbench: one DiT-XL/1 training step (fwd+bwd+Adam+EMA), single chip.
 
-Usage: python scripts/bench_train_step.py [batch]
+Usage: python scripts/bench_train_step.py [batch] [--bf16] [--mu_bf16] [--ema_every K]
+  --bf16       bf16 params (EMA stays f32)
+  --mu_bf16    Adam first moment in bf16 (optimizer.adam_mu_dtype)
+  --ema_every  amortized EMA cadence (train.ema_every); the reported ms is
+               the average over the cadence, i.e. the amortized cost
 Env: VAVAE_ATTN_NATURAL=0 restores the padded-layout attention for A/B.
 """
 from __future__ import annotations
@@ -20,7 +24,12 @@ from vavae_tpu.transport import create_transport
 
 
 def main() -> None:
-    positional = [a for a in sys.argv[1:] if not a.startswith("-")]
+    args = sys.argv[1:]
+    ema_idx = args.index("--ema_every") if "--ema_every" in args else None
+    positional = [
+        a for i, a in enumerate(args)
+        if not a.startswith("-") and (ema_idx is None or i != ema_idx + 1)
+    ]
     batch = int(positional[0]) if positional else 16
     model = LightningDiT_models["LightningDiT-XL/1"](
         input_size=16,
@@ -33,8 +42,11 @@ def main() -> None:
         dtype=jnp.bfloat16,
     )
     mesh = make_mesh()
+    ema_every = int(args[ema_idx + 1]) if ema_idx is not None else 1
     trainer = DiTTrainer(
-        model=model, transport=create_transport("Linear", "velocity"), mesh=mesh
+        model=model, transport=create_transport("Linear", "velocity"), mesh=mesh,
+        ema_every=ema_every,
+        adam_mu_dtype="bfloat16" if "--mu_bf16" in sys.argv else None,
     )
     rng = jax.random.PRNGKey(0)
     if "--bf16" in sys.argv:

@@ -184,3 +184,76 @@ def test_grad_accum_matches_full_batch():
                         jax.tree_util.tree_leaves(params0))
     )
     assert moved > 1e-4
+
+
+def test_ema_every_amortized_matches_decay_power():
+    """train.ema_every=k applies decay^k on every k-th step and passes the
+    (donated) EMA through untouched in between — same geometric time constant
+    as per-step EMA at k-fold less fp32 traffic. Exactness: the k=4 EMA must
+    equal the hand-computed two-update blend of the k=1 run's param snapshots
+    (param trajectories are identical; EMA never feeds back into training)."""
+    import jax
+    import numpy as np
+
+    from vavae_tpu.models.dit import LightningDiT
+    from vavae_tpu.parallel.mesh import make_mesh
+    from vavae_tpu.train.dit_trainer import DiTTrainer
+    from vavae_tpu.transport import create_transport
+
+    devs = jax.devices("cpu")[:8]
+    B = 8
+    rngd = np.random.default_rng(0)
+    batches = [
+        (
+            rngd.normal(size=(B, 8, 8, 4)).astype(np.float32),
+            rngd.integers(0, 8, size=(B,)).astype(np.int32),
+        )
+        for _ in range(8)
+    ]
+
+    decay = 0.99
+    states, snapshots = {}, {}
+    for k in (1, 4):
+        mesh = make_mesh(data=8, devices=devs)
+        model = LightningDiT(
+            input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+            depth=2, num_heads=4, num_classes=8, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True,
+        )
+        tr = DiTTrainer(model, create_transport("Linear", "velocity"), mesh,
+                        lr=1e-3, ema_decay=decay, ema_every=k)
+        state = tr.replicate(tr.init_state(jax.random.PRNGKey(0), (B, 8, 8, 4)))
+        snaps = {0: jax.device_get(state.params)}
+        for i, b in enumerate(batches):
+            prev_ema = jax.device_get(state.ema_params) if k == 4 else None
+            state, _ = tr.train_step(state, jax.random.PRNGKey(1), tr.shard_batch(b))
+            snaps[i + 1] = jax.device_get(state.params)
+            if k == 4 and (i + 1) % 4 != 0:
+                # off-cadence step: EMA leaves must be bit-identical
+                ema_now = jax.device_get(state.ema_params)
+                for a, bb in zip(jax.tree_util.tree_leaves(prev_ema),
+                                 jax.tree_util.tree_leaves(ema_now)):
+                    np.testing.assert_array_equal(a, bb)
+        states[k] = state
+        snapshots[k] = snaps
+
+    # identical param trajectories (EMA cadence cannot affect training)
+    for a, b in zip(jax.tree_util.tree_leaves(snapshots[1][8]),
+                    jax.tree_util.tree_leaves(snapshots[4][8])):
+        np.testing.assert_array_equal(a, b)
+
+    # expected k=4 EMA: two decay^4 blends at steps 4 and 8, seeded from init
+    d4 = decay ** 4
+    expect = snapshots[4][0]
+    for s in (4, 8):
+        expect = jax.tree_util.tree_map(
+            lambda e, p: d4 * e + (1 - d4) * p, expect, snapshots[4][s]
+        )
+    got = jax.device_get(states[4].ema_params)
+    for a, b in zip(jax.tree_util.tree_leaves(expect), jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    # and it approximates the per-step EMA (same time constant)
+    ema1 = jax.device_get(states[1].ema_params)
+    for a, b in zip(jax.tree_util.tree_leaves(ema1), jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-4)

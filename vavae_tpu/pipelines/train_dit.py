@@ -146,6 +146,9 @@ def do_train(cfg: Config) -> TrainState:
         weight_decay=opt_cfg.get("weight_decay", 0.0),
         max_grad_norm=opt_cfg.get("max_grad_norm"),
         ema_decay=cfg.train.get("ema_decay", 0.9999),
+        # k>1 applies decay^k every k-th step (same time constant, k× less
+        # fp32 EMA traffic); 1 = reference-exact per-step EMA
+        ema_every=cfg.train.get("ema_every", 1),
         # scheduler block (config_dit_base.yaml:70-74): cosine over T_max
         # epochs (or the whole run) down to eta_min
         lr_schedule="cosine" if sched_type in ("cosine", "warmup_cosine") else None,

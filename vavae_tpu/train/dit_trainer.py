@@ -54,6 +54,14 @@ class DiTTrainer:
     weight_decay: float = 0.0
     max_grad_norm: Optional[float] = None
     ema_decay: float = 0.9999
+    # Update the EMA every k steps with decay**k instead of every step
+    # (config key `train.ema_every`). 1 = exact reference semantics
+    # (LightningDiT/train.py:213, per-step). k>1 keeps the same geometric
+    # time constant (decay^k applied 1/k as often) while cutting the fp32
+    # EMA read+write sweep k-fold: on non-update steps the donated EMA
+    # leaves pass through the jitted step UNCHANGED, which XLA aliases
+    # buffer-for-buffer — zero HBM traffic, vs ~6.75 GB/step for XL/1.
+    ema_every: int = 1
     # dtype of Adam's first moment. None = fp32 (exact reference parity, the
     # default). "bfloat16" halves its HBM footprint AND traffic — the
     # optimizer+EMA state sweep, not compute, bounds small-per-chip-batch
@@ -88,8 +96,11 @@ class DiTTrainer:
         if self.grad_accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=self.grad_accum)
         self.tx = tx
-        self._jit_train = None
+        if self.ema_every < 1:
+            raise ValueError(f"ema_every must be >= 1, got {self.ema_every}")
+        self._jit_train = {}  # keyed by do_ema (two programs when ema_every > 1)
         self._jit_eval = None
+        self._host_step = None  # python mirror of state.step for the ema cadence
 
     # -- state ----------------------------------------------------------------
 
@@ -194,14 +205,21 @@ class DiTTrainer:
             loss = loss + terms["cos_loss"].mean()
         return loss, {"loss": mse, "total_loss": loss}
 
-    def _train_step(self, state: TrainState, rng: jax.Array, x, y):
+    def _train_step(self, state: TrainState, rng: jax.Array, x, y, *, do_ema: bool = True):
         step_rng = jax.random.fold_in(rng, state.step)
         (_, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
             state.params, step_rng, x, y
         )
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_ema = update_ema(state.ema_params, new_params, self.ema_decay)
+        if do_ema:
+            new_ema = update_ema(
+                state.ema_params, new_params, self.ema_decay ** self.ema_every
+            )
+        else:
+            # pass the donated EMA leaves through untouched — XLA aliases
+            # input to output, so the skip costs nothing
+            new_ema = state.ema_params
         metrics["grad_norm"] = optax.global_norm(grads)
         return (
             TrainState(
@@ -226,18 +244,24 @@ class DiTTrainer:
     # -- jitted entry points ------------------------------------------------------
 
     def train_step(self, state: TrainState, rng: jax.Array, batch):
-        if self._jit_train is None:
+        if self._host_step is None:
+            # one host sync at (re)start to anchor the ema cadence to the
+            # persisted step counter (checkpoint resume keeps the phase)
+            self._host_step = int(state.step)
+        do_ema = self.ema_every == 1 or (self._host_step + 1) % self.ema_every == 0
+        if do_ema not in self._jit_train:
             batch_shard = data_sharding(self.mesh, 1)
             rep = replicated(self.mesh)
             state_sh = self.state_shardings(state)
-            self._jit_train = jax.jit(
-                self._train_step,
+            self._jit_train[do_ema] = jax.jit(
+                partial(self._train_step, do_ema=do_ema),
                 in_shardings=(state_sh, rep, data_sharding(self.mesh, 4), batch_shard),
                 out_shardings=(state_sh, rep),
                 donate_argnums=donate_state_argnums(),
             )
         x, y = batch
-        return self._jit_train(state, rng, x, y)
+        self._host_step += 1
+        return self._jit_train[do_ema](state, rng, x, y)
 
     def eval_step(self, state: TrainState, rng: jax.Array, batch, sp=(0.0, 1.0)):
         if self._jit_eval is None:
