@@ -47,22 +47,49 @@ def main() -> None:
     from vavae_tpu.models.dit import LightningDiT_models
     from vavae_tpu.transport import Sampler, create_transport
 
-    # The tunneled TPU backend occasionally drops for minutes at a time; a
-    # transient blip shouldn't turn the round's recorded benchmark into an
-    # init error. Bounded retry before giving up (VAVAE_BENCH_RETRIES × 60 s).
+    # The tunneled TPU backend occasionally drops for minutes-to-hours at a
+    # time, and a dead tunnel can make backend init HANG rather than error —
+    # which would wedge this process unrecoverably (the first in-process
+    # init attempt can never be retried). So: probe init in a SUBPROCESS
+    # (killable on timeout) and only touch the backend here once a probe
+    # succeeds. Bounded retry (VAVAE_BENCH_RETRIES × 60 s) before falling
+    # through to the direct attempt.
     import os
+    import subprocess
+
+    def _probe_ok(timeout: int = 120) -> bool:
+        # the probe must resolve the SAME platform as this process: route it
+        # through utils.jax_cache (applies VAVAE_PLATFORM via jax.config).
+        # PYTHONPATH is APPENDED, never replaced — the existing value carries
+        # the TPU plugin site dir.
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env["PYTHONPATH"] = ":".join(filter(None, [env.get("PYTHONPATH"), repo]))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import vavae_tpu.utils.jax_cache; "
+                 "import jax, numpy as np, jax.numpy as jnp; "
+                 "x = jnp.ones((8, 8)); "
+                 "print('BACKEND_OK', float(np.asarray(x @ x)[0, 0]))"],
+                capture_output=True, text=True, timeout=timeout, env=env,
+            )
+            return "BACKEND_OK" in r.stdout
+        except subprocess.TimeoutExpired:
+            return False
 
     retries = int(os.environ.get("VAVAE_BENCH_RETRIES", "10"))
     for attempt in range(retries + 1):
-        try:
-            backend = jax.default_backend()
+        if _probe_ok():
             break
-        except RuntimeError as e:
-            if attempt >= retries or "UNAVAILABLE" not in str(e):
-                raise
-            print(f"# backend unavailable (attempt {attempt + 1}/{retries}), "
-                  f"retrying in 60s: {e}", file=sys.stderr, flush=True)
-            time.sleep(60)
+        if attempt >= retries:
+            print("# backend probe never succeeded; attempting direct init",
+                  file=sys.stderr, flush=True)
+            break
+        print(f"# backend unavailable (probe {attempt + 1}/{retries}), "
+              f"retrying in 60s", file=sys.stderr, flush=True)
+        time.sleep(60)
+    backend = jax.default_backend()
     on_tpu = backend == "tpu"
     # full config on TPU; tiny proxy on CPU so the script stays runnable.
     # batch 8/chip measured best on v5e (natural-layout kernel:
