@@ -211,14 +211,18 @@ class Sampler:
             raise NotImplementedError(last_step)
 
         def _sample(
-            rng: jax.Array, x: jax.Array, model_fn: Callable, **model_kwargs: Any
+            rng: jax.Array,
+            x: jax.Array,
+            model_fn: Callable,
+            noise: Optional[jax.Array] = None,
+            **model_kwargs: Any,
         ) -> jax.Array:
             d = lambda xv, tv: sde_drift(xv, tv, model_fn, **model_kwargs)
             grid = jnp.linspace(t0, t1, num_steps, dtype=jnp.float32)
             if sampling_method == "Euler":
-                x, _ = sde_mod.sdeint_euler(d, diffusion_fn, rng, x, grid)
+                x, _ = sde_mod.sdeint_euler(d, diffusion_fn, rng, x, grid, noise=noise)
             elif sampling_method == "Heun":
-                x, _ = sde_mod.sdeint_heun(d, diffusion_fn, rng, x, grid)
+                x, _ = sde_mod.sdeint_heun(d, diffusion_fn, rng, x, grid, noise=noise)
             else:
                 raise NotImplementedError(f"SDE method {sampling_method}")
             ts = jnp.full((x.shape[0],), t1, x.dtype)
