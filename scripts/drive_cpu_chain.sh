@@ -40,6 +40,14 @@ vae = {"ckpt_path": None, "model": {"base_learning_rate": 1e-4, "params": {
                  "out_ch": 3, "ch": 32, "ch_mult": [1, 1], "num_res_blocks": 1,
                  "attn_resolutions": [], "dropout": 0.0}}}}
 yaml.safe_dump(vae, open(f"{w}/tiny_vae.yaml", "w"))
+# VF-alignment variant: tiny foundation testbed (dinov2-tiny, dim 64) so the
+# projector + alignment path runs without a ViT-L forward or weights
+import copy
+vae_vf = copy.deepcopy(vae)
+vae_vf["model"]["params"]["use_vf"] = "dinov2-tiny"
+vae_vf["model"]["params"]["lossconfig"]["params"].update(
+    {"vf_weight": 0.1, "adaptive_vf": True})
+yaml.safe_dump(vae_vf, open(f"{w}/tiny_vae_vf.yaml", "w"))
 dit = {"ckpt_path": None,
        "data": {"data_path": f"{w}/lat", "valid_path": None, "image_size": 32,
                 "num_classes": 2, "latent_norm": True, "latent_multiplier": 1.0},
@@ -111,6 +119,18 @@ run "validate_export" python -m vavae_tpu.apps.validate_export \
   --split_file "$W/split.json" --num_users 2 --image_size 32 \
   --export_encoder "$W/encoder.msgpack" \
   --train_ckpt "$W/vae_out/stage1/0000005.safetensors"
+
+# VF-PRESENT path: train with the tiny random foundation so the checkpoint
+# carries gen_params/proj, then the alignment check actually computes
+run "train_vavae (VF on, tiny foundation)" python -m vavae_tpu.pipelines.train_vavae \
+  --base "$W/tiny_vae_vf.yaml" --data_path "$W/data" --val_path "$W/data" \
+  --output_dir "$W/vae_vf_out" --batch_size 4 --stages single \
+  --allow_random_foundation train.max_epochs=1
+run "validate_export (VF alignment computed)" python -m vavae_tpu.apps.validate_export \
+  --split_file "$W/split.json" --num_users 2 --image_size 32 \
+  --train_ckpt "$W/vae_vf_out/stage1/0000005.safetensors" \
+  --train_config "$W/tiny_vae_vf.yaml" \
+  --vf_kind dinov2-tiny --allow_random_foundation
 run "lora_finetune" python -m vavae_tpu.apps.lora_finetune \
   --config "$W/tiny_dit.yaml" --base_ckpt "$W/out/tiny/checkpoints/0000005.safetensors" \
   --rank 2 --alpha 4 --steps 3 --batch_size 4 --out_dir "$W/lora" --export_merged

@@ -603,3 +603,60 @@ def test_validate_export_vf_alignment(tmp_path):
     # anti-aligned features hit cosine -1
     res3 = vf_alignment_check(vae, proj, lambda im: -z_proj, images)
     assert res3["mean_cosine"] < -0.999 and res3["frac_above_0.5"] == 0.0
+
+
+def test_load_trained_vae_rebuilds_generator(tmp_path):
+    """--train_config rebuilds the TRAINED generator (arbitrary ddconfig)
+    from a training checkpoint, and its encode matches a direct apply of the
+    same params — the f16d32 facade can't represent e.g. a ch_mult [1,1]
+    testbed VAE (reference step5 validates the trained model itself)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import yaml
+    from safetensors.numpy import save_file
+
+    from vavae_tpu.apps.validate_export import load_trained_vae
+    from vavae_tpu.models.vae import AutoencoderKL
+
+    model = AutoencoderKL(embed_dim=4, ch=32, ch_mult=(1, 1), resolution=32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)), sample=False
+    )["params"]
+
+    flat = {}
+
+    def _flatten(node, prefix):
+        for k, v in node.items():
+            key = f"{prefix}|{k}"
+            if isinstance(v, dict):
+                _flatten(v, key)
+            else:
+                flat[key] = np.asarray(v)
+
+    _flatten(params, "gen_params|vae")
+    ckpt = str(tmp_path / "train.safetensors")
+    save_file(flat, ckpt)
+
+    cfg = {"model": {"params": {"embed_dim": 4, "ddconfig": {
+        "z_channels": 4, "resolution": 32, "ch": 32, "ch_mult": [1, 1],
+        "num_res_blocks": 1, "attn_resolutions": []}}}}
+    cfg_path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    enc = load_trained_vae(cfg_path, ckpt)
+    x = np.random.default_rng(1).normal(size=(2, 32, 32, 3)).astype("float32")
+    got = enc.encode_moments(x).mode()
+    want = model.apply(
+        {"params": params}, jnp.asarray(x), method=AutoencoderKL.encode
+    ).mode()
+    assert got.shape == (2, 16, 16, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    # a VF-less checkpoint (no gen_params/vae leaves) fails loudly
+    bad = str(tmp_path / "bad.safetensors")
+    save_file({"params|x": np.zeros((1,), "float32")}, bad)
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_trained_vae(cfg_path, bad)

@@ -137,3 +137,45 @@ def test_vae_eval_step(tiny_trainer):
     x = np.random.default_rng(0).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.5
     m = trainer.eval_step(state, rng, shard_batch(trainer.mesh, x))
     assert np.isfinite(float(jax.device_get(m["val/rec_loss"])))
+
+
+def test_tiny_foundation_testbed_sizes_projector():
+    """The "-tiny" foundation kinds (weight-free smoke testbed) keep the
+    patch/grid conventions at dim 64 / depth 2, and the reverse projector
+    must follow the foundation's feature dim instead of assuming ViT-L 1024
+    (make_aux_feature_fn now returns it)."""
+    import jax
+    import numpy as np
+
+    from vavae_tpu.models.vit import FoundationModel
+    from vavae_tpu.pipelines.train_vavae import make_aux_feature_fn
+
+    fn_p, params, dim = make_aux_feature_fn("dinov2-tiny", allow_random=True)
+    assert dim == 64
+    feats = fn_p(params, np.zeros((1, 32, 32, 3), np.float32))
+    # 224-resize / patch-14 grid, tiny width
+    assert feats.shape == (1, 16, 16, 64)
+
+    # tiny kinds never load pretrained weights, even if the env var is set
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        FoundationModel(kind="mae-tiny").load("/etc/hostname")
+    with pytest.raises(ValueError):
+        FoundationModel(kind="dinov2-nano")
+
+    # projector follows the foundation dim through build_vae_trainer
+    from vavae_tpu.parallel.mesh import make_mesh
+    from vavae_tpu.pipelines.train_vavae import build_vae_trainer
+    from vavae_tpu.utils.config import Config
+
+    cfg = Config({"model": {"base_learning_rate": 1e-4, "params": {
+        "embed_dim": 4, "use_vf": "dinov2-tiny",
+        "lossconfig": {"params": {"disc_start": 2}},
+        "ddconfig": {"z_channels": 4, "resolution": 32, "ch": 32,
+                     "ch_mult": [1, 1], "num_res_blocks": 1,
+                     "attn_resolutions": []}}}})
+    tr = build_vae_trainer(cfg, make_mesh(), aux_feature_fn=fn_p,
+                           aux_params=params, vf_dim=dim)
+    state = tr.init_state(jax.random.PRNGKey(0), image_size=32)
+    assert state.gen_params["proj"]["kernel"].shape == (1, 1, 4, 64)

@@ -72,6 +72,48 @@ def vf_alignment_check(
     }
 
 
+def load_trained_vae(train_config: str, train_ckpt: str):
+    """encode_moments facade over the generator restored from a TRAINING
+    checkpoint + its training config. The reference's step5 validates the
+    model it just trained (step5_validate_export.py:336,464); the default
+    VA_VAE facade here is f16d32-only, so arbitrary training configs (e.g.
+    the tiny drive testbed) need the architecture rebuilt from their yaml."""
+    from safetensors import safe_open
+
+    from vavae_tpu.models.vae import AutoencoderKL
+    from vavae_tpu.utils.config import load_config
+
+    cfg = load_config(train_config)
+    p = cfg.model.params
+    dd = p.ddconfig
+    model = AutoencoderKL(
+        embed_dim=p.embed_dim,
+        ch=dd.get("ch", 128),
+        ch_mult=tuple(dd.ch_mult),
+        resolution=dd.get("resolution", 256),
+    )
+    params: dict = {}
+    with safe_open(train_ckpt, framework="np") as f:
+        for k in f.keys():
+            if not k.startswith("gen_params|vae|"):
+                continue
+            parts = k.split("|")[2:]
+            node = params
+            for q in parts[:-1]:
+                node = node.setdefault(q, {})
+            node[parts[-1]] = jnp.asarray(f.get_tensor(k))
+    if not params:
+        raise ValueError(f"{train_ckpt} carries no gen_params/vae leaves")
+
+    class _TrainedEncoder:
+        def encode_moments(self, images):
+            return model.apply(
+                {"params": params}, jnp.asarray(images), method=AutoencoderKL.encode
+            )
+
+    return _TrainedEncoder()
+
+
 def load_vf_projector(train_ckpt: str):
     """The VF projector rides the TRAINING state (gen_params/proj — the
     inference VA_VAE checkpoint doesn't carry it); None if this run trained
@@ -159,7 +201,13 @@ def main() -> None:
     ap.add_argument("--train_ckpt", default=None,
                     help="train_vavae safetensors carrying the VF projector "
                          "(gen_params/proj) — enables the VF alignment check")
-    ap.add_argument("--vf_kind", default="dinov2", choices=["dinov2", "mae"])
+    ap.add_argument("--vf_kind", default="dinov2",
+                    choices=["dinov2", "mae", "dinov2-tiny", "mae-tiny"],
+                    help="foundation net; -tiny = weight-free smoke testbed")
+    ap.add_argument("--train_config", default=None,
+                    help="training yaml of --train_ckpt: rebuilds the TRAINED "
+                         "generator for the VF check (required when its "
+                         "architecture differs from the f16d32 facade)")
     ap.add_argument("--allow_random_foundation", action="store_true",
                     help="random-init foundation weights when VAVAE_*_WEIGHTS "
                          "is unset (plumbing smoke only — scores meaningless)")
@@ -200,11 +248,16 @@ def main() -> None:
         else:
             from vavae_tpu.pipelines.train_vavae import make_aux_feature_fn
 
-            fn_p, aux_params = make_aux_feature_fn(
+            fn_p, aux_params, _ = make_aux_feature_fn(
                 args.vf_kind, allow_random=args.allow_random_foundation
             )
+            enc = (
+                load_trained_vae(args.train_config, args.train_ckpt)
+                if args.train_config
+                else vae
+            )
             vf = vf_alignment_check(
-                vae, proj, lambda im: fn_p(aux_params, im), x[:32]
+                enc, proj, lambda im: fn_p(aux_params, im), x[:32]
             )
             report["vf_alignment"] = vf
             print(f"VF alignment: mean cosine {vf['mean_cosine']:.3f}, "

@@ -114,21 +114,42 @@ class TimmViT(nn.Module):
 class FoundationModel:
     """aux_foundation_model equivalent: images [-1,1] NHWC → feature map."""
 
-    kind: str = "dinov2"  # or "mae"
+    kind: str = "dinov2"  # or "mae"; "-tiny" suffix = smoke testbed (below)
     feature_dim: int = 1024
 
     def __post_init__(self):
-        if self.kind == "dinov2":
-            self.model = TimmViT(patch_size=14, use_layerscale=True, pretrain_grid=37)
-        elif self.kind == "mae":
-            self.model = TimmViT(patch_size=16, use_layerscale=False, pretrain_grid=14)
+        # "<kind>-tiny" keeps the patch/grid conventions but shrinks the net
+        # (dim 64, depth 2) so CPU drives/tests can exercise the full
+        # VF-alignment plumbing without a ViT-L forward. No pretrained
+        # weights exist for it — use --allow_random_foundation.
+        base, _, variant = self.kind.partition("-")
+        tiny = dict(embed_dim=64, depth=2, num_heads=2) if variant == "tiny" else {}
+        if variant not in ("", "tiny"):
+            raise ValueError(self.kind)
+        if tiny:
+            self.feature_dim = tiny["embed_dim"]
+        if base == "dinov2":
+            self.model = TimmViT(
+                patch_size=14, use_layerscale=True, pretrain_grid=37, **tiny
+            )
+        elif base == "mae":
+            self.model = TimmViT(
+                patch_size=16, use_layerscale=False, pretrain_grid=14, **tiny
+            )
         else:
             raise ValueError(self.kind)
         self.params: Optional[dict] = None
 
     def load(self, weights_path: Optional[str] = None) -> "FoundationModel":
-        env = "VAVAE_DINOV2_WEIGHTS" if self.kind == "dinov2" else "VAVAE_MAE_WEIGHTS"
-        weights_path = weights_path or os.environ.get(env)
+        env = (
+            "VAVAE_DINOV2_WEIGHTS"
+            if self.kind.startswith("dinov2")
+            else "VAVAE_MAE_WEIGHTS"
+        )
+        # tiny testbed variants have no pretrained weights by definition
+        weights_path = None if self.kind.endswith("-tiny") else (
+            weights_path or os.environ.get(env)
+        )
         if not (weights_path and os.path.exists(weights_path)):
             raise FileNotFoundError(
                 f"{self.kind} ViT-L weights not found; set {env}=/path/to/ckpt"
@@ -162,15 +183,21 @@ class FoundationModel:
         model, kind = self.model, self.kind
 
         def fn(params, x):
-            B, H, W, _ = x.shape
-            gh, gw = H // 16, W // 16  # reference reshapes by original/16
-            if kind == "dinov2":
+            B = x.shape[0]
+            if kind.partition("-")[0] == "dinov2":
                 # foundation_models.py:56 F.interpolate(bilinear,
                 # align_corners=False) — NO antialias; jax.image.resize
                 # antialiases downsamples by default and would diverge
                 from vavae_tpu.utils.interp import torch_resize_2d
 
                 x = torch_resize_2d(x, (224, 224), "bilinear", antialias=False)
+            # reshape by the net's actual token grid. The reference reshapes
+            # by original/16 (foundation_models.py:57), which coincides with
+            # the true grid at its only input size (256: 224/14 = 256/16 =
+            # 16; mae: no resize, patch 16) — the true grid additionally
+            # stays correct for other sizes (the tiny testbeds drive 32 px).
+            gh = x.shape[1] // model.patch_size
+            gw = x.shape[2] // model.patch_size
             tokens = model.apply({"params": params}, x)
             patch = tokens[:, 1:]
             return jax.lax.stop_gradient(patch.reshape(B, gh, gw, -1))

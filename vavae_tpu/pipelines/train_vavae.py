@@ -48,6 +48,7 @@ def build_vae_trainer(
     aux_params=None,
     lpips_fn=None,           # param-explicit: (lpips_params, a, b) -> dists
     lpips_params=None,
+    vf_dim: int = 1024,      # foundation feature dim (sizes the projector)
 ) -> VAETrainer:
     p = cfg.model.params
     lc = dict(p.lossconfig.params)
@@ -95,6 +96,7 @@ def build_vae_trainer(
         loss_cfg=loss_cfg,
         lr=lr,
         use_vf=use_vf,
+        vf_dim=vf_dim,
         aux_feature_fn=aux_feature_fn,
         aux_params=aux_params,
         lpips_fn=lpips_fn,
@@ -104,8 +106,10 @@ def build_vae_trainer(
 
 
 def make_aux_feature_fn(kind: str, weights_path: Optional[str] = None, allow_random: bool = False):
-    """Returns (param-explicit feature fn, frozen params) — the params are
-    passed into the jitted train step as arguments, never closure constants."""
+    """Returns (param-explicit feature fn, frozen params, feature_dim) — the
+    params are passed into the jitted train step as arguments, never closure
+    constants; feature_dim sizes the reverse projector (1024 for ViT-L, 64
+    for the "-tiny" smoke testbed)."""
     from vavae_tpu.models.vit import FoundationModel
 
     fm = FoundationModel(kind=kind)
@@ -115,7 +119,7 @@ def make_aux_feature_fn(kind: str, weights_path: Optional[str] = None, allow_ran
         if not allow_random:
             raise
         fm.init_random(jax.random.PRNGKey(0))
-    return fm.feature_fn_p(), fm.params
+    return fm.feature_fn_p(), fm.params, fm.feature_dim
 
 
 def make_lpips_fn(weights_path: Optional[str] = None):
@@ -337,10 +341,10 @@ def run_stages(
     logger = create_logger(output_dir)
 
     use_vf = cfg.model.params.get("use_vf")
-    aux_fn, aux_params = (
+    aux_fn, aux_params, vf_dim = (
         make_aux_feature_fn(use_vf, allow_random=allow_random_foundation)
         if use_vf
-        else (None, None)
+        else (None, None, 1024)
     )
     lpips_fn, lpips_params = make_lpips_fn()
 
@@ -350,6 +354,7 @@ def run_stages(
             cfg, mesh, stage_overrides=stage,
             aux_feature_fn=aux_fn, aux_params=aux_params,
             lpips_fn=lpips_fn, lpips_params=lpips_params,
+            vf_dim=vf_dim,
         )
         stage_dir = os.path.join(output_dir, f"stage{si + 1}")
         if not resume and ckpt_lib.checkpoint_count(stage_dir) > 0:
