@@ -57,11 +57,14 @@ def main() -> None:
     import os
     import subprocess
 
-    def _probe_ok(timeout: int = 120) -> bool:
+    def _probe(timeout: int = 120) -> str:
         # the probe must resolve the SAME platform as this process: route it
         # through utils.jax_cache (applies VAVAE_PLATFORM via jax.config).
         # PYTHONPATH is APPENDED, never replaced — the existing value carries
         # the TPU plugin site dir.
+        # Returns "ok", "retry" (outage-shaped: hang or UNAVAILABLE/deadline),
+        # or "fatal" (deterministic failure — retrying would just hide the
+        # real error for retries×60s; stderr is surfaced either way).
         env = dict(os.environ)
         repo = os.path.dirname(os.path.abspath(__file__))
         env["PYTHONPATH"] = ":".join(filter(None, [env.get("PYTHONPATH"), repo]))
@@ -74,21 +77,35 @@ def main() -> None:
                  "print('BACKEND_OK', float(np.asarray(x @ x)[0, 0]))"],
                 capture_output=True, text=True, timeout=timeout, env=env,
             )
-            return "BACKEND_OK" in r.stdout
         except subprocess.TimeoutExpired:
-            return False
+            print("# backend probe hung (init wedged — outage-shaped)",
+                  file=sys.stderr, flush=True)
+            return "retry"
+        if "BACKEND_OK" in r.stdout:
+            return "ok"
+        tail = "\n".join(r.stderr.strip().splitlines()[-3:])
+        print(f"# backend probe failed (rc={r.returncode}):\n{tail}",
+              file=sys.stderr, flush=True)
+        outage = any(s in r.stderr for s in ("UNAVAILABLE", "DEADLINE", "unavailable"))
+        return "retry" if outage else "fatal"
 
     retries = int(os.environ.get("VAVAE_BENCH_RETRIES", "10"))
     for attempt in range(retries + 1):
-        if _probe_ok():
+        verdict = _probe()
+        if verdict == "ok":
             break
-        if attempt >= retries:
-            print("# backend probe never succeeded; attempting direct init",
-                  file=sys.stderr, flush=True)
+        if verdict == "fatal" or attempt >= retries:
+            # fall through: the direct init below raises the real error
+            print("# attempting direct init", file=sys.stderr, flush=True)
             break
         print(f"# backend unavailable (probe {attempt + 1}/{retries}), "
               f"retrying in 60s", file=sys.stderr, flush=True)
         time.sleep(60)
+    # NOTE: a residual race remains — the tunnel can die between the probe
+    # succeeding and this first in-process init, which then has no retry
+    # (first init is once-per-process). The probe shrinks that window from
+    # "the whole outage" to seconds; the external watcher loop (CLAUDE.md)
+    # is the recovery for the rest.
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     # full config on TPU; tiny proxy on CPU so the script stays runnable.

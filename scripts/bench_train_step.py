@@ -9,7 +9,7 @@ Env: VAVAE_ATTN_NATURAL=0 restores the padded-layout attention for A/B.
 """
 from __future__ import annotations
 
-import sys
+import argparse
 import time
 
 import vavae_tpu.utils.jax_cache  # noqa: F401
@@ -24,13 +24,13 @@ from vavae_tpu.transport import create_transport
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    ema_idx = args.index("--ema_every") if "--ema_every" in args else None
-    positional = [
-        a for i, a in enumerate(args)
-        if not a.startswith("-") and (ema_idx is None or i != ema_idx + 1)
-    ]
-    batch = int(positional[0]) if positional else 16
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("batch", nargs="?", type=int, default=16)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--mu_bf16", action="store_true")
+    ap.add_argument("--ema_every", type=int, default=1)
+    args = ap.parse_args()
+    batch = args.batch
     model = LightningDiT_models["LightningDiT-XL/1"](
         input_size=16,
         in_channels=32,
@@ -42,14 +42,13 @@ def main() -> None:
         dtype=jnp.bfloat16,
     )
     mesh = make_mesh()
-    ema_every = int(args[ema_idx + 1]) if ema_idx is not None else 1
     trainer = DiTTrainer(
         model=model, transport=create_transport("Linear", "velocity"), mesh=mesh,
-        ema_every=ema_every,
-        adam_mu_dtype="bfloat16" if "--mu_bf16" in sys.argv else None,
+        ema_every=args.ema_every,
+        adam_mu_dtype="bfloat16" if args.mu_bf16 else None,
     )
     rng = jax.random.PRNGKey(0)
-    if "--bf16" in sys.argv:
+    if args.bf16:
         from vavae_tpu.train.dit_trainer import TrainState
 
         zeros = (
@@ -82,10 +81,17 @@ def main() -> None:
     state, metrics = trainer.train_step(state, rng, (x, y))  # compile
     np.asarray(metrics["loss"])
     print(f"compile+first step: {time.perf_counter() - t0:.1f} s", flush=True)
-    for i in range(3):  # settle
+    # settle past BOTH compiled programs: with ema_every=k the do_ema=True
+    # program first compiles on step k, and the first donated-state steps
+    # after each compile run ~6x slow (CLAUDE.md) — so run at least one full
+    # cadence beyond the second compile before timing
+    settle = max(3, 2 * args.ema_every)
+    for i in range(settle):
         state, metrics = trainer.train_step(state, rng, (x, y))
         np.asarray(metrics["loss"])
-    n = 10
+    # time WHOLE cadences (n a multiple of ema_every) so the reported ms is
+    # the true amortized cost regardless of phase
+    n = args.ema_every * max(2, -(-10 // args.ema_every))
     t0 = time.perf_counter()
     for _ in range(n):
         state, metrics = trainer.train_step(state, rng, (x, y))

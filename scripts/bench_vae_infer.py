@@ -4,8 +4,13 @@ Measures wall time and XLA cost-analysis FLOPs in a FRESH process (see
 CLAUDE.md: measurements after big jit builds are inflated by memory
 pressure). Decode dominates (the f16d32 decoder is ~4x the encoder FLOPs).
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_vae_infer.py [batch] [dtype]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_vae_infer.py [batch] [dtype] [ckpt]
   dtype: fp32 (default) | bf16
+  ckpt:  optional f16d32 VAE checkpoint (.pt/.ckpt/.safetensors) — with
+         dtype=bf16 the posterior-deviation gauge then measures the TRAINED
+         model. Random init understates the ratio (random logvar is O(1);
+         a trained kl_weight=1e-6 posterior is much tighter), so validate
+         --dtype bf16 extraction against real weights before production use.
 """
 from __future__ import annotations
 
@@ -46,7 +51,14 @@ def main() -> None:
     vae = AutoencoderKL(embed_dim=32, ch=128, ch_mult=(1, 1, 2, 2, 4),
                         resolution=256, dtype=dtype)
     rng = jax.random.PRNGKey(0)
-    params = vae.init({"params": rng}, jnp.zeros((1, 32, 32, 3)), sample=False)["params"]
+    if len(sys.argv) > 3:
+        # trained weights via the tokenizer facade's loader (same f16d32 arch)
+        from vavae_tpu.tokenizer import VA_VAE
+
+        params = VA_VAE(None, ckpt_path=sys.argv[3]).params
+        print(f"loaded checkpoint {sys.argv[3]}", flush=True)
+    else:
+        params = vae.init({"params": rng}, jnp.zeros((1, 32, 32, 3)), sample=False)["params"]
     x = jax.random.uniform(rng, (batch, 256, 256, 3), jnp.float32, -1, 1)
     z = jax.random.normal(rng, (batch, 16, 16, 32), jnp.float32)
 

@@ -78,9 +78,11 @@ def load_trained_vae(train_config: str, train_ckpt: str):
     model it just trained (step5_validate_export.py:336,464); the default
     VA_VAE facade here is f16d32-only, so arbitrary training configs (e.g.
     the tiny drive testbed) need the architecture rebuilt from their yaml."""
+    from flax import traverse_util
     from safetensors import safe_open
 
     from vavae_tpu.models.vae import AutoencoderKL
+    from vavae_tpu.train.checkpoint import _SEP
     from vavae_tpu.utils.config import load_config
 
     cfg = load_config(train_config)
@@ -92,18 +94,15 @@ def load_trained_vae(train_config: str, train_ckpt: str):
         ch_mult=tuple(dd.ch_mult),
         resolution=dd.get("resolution", 256),
     )
-    params: dict = {}
+    prefix = _SEP.join(("gen_params", "vae")) + _SEP
+    flat = {}
     with safe_open(train_ckpt, framework="np") as f:
         for k in f.keys():
-            if not k.startswith("gen_params|vae|"):
-                continue
-            parts = k.split("|")[2:]
-            node = params
-            for q in parts[:-1]:
-                node = node.setdefault(q, {})
-            node[parts[-1]] = jnp.asarray(f.get_tensor(k))
-    if not params:
+            if k.startswith(prefix):
+                flat[k[len(prefix):]] = jnp.asarray(f.get_tensor(k))
+    if not flat:
         raise ValueError(f"{train_ckpt} carries no gen_params/vae leaves")
+    params = traverse_util.unflatten_dict(flat, sep=_SEP)
 
     class _TrainedEncoder:
         def encode_moments(self, images):
@@ -212,6 +211,9 @@ def main() -> None:
                     help="random-init foundation weights when VAVAE_*_WEIGHTS "
                          "is unset (plumbing smoke only — scores meaningless)")
     args = ap.parse_args()
+    if args.train_config and not args.train_ckpt:
+        ap.error("--train_config only applies to the VF check and requires "
+                 "--train_ckpt (the projector lives in the training checkpoint)")
 
     vae = VA_VAE(args.vae_config, ckpt_path=args.vae_ckpt, img_size=args.image_size)
     ds = SplitFileDataset(args.split_file, args.split, image_size=args.image_size)
@@ -244,7 +246,9 @@ def main() -> None:
         proj = load_vf_projector(args.train_ckpt)
         if proj is None:
             print("no VF projector in the training checkpoint "
-                  "(trained without VF) — skipping VF alignment")
+                  "(trained without VF) — skipping VF alignment"
+                  + (" (and the --train_config generator rebuild)"
+                     if args.train_config else ""))
         else:
             from vavae_tpu.pipelines.train_vavae import make_aux_feature_fn
 

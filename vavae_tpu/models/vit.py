@@ -146,10 +146,14 @@ class FoundationModel:
             if self.kind.startswith("dinov2")
             else "VAVAE_MAE_WEIGHTS"
         )
-        # tiny testbed variants have no pretrained weights by definition
-        weights_path = None if self.kind.endswith("-tiny") else (
-            weights_path or os.environ.get(env)
-        )
+        if self.kind.endswith("-tiny"):
+            # tiny testbed variants have no pretrained weights by definition
+            raise FileNotFoundError(
+                f"{self.kind} is the weight-free smoke testbed — there are no "
+                "pretrained weights to load; use init_random() / "
+                "--allow_random_foundation"
+            )
+        weights_path = weights_path or os.environ.get(env)
         if not (weights_path and os.path.exists(weights_path)):
             raise FileNotFoundError(
                 f"{self.kind} ViT-L weights not found; set {env}=/path/to/ckpt"

@@ -100,7 +100,12 @@ class DiTTrainer:
             raise ValueError(f"ema_every must be >= 1, got {self.ema_every}")
         self._jit_train = {}  # keyed by do_ema (two programs when ema_every > 1)
         self._jit_eval = None
-        self._host_step = None  # python mirror of state.step for the ema cadence
+        # python mirror of state.step for the ema cadence, plus the state
+        # object it was advanced against — any state we didn't produce
+        # (restore, retry after a failed dispatch, a second init_state)
+        # re-anchors from the device counter instead of silently desyncing
+        self._host_step = None
+        self._last_state = None
 
     # -- state ----------------------------------------------------------------
 
@@ -244,9 +249,12 @@ class DiTTrainer:
     # -- jitted entry points ------------------------------------------------------
 
     def train_step(self, state: TrainState, rng: jax.Array, batch):
-        if self._host_step is None:
-            # one host sync at (re)start to anchor the ema cadence to the
-            # persisted step counter (checkpoint resume keeps the phase)
+        if self._host_step is None or state is not self._last_state:
+            # one host sync to anchor the ema cadence to the persisted step
+            # counter — at (re)start, after checkpoint restore, and after a
+            # failed/retried dispatch (any state object this trainer didn't
+            # return). The steady-state loop passes our own output back, so
+            # this costs nothing per step.
             self._host_step = int(state.step)
         do_ema = self.ema_every == 1 or (self._host_step + 1) % self.ema_every == 0
         if do_ema not in self._jit_train:
@@ -260,8 +268,11 @@ class DiTTrainer:
                 donate_argnums=donate_state_argnums(),
             )
         x, y = batch
+        new_state, metrics = self._jit_train[do_ema](state, rng, x, y)
+        # advance the mirror only after a successful dispatch
         self._host_step += 1
-        return self._jit_train[do_ema](state, rng, x, y)
+        self._last_state = new_state
+        return new_state, metrics
 
     def eval_step(self, state: TrainState, rng: jax.Array, batch, sp=(0.0, 1.0)):
         if self._jit_eval is None:
