@@ -89,7 +89,9 @@ run "evaluate_tokenizer" python -m vavae_tpu.pipelines.evaluate_tokenizer \
   --data_path "$W/data" --image_size 32 --max_images 8
 run "train_vavae (1 epoch)" python -m vavae_tpu.pipelines.train_vavae \
   --base "$W/tiny_vae.yaml" --data_path "$W/data" --val_path "$W/data" \
-  --output_dir "$W/vae_out" --batch_size 4 --stages single train.max_epochs=1
+  --output_dir "$W/vae_out" --batch_size 4 --stages single train.max_epochs=1 \
+  train.log_images_every=2
+test -f "$W/vae_out/stage1/images/inputs_0000002.png"  # ImageLogger grids
 run "train_vavae (resume to 2)" python -m vavae_tpu.pipelines.train_vavae \
   --base "$W/tiny_vae.yaml" --data_path "$W/data" --val_path "$W/data" \
   --output_dir "$W/vae_out" --batch_size 4 --stages single train.max_epochs=2

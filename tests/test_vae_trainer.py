@@ -179,3 +179,30 @@ def test_tiny_foundation_testbed_sizes_projector():
                            aux_params=params, vf_dim=dim)
     state = tr.init_state(jax.random.PRNGKey(0), image_size=32)
     assert state.gen_params["proj"]["kernel"].shape == (1, 1, 4, 64)
+
+
+def test_reconstruct_matches_eval_decode(mesh8):
+    """trainer.reconstruct (ImageLogger feed) is the deterministic
+    posterior-mean decode — identical to a direct mode() apply."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vavae_tpu.models.vae import AutoencoderKL
+    from vavae_tpu.parallel.mesh import shard_batch
+    from vavae_tpu.train.vae_loss import VAELossConfig
+    from vavae_tpu.train.vae_trainer import VAETrainer
+
+    vae = AutoencoderKL(embed_dim=4, ch=32, ch_mult=(1, 2), resolution=32)
+    tr = VAETrainer(vae, mesh8, loss_cfg=VAELossConfig(disc_start=0),
+                    lr=1e-4, use_vf=False, lpips_fn=None, disc_layers=2)
+    state = tr.replicate(tr.init_state(jax.random.PRNGKey(0)))
+    x = np.random.default_rng(0).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.5
+    dec = np.asarray(jax.device_get(tr.reconstruct(state, shard_batch(mesh8, x))))
+    params = jax.device_get(state.gen_params["vae"])
+    post = vae.apply({"params": params}, jnp.asarray(x), method=AutoencoderKL.encode)
+    want = np.asarray(vae.apply({"params": params}, post.mode(),
+                                method=AutoencoderKL.decode))
+    assert dec.shape == x.shape
+    # sharded-vs-unsharded reduction order: tiny float drift only
+    np.testing.assert_allclose(dec, want, rtol=1e-4, atol=1e-4)

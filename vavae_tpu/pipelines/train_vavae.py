@@ -147,6 +147,7 @@ def train_epochs(
     val_dataset=None,
     start_epoch: int = 0,
     async_ckpt: bool = True,
+    log_images_every: int = 750,
 ):
     """Returns (state, best_val_path). dataset yields (B, H, W, 3) in [-1,1].
 
@@ -193,6 +194,22 @@ def train_epochs(
             log_steps += 1
             tracer_step += 1
             tracer.step(tracer_step, sync_on=metrics["rec_loss"])
+            if (
+                log_images_every
+                and tracer_step % log_images_every == 0
+                and jax.process_index() == 0
+            ):
+                # Lightning ImageLogger equivalent (vavae/main.py:317-431,
+                # batch_frequency 750): input/recon grids to <ckpt_dir>/images
+                from vavae_tpu.utils.image_grid import log_reconstructions
+
+                dec = trainer.reconstruct(state, shard_batch(trainer.mesh, images))
+                log_reconstructions(
+                    os.path.join(ckpt_dir, "images"),
+                    int(jax.device_get(state.step)),
+                    np.asarray(images),
+                    np.asarray(jax.device_get(dec)),
+                )
             if log_steps % log_every == 0:
                 dt = time.time() - t0
                 rec = float(np.mean(jax.device_get(loss_acc)))
@@ -410,6 +427,8 @@ def run_stages(
             val_dataset=val_dataset,
             start_epoch=epochs_done,
             async_ckpt=cfg.get("train", Config()).get("async_checkpoint", True),
+            # reference ImageLogger batch_frequency (main.py:635); 0 disables
+            log_images_every=cfg.get("train", Config()).get("log_images_every", 750),
         )
     return state
 

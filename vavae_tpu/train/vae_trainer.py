@@ -107,6 +107,7 @@ class VAETrainer:
         self.disc_tx = optax.adam(self.lr, b1=0.5, b2=0.9)
         self._jit_train = None
         self._jit_eval = None
+        self._jit_recon = None
 
     # -- init ------------------------------------------------------------------
 
@@ -310,6 +311,27 @@ class VAETrainer:
         return self._jit_train(
             state, rng, images, self.aux_params or {}, self.lpips_params or {}
         )
+
+    def reconstruct(self, state: VAETrainState, images):
+        """Deterministic recon (posterior mean → decode) for image logging
+        (the Lightning ImageLogger's log_images path, vavae/main.py:317-431)."""
+        if self._jit_recon is None:
+            def _recon(state, x):
+                posterior = self.vae.apply(
+                    {"params": state.gen_params["vae"]}, x, method=AutoencoderKL.encode
+                )
+                return self.vae.apply(
+                    {"params": state.gen_params["vae"]},
+                    posterior.mean,
+                    method=AutoencoderKL.decode,
+                )
+
+            rep = replicated(self.mesh)
+            ds4 = data_sharding(self.mesh, 4)
+            self._jit_recon = jax.jit(
+                _recon, in_shardings=(rep, ds4), out_shardings=ds4
+            )
+        return self._jit_recon(state, images)
 
     def eval_step(self, state: VAETrainState, rng: jax.Array, images):
         """Validation metrics (rec_loss for checkpoint selection)."""
