@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# On-chip measurement battery: run once per round on the real TPU to refresh
+# every number BASELINE.md cites. Each point runs in a FRESH python process
+# (CLAUDE.md rule: never time in a process that already built big jits).
+#
+# Usage: bash scripts/bench_all_tpu.sh [outdir]   (default docs/bench/onchip)
+# Safe under tunnel flakiness: each step is independently timeout-bounded and
+# failures don't stop the battery; rerun to fill gaps.
+set -u
+R=$(cd "$(dirname "$0")/.." && pwd)
+OUT=${1:-"$R/docs/bench/onchip"}
+mkdir -p "$OUT"
+cd "$R"
+export PYTHONPATH="${PYTHONPATH:+$PYTHONPATH:}$R"
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name=$1 to=$2; shift 2
+  echo "=== $name ==="
+  timeout "$to" "$@" >"$OUT/$name.log" 2>&1
+  echo "rc=$? (log: $OUT/$name.log)"
+  tail -n 3 "$OUT/$name.log" | grep -v cpu_aot_loader || true
+}
+
+# 1. headline: AB3-100 exact-solver XL/1 CFG sampling (+ reference-identical
+#    euler-250 for the comparison row)
+step headline_ab3 2400 python bench.py
+step headline_euler250 2400 python bench.py 8 1 1 250
+
+# 2. multistep error sweep + throughput on-chip (updates the BASELINE table)
+step multistep_sweep 5400 python scripts/bench_multistep.py --sweep auto
+
+# 3. VAE inference: fp32 + bf16 throughput, bf16 posterior-deviation gauge
+#    (pass a trained ckpt as $VAVAE_BENCH_VAE_CKPT for the trained-model ratio)
+step vae_infer_fp32 1800 python scripts/bench_vae_infer.py 8
+step vae_infer_bf16 1800 python scripts/bench_vae_infer.py 8 bf16 ${VAVAE_BENCH_VAE_CKPT:-}
+
+# 4. XL/1 train step: bf16 baseline, amortized-EMA A/B
+step train_step_bf16 2400 python scripts/bench_train_step.py 16 --bf16
+step train_step_bf16_ema4 2400 python scripts/bench_train_step.py 16 --bf16 --ema_every 4
+step train_step_fp32_mu16 2400 python scripts/bench_train_step.py 16 --mu_bf16
+
+# 5. forward-only MFU reference point
+step fwd_b32 1800 python scripts/bench_fwd.py 32
+
+echo "battery done → $OUT"

@@ -188,3 +188,77 @@ def test_do_sample_refuses_missing_latent_stats(tmp_path):
     })
     with pytest.raises(FileNotFoundError, match="latent_norm"):
         do_sample(cfg)
+
+
+@pytest.mark.slow
+def test_vavae_sigterm_preemption_checkpoints_midepoch(tmp_path):
+    """SIGTERM during VAE training saves a mid-epoch checkpoint and exits
+    cleanly (the DiT loop's preemption guard, now on the VAE loop too).
+    epoch.json stays behind the interrupted epoch so resume re-runs it on
+    the saved weights."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import numpy as np
+    import yaml
+    from PIL import Image
+
+    data = tmp_path / "data" / "c0"
+    data.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(16):
+        Image.fromarray((rng.random((40, 40, 3)) * 255).astype("uint8")).save(
+            data / f"{i}.png"
+        )
+    cfg = {"ckpt_path": None, "model": {"base_learning_rate": 1e-4, "params": {
+        "monitor": "val/rec_loss", "embed_dim": 4,
+        "lossconfig": {"params": {"disc_start": 2}},
+        "ddconfig": {"double_z": True, "z_channels": 4, "resolution": 32,
+                     "in_channels": 3, "out_ch": 3, "ch": 32, "ch_mult": [1, 1],
+                     "num_res_blocks": 1, "attn_resolutions": [], "dropout": 0.0}}}}
+    cfg_path = tmp_path / "vae.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    env = dict(os.environ)
+    env["VAVAE_PLATFORM"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = ":".join(filter(None, [env.get("PYTHONPATH"), repo]))
+    out = tmp_path / "out"
+    log = open(tmp_path / "run.log", "w")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vavae_tpu.pipelines.train_vavae",
+         "--base", str(cfg_path), "--data_path", str(tmp_path / "data"),
+         "--output_dir", str(out), "--batch_size", "8", "--stages", "single",
+         "train.max_epochs=500", "train.log_images_every=0"],
+        stdout=log, stderr=subprocess.STDOUT, env=env,
+    )
+    try:
+        # wait until training is demonstrably underway (first epoch ckpt)
+        deadline = time.time() + 300
+        stage_dir = out / "stage1"
+        while time.time() < deadline:
+            if stage_dir.is_dir() and any(
+                p.suffix == ".safetensors" for p in stage_dir.iterdir()
+            ):
+                break
+            if proc.poll() is not None:
+                raise AssertionError(open(tmp_path / "run.log").read()[-2000:])
+            time.sleep(1.0)
+        else:
+            raise AssertionError("training never produced a checkpoint")
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        log.close()
+    text = open(tmp_path / "run.log").read()
+    assert rc == 0, text[-2000:]
+    assert "preempted at step" in text, text[-2000:]
+    # epoch.json lags the interrupted epoch (<= epochs actually completed)
+    done = json.load(open(stage_dir / "epoch.json"))["epochs_done"]
+    assert done < 500

@@ -169,12 +169,21 @@ def train_epochs(
     # written by the worker AFTER the ckpt file is durable so resume
     # bookkeeping can never outrun its checkpoint
     writer = ckpt_lib.AsyncCheckpointer() if async_ckpt else None
+    from vavae_tpu.utils.metrics_logger import MetricsLogger
+    from vavae_tpu.utils.preemption import PreemptionGuard
     from vavae_tpu.utils.profiling import WindowTracer
 
     tracer = WindowTracer()  # VAVAE_PROFILE=/dir captures an xprof window
     tracer_step = 0
+    # TB + JSONL scalars (the Lightning TB logger, vavae/main.py:578) and
+    # SIGTERM preemption (mid-epoch checkpoint instead of losing the epoch —
+    # same guard the DiT loop uses). Guard entered without `with` to keep
+    # the loop body's indentation; __exit__ runs in the shared epilogue.
+    mlog = MetricsLogger(os.path.join(ckpt_dir, "tb"))
+    guard = PreemptionGuard().__enter__()
     loss_acc, log_steps, t0 = [], 0, time.time()
     for epoch in range(start_epoch, epochs):
+        t_epoch = time.time()
         # prefetch: batch i+1 decodes on a background thread while the
         # device runs step i (trainer.train_step returns without blocking)
         for batch in prefetch(dataset.batches(
@@ -210,12 +219,30 @@ def train_epochs(
                     np.asarray(images),
                     np.asarray(jax.device_get(dec)),
                 )
+            if guard.should_stop:
+                # preemption (SIGTERM): checkpoint mid-epoch and exit.
+                # epoch.json is NOT advanced, so resume re-runs this epoch
+                # from its start on the saved (newer) weights — partial work
+                # survives instead of rolling back to the last epoch end
+                if writer is not None:
+                    writer.wait()  # order after any in-flight epoch save
+                step_now = int(jax.device_get(state.step))
+                ckpt_lib.save_checkpoint(ckpt_dir, step_now, state)
+                logger.info(f"preempted at step {step_now}: checkpoint saved")
+                tracer.close()
+                mlog.close()
+                guard.__exit__()
+                return state, best_path
             if log_steps % log_every == 0:
                 dt = time.time() - t0
+                step_now = int(jax.device_get(state.step))
                 rec = float(np.mean(jax.device_get(loss_acc)))
                 logger.info(
-                    f"epoch {epoch} step {int(jax.device_get(state.step))}: "
+                    f"epoch {epoch} step {step_now}: "
                     f"rec {rec:.4f}, {log_steps / dt:.2f} it/s"
+                )
+                mlog.log_scalars(
+                    step_now, {"train/rec_loss": rec, "train/it_per_s": log_steps / dt}
                 )
                 loss_acc, log_steps, t0 = [], 0, time.time()
 
@@ -231,6 +258,9 @@ def train_epochs(
                 vals.append(float(jax.device_get(m["val/rec_loss"])))
             val = float(np.mean(vals)) if vals else float("nan")
             logger.info(f"epoch {epoch}: val/rec_loss {val:.4f}")
+            mlog.log_scalars(
+                int(jax.device_get(state.step)), {"val/rec_loss": val}
+            )
             if val < best_val:
                 best_val = val
                 step_now, val_now = int(jax.device_get(state.step)), best_val
@@ -262,7 +292,19 @@ def train_epochs(
             ckpt_lib.save_checkpoint(ckpt_dir, int(jax.device_get(state.step)), state)
             if jax.process_index() == 0:
                 record_epoch()
+        # CUDACallback parity (vavae/main.py:433-453): epoch wall time +
+        # peak device memory (when the backend reports it)
+        epoch_scalars = {"epoch/duration_s": time.time() - t_epoch}
+        try:
+            mem = jax.local_devices()[0].memory_stats()
+            if mem and "peak_bytes_in_use" in mem:
+                epoch_scalars["epoch/peak_mem_mb"] = mem["peak_bytes_in_use"] / 1e6
+        except Exception:
+            pass
+        mlog.log_scalars(int(jax.device_get(state.step)), epoch_scalars)
     tracer.close()
+    mlog.close()
+    guard.__exit__()
     if writer is not None:
         # the stage's last write must be durable before the caller chains the
         # next stage (auto-resume counts files on disk)
