@@ -162,6 +162,8 @@ def test_grad_accum_matches_full_batch():
     for a, b in zip(jax.tree_util.tree_leaves(mid),
                     jax.tree_util.tree_leaves(params0)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # fetch before step 2: the state (incl. EMA buffers) is donated into it
+    ema_mid = jax.device_get(st1.ema_params)
     st2, _ = tr.train_step(st1, rng, tr.shard_batch((xb, yb)))
 
     # oracle: same per-microbatch step rngs, mean gradient, one inner AdamW
@@ -184,6 +186,24 @@ def test_grad_accum_matches_full_batch():
                         jax.tree_util.tree_leaves(params0))
     )
     assert moved > 1e-4
+
+    # EMA ticks once per OPTIMIZER step: bit-unchanged through the
+    # zero-update accumulation micro-step, then ONE decay blend toward the
+    # applied params — decaying per micro-step would shorten the configured
+    # time constant by the accumulation factor
+    for a, b in zip(jax.tree_util.tree_leaves(ema_mid),
+                    jax.tree_util.tree_leaves(params0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    d = tr.ema_decay
+    for e, p0, p2 in zip(
+        jax.tree_util.tree_leaves(jax.device_get(st2.ema_params)),
+        jax.tree_util.tree_leaves(params0),
+        jax.tree_util.tree_leaves(got),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(e), d * np.asarray(p0) + (1 - d) * np.asarray(p2),
+            rtol=1e-6, atol=1e-7,
+        )
 
 
 def test_ema_every_amortized_matches_decay_power():

@@ -54,13 +54,18 @@ class DiTTrainer:
     weight_decay: float = 0.0
     max_grad_norm: Optional[float] = None
     ema_decay: float = 0.9999
-    # Update the EMA every k steps with decay**k instead of every step
-    # (config key `train.ema_every`). 1 = exact reference semantics
+    # Update the EMA every k OPTIMIZER steps with decay**k instead of every
+    # step (config key `train.ema_every`). 1 = exact reference semantics
     # (LightningDiT/train.py:213, per-step). k>1 keeps the same geometric
     # time constant (decay^k applied 1/k as often) while cutting the fp32
     # EMA read+write sweep k-fold: on non-update steps the donated EMA
     # leaves pass through the jitted step UNCHANGED, which XLA aliases
     # buffer-for-buffer — zero HBM traffic, vs ~6.75 GB/step for XL/1.
+    # With grad_accum > 1, the EMA ticks once per APPLY step: decaying it on
+    # accumulation micro-steps (where MultiSteps emits zero updates and
+    # params don't move) would blend toward unchanged params accum× per
+    # optimizer step, silently shortening the configured time constant by
+    # the accumulation factor.
     ema_every: int = 1
     # dtype of Adam's first moment. None = fp32 (exact reference parity, the
     # default). "bfloat16" halves its HBM footprint AND traffic — the
@@ -256,7 +261,10 @@ class DiTTrainer:
             # return). The steady-state loop passes our own output back, so
             # this costs nothing per step.
             self._host_step = int(state.step)
-        do_ema = self.ema_every == 1 or (self._host_step + 1) % self.ema_every == 0
+        # cadence counts OPTIMIZER steps: micro-step period = ema_every×accum,
+        # phase-aligned with MultiSteps' apply step (both count from step 0)
+        period = self.ema_every * self.grad_accum
+        do_ema = period == 1 or (self._host_step + 1) % period == 0
         if do_ema not in self._jit_train:
             batch_shard = data_sharding(self.mesh, 1)
             rep = replicated(self.mesh)
