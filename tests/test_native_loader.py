@@ -97,3 +97,66 @@ def test_native_png_writer_roundtrip(tmp_path):
         t_pil = time.perf_counter() - t0
         print(f"native {t_native*1e3:.1f}ms vs PIL {t_pil*1e3:.1f}ms")
         assert t_native < t_pil * 2
+
+
+def _make_shards(d, n, seed=0):
+    rng = np.random.default_rng(seed)
+    save_file(
+        {
+            "latents": rng.normal(size=(n, 4, 8, 8)).astype(np.float32),
+            "latents_flip": rng.normal(size=(n, 4, 8, 8)).astype(np.float32),
+            "labels": rng.integers(0, 5, size=(n,)).astype(np.int64),
+        },
+        str(d / "latents_rank00_shard000.safetensors"),
+    )
+    return str(d)
+
+
+def test_batches_equal_counts_across_processes(tmp_path):
+    """Per-process batch counts MUST match: striping before truncation gave
+    process 0 one more batch on odd splits, and the extra data-parallel
+    step's collective would wait forever (multihost deadlock)."""
+    d = _make_shards(tmp_path, 23)
+    ds = ImgLatentDataset(d, latent_norm=False)
+    counts, seen = [], []
+    for p in (0, 1):
+        bs = list(ds.batches(2, seed=3, process_index=p, process_count=2, epochs=1))
+        counts.append(len(bs))
+        seen.extend(lab for _, labs in bs for lab in labs)
+    assert counts[0] == counts[1] == 5  # trunc 23→22, 11 each, drop_last → 5
+    # and the two processes saw disjoint items (no overlap from striping)
+    assert len(seen) == 20
+
+
+def test_batches_zero_batches_raises(tmp_path):
+    """A zero-batch epoch raises under epochs=None (would spin forever) and
+    warns under finite epochs (e.g. a too-small validation set → nan val,
+    not an aborted training run)."""
+    d = _make_shards(tmp_path, 6)
+    ds = ImgLatentDataset(d, latent_norm=False)
+    with pytest.raises(ValueError, match="smaller than batch_size"):
+        next(ds.batches(8, seed=0, epochs=None))
+    with pytest.raises(ValueError, match="striping 4 ways"):
+        next(ds.batches(2, seed=0, process_index=0, process_count=4, epochs=None))
+    with pytest.warns(UserWarning, match="zero batches"):
+        assert list(ds.batches(8, seed=0, epochs=1)) == []
+
+
+def test_fallback_batches_match_native_stream(shard_dir, monkeypatch):
+    """The pure-Python fallback must replay the native loader's exact
+    (seed, epoch)-keyed shuffle AND flip streams — resuming a run on a box
+    without the native reader keeps the data order identical."""
+    from vavae_tpu.data.native_loader import available
+
+    if not available():
+        pytest.skip("native reader build unavailable")
+    ds_nat = ImgLatentDataset(shard_dir, latent_norm=True)
+    assert ds_nat._native is not None
+    monkeypatch.setenv("VAVAE_NATIVE_LOADER", "0")
+    ds_py = ImgLatentDataset(shard_dir, latent_norm=True)
+    assert ds_py._native is None
+    for (la, laba), (lb, labb) in zip(
+        ds_nat.batches(6, seed=7, epochs=2), ds_py.batches(6, seed=7, epochs=2)
+    ):
+        np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(laba), np.asarray(labb))

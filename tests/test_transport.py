@@ -528,3 +528,27 @@ def test_sampler_validates_acceleration_knobs_at_build_time():
     with pytest.raises(ValueError, match="mutually exclusive"):
         s.sample_ode_cfg(num_steps=4, cache_interval=2, multistep_order=2)
     s.sample_ode_cfg(num_steps=4, cache_interval=2, cache_order=2)  # ok
+
+
+def test_dopri5_reverse_interval_integrates_backwards():
+    """odeint_dopri5 with t1 < t0 (sample_ode(reverse=True) hands (1, 0))
+    must actually integrate backwards — it previously returned the input
+    unchanged because the while_loop condition was immediately false."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vavae_tpu.transport.ode import odeint_dopri5
+
+    a = -0.8
+    f = lambda x, t: a * x
+    x0 = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3)), jnp.float32)
+    fwd = odeint_dopri5(f, x0, 0.0, 1.0, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(fwd), np.asarray(x0) * np.exp(a),
+                               rtol=1e-4)
+    bwd = odeint_dopri5(f, x0, 1.0, 0.0, rtol=1e-6, atol=1e-8)
+    assert not np.allclose(np.asarray(bwd), np.asarray(x0))  # it moved
+    np.testing.assert_allclose(np.asarray(bwd), np.asarray(x0) * np.exp(-a),
+                               rtol=1e-4)
+    # and a backward-of-forward roundtrip is the identity
+    rt = odeint_dopri5(f, fwd, 1.0, 0.0, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(x0), rtol=1e-4)

@@ -31,7 +31,10 @@ class FilterConfig:
     confidence_threshold: float = 0.95
     target_per_user: int = 800
     batch_size: int = 100
-    cfg_scale: float = 12.0
+    # None = use the config file's sample.cfg_scale; a value overrides it
+    # before the sampler builds (the reference app hardcodes 12,
+    # generate_and_filter_samples.py:276)
+    cfg_scale: Optional[float] = None
     max_batches: int = 200  # bound the unbounded reference loop
     # advanced gates (generation_filtering.py defaults); None disables
     min_margin: Optional[float] = None           # top1 − top2 prob margin
@@ -97,8 +100,15 @@ def generate_and_filter_for_user(
             accept &= (conf - top2) >= cfg.min_margin
         if cfg.pixel_range is not None:
             accept &= pixel_sanity(images, *cfg.pixel_range)
+        # features computed ONCE on the full (static-shape) batch: indexing
+        # x[accept] instead would jit-compile a fresh program per distinct
+        # accept count, and the prototype + diversity gates share the result
+        need_feats = feature_fn is not None and (
+            (cfg.max_prototype_sim is not None and prototypes is not None)
+            or cfg.min_diversity is not None
+        )
+        feats = np.asarray(feature_fn(x)) if need_feats else None
         if cfg.max_prototype_sim is not None and prototypes is not None and feature_fn:
-            feats = np.asarray(feature_fn(x))
             fn = feats / np.maximum(np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
             pn = prototypes / np.maximum(
                 np.linalg.norm(prototypes, axis=-1, keepdims=True), 1e-12
@@ -108,8 +118,7 @@ def generate_and_filter_for_user(
 
         batch_kept = [images[i] for i in np.where(accept)[0]]
         if cfg.min_diversity is not None and feature_fn and batch_kept:
-            feats = np.asarray(feature_fn(x[accept]))
-            if feature_diversity(feats) < cfg.min_diversity:
+            if feature_diversity(feats[accept]) < cfg.min_diversity:
                 batch_kept = batch_kept[: max(1, len(batch_kept) // 2)]
         kept.extend(batch_kept)
         stats["accepted"] = len(kept)
@@ -145,19 +154,27 @@ def run(
     (generate_conditional_samples_distributed.py:226-389 semantics)."""
     from vavae_tpu.apps.train_classifier import ClassifierTrainer
     from vavae_tpu.models.dit import create_dit
-    from vavae_tpu.pipelines.sample import build_sample_fn, load_dit_params
+    from vavae_tpu.pipelines.sample import (
+        build_sample_fn,
+        load_dit_params,
+        load_latent_stats,
+    )
     from vavae_tpu.tokenizer import VA_VAE
     from vavae_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
     from vavae_tpu.utils.config import load_config
 
     cfg = load_config(config_path, overrides=overrides)
-    filter_cfg = filter_cfg or FilterConfig(
-        cfg_scale=cfg.get("sample", {}).get("cfg_scale", 12.0)
-    )
+    filter_cfg = filter_cfg or FilterConfig()
+    if filter_cfg.cfg_scale is not None:
+        cfg.sample.cfg_scale = float(filter_cfg.cfg_scale)
     latent_size = cfg.data.image_size // cfg.get("vae", {}).get("downsample_ratio", 16)
     model = create_dit(cfg.model, latent_size, cfg.data.num_classes)
     params = load_dit_params(cfg, model, cfg.ckpt_path)
-    generate_fn = build_sample_fn(cfg, model, params)
+    # de-normalization stats when the checkpoint trained on normalized
+    # latents — without them every decoded image is garbage and the filter
+    # accepts nothing (same fail-fast as pipelines/sample.py do_sample)
+    generate_fn = build_sample_fn(cfg, model, params,
+                                  latent_stats=load_latent_stats(cfg))
 
     vae = VA_VAE(
         cfg.get("vae", {}).get("config"),
@@ -165,10 +182,16 @@ def run(
         img_size=cfg.data.image_size,
     )
 
+    if not classifier_ckpt:
+        raise ValueError(
+            "classifier_ckpt is required: filtering against a random-init "
+            "classifier accepts ~nothing and burns the full "
+            "max_batches×batch_size sampling budget per user (train one "
+            "with apps.train_classifier and pass --classifier_ckpt)"
+        )
     trainer = ClassifierTrainer(num_classes=cfg.data.num_classes)
     state = trainer.init_state(jax.random.PRNGKey(0), cfg.data.image_size)
-    if classifier_ckpt:
-        state = restore_checkpoint(classifier_ckpt, state)
+    state = restore_checkpoint(classifier_ckpt, state)
     classifier_fn = trainer.predict_fn(state)
     feature_fn = trainer.feature_fn(state)
 
@@ -200,6 +223,8 @@ def main() -> None:
     ap.add_argument("--target", type=int, default=800)
     ap.add_argument("--confidence", type=float, default=0.95)
     ap.add_argument("--batch_size", type=int, default=100)
+    ap.add_argument("--cfg_scale", type=float, default=None,
+                    help="override sample.cfg_scale (reference app uses 12)")
     ap.add_argument("overrides", nargs="*", help="dotlist config overrides")
     args = ap.parse_args()
     users = [int(u) for u in args.users.split(",")] if args.users else None
@@ -208,7 +233,7 @@ def main() -> None:
         user_ids=users,
         filter_cfg=FilterConfig(
             confidence_threshold=args.confidence, target_per_user=args.target,
-            batch_size=args.batch_size,
+            batch_size=args.batch_size, cfg_scale=args.cfg_scale,
         ),
         save_dir=args.save_dir,
         classifier_ckpt=args.classifier_ckpt,

@@ -83,7 +83,12 @@ class ImgLatentDataset:
             stats = torch.load(pt_cache, map_location="cpu", weights_only=False)
             return stats["mean"].numpy(), stats["std"].numpy()
         mean, std = self.compute_latent_stats()
-        save_file({"mean": mean, "std": std}, np_cache)
+        # atomic publish: concurrent processes may compute simultaneously
+        # (multi-process startup with a cold cache); a reader must never
+        # safe_open a half-written file
+        tmp = f"{np_cache}.tmp.{os.getpid()}"
+        save_file({"mean": mean, "std": std}, tmp)
+        os.replace(tmp, np_cache)
         return mean, std
 
     def compute_latent_stats(self, num_samples: int = 10000) -> Tuple[np.ndarray, np.ndarray]:
@@ -114,15 +119,17 @@ class ImgLatentDataset:
     def __len__(self) -> int:
         return len(self._index)
 
-    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (latent NHWC-single (H, W, C) float32, label int32)."""
-        flip = self._rng.random() > 0.5
+    def _item(self, idx: int, flip: bool) -> Tuple[np.ndarray, np.ndarray]:
         lat = self._read("latents_flip" if flip else "latents", idx).astype(np.float32)
         label = self._read("labels", idx)
         if self.latent_norm:
             lat = (lat - self._mean[0]) / self._std[0]
         lat = lat * self.latent_multiplier
         return np.transpose(lat, (1, 2, 0)), np.asarray(label, np.int32)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (latent NHWC-single (H, W, C) float32, label int32)."""
+        return self._item(idx, bool(self._rng.random() > 0.5))
 
     # -- batching ---------------------------------------------------------------
 
@@ -144,23 +151,50 @@ class ImgLatentDataset:
             order = np.arange(len(self))
             if shuffle:
                 np.random.default_rng(seed + epoch).shuffle(order)
+            if process_count > 1:
+                # equalize BEFORE striping: otherwise processes get counts
+                # differing by one and a data-parallel step's collective on
+                # the extra batch waits forever (multihost deadlock)
+                order = order[: len(order) - (len(order) % process_count)]
             order = order[process_index::process_count]
             stop = len(order) - (len(order) % batch_size) if drop_last else len(order)
-            flip_rng = np.random.default_rng(seed + epoch + 1)
+            if stop == 0:
+                msg = (
+                    f"per-process dataset ({len(order)} items after striping "
+                    f"{process_count} ways) is smaller than batch_size "
+                    f"{batch_size}"
+                    + (" with drop_last" if drop_last else "")
+                    + " — the epoch yields zero batches"
+                )
+                if epochs is None:
+                    # an infinite loop would otherwise spin forever yielding
+                    # nothing, blocking the caller with no error message
+                    raise ValueError(msg + " and epochs=None would spin forever")
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
+            # disjoint seed space from the shuffle stream (seed+epoch):
+            # seeding flips with seed+epoch+1 would make epoch e's flips and
+            # epoch e+1's permutation the same PCG64 stream
+            flip_rng = np.random.default_rng([seed, epoch, 1])
             mean, std = self.latent_stats if self.latent_norm else (
                 np.zeros((1, self._native.C if self._native else 1, 1, 1), np.float32),
                 np.ones((1, self._native.C if self._native else 1, 1, 1), np.float32),
             )
             for s in range(0, stop, batch_size):
                 idxs = order[s : s + batch_size]
+                # ONE flip stream for both paths: the fallback must replay
+                # the exact flips the native loader would draw for the same
+                # (seed, epoch) — resuming on a box without the native
+                # reader keeps the data order reproducible
+                flips = (flip_rng.random(len(idxs)) > 0.5).astype(np.uint8)
                 if self._native is not None:
-                    flips = (flip_rng.random(len(idxs)) > 0.5).astype(np.uint8)
                     lats, labels = self._native.batch(
                         idxs.astype(np.int64), flips, mean, std, self.latent_multiplier
                     )
                     yield lats, labels
                 else:
-                    items = [self[int(i)] for i in idxs]
+                    items = [self._item(int(i), bool(fl)) for i, fl in zip(idxs, flips)]
                     lats = np.stack([it[0] for it in items])
                     labels = np.stack([it[1] for it in items]).reshape(-1)
                     yield lats, labels

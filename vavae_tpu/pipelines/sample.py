@@ -214,25 +214,31 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None):
     return wrapper
 
 
+def load_latent_stats(cfg: Config):
+    """De-normalization stats when ``data.latent_norm`` is set, else None.
+
+    Never silently samples without the stats the config asked for —
+    wrongly-scaled latents decode to garbage after hours of chip time
+    (inference.py reads the same stats from its latents_stats.pt). Shared
+    by do_sample and apps/generate_and_filter."""
+    if not cfg.data.get("latent_norm", False):
+        return None
+    data_path = cfg.data.get("data_path")
+    if not data_path or not os.path.isdir(data_path):
+        raise FileNotFoundError(
+            f"latent_norm: true but data.data_path is not a directory: "
+            f"{data_path!r} — point it at the extracted-latents "
+            "dump (pipelines.extract_features) that holds the stats "
+            "cache, or set data.latent_norm: false"
+        )
+    return ImgLatentDataset(data_path, latent_norm=True).latent_stats
+
+
 def do_sample(cfg: Config, demo: bool = False) -> str:
     multihost_init()
     logger = create_logger()
 
-    latent_stats = None
-    if cfg.data.get("latent_norm", False) and cfg.data.get("data_path"):
-        if not os.path.isdir(cfg.data.data_path):
-            # never silently sample without the de-normalization stats the
-            # config asked for — wrongly-scaled latents decode to garbage
-            # after hours of chip time (inference.py reads the same stats
-            # from its latents_stats.pt)
-            raise FileNotFoundError(
-                f"latent_norm: true but data.data_path is not a directory: "
-                f"{cfg.data.data_path!r} — point it at the extracted-latents "
-                "dump (pipelines.extract_features) that holds the stats "
-                "cache, or set data.latent_norm: false"
-            )
-        ds = ImgLatentDataset(cfg.data.data_path, latent_norm=True)
-        latent_stats = ds.latent_stats
+    latent_stats = load_latent_stats(cfg)
 
     latent_size = cfg.data.image_size // cfg.get("vae", {}).get("downsample_ratio", 16)
     model = create_dit(cfg.model, latent_size, cfg.data.num_classes)

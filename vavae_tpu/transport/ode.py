@@ -320,6 +320,18 @@ def odeint_dopri5(
     called at each leaf's own dtype. ``with_stats`` additionally returns
     {"naccept", "nreject"}.
     """
+    if t1 < t0:
+        # decreasing interval (sample_ode(reverse=True) hands (1, 0)): the
+        # loop below assumes forward time, so integrate the time-mirrored
+        # field u = t0 + t1 − t over the increasing span [t1, t0] — exactly
+        # equivalent (dx/du = −f(x, t0 + t1 − u)), same step-size control
+        return odeint_dopri5(
+            lambda xv, tv: jax.tree_util.tree_map(
+                lambda l: -l, drift(xv, t0 + t1 - tv)
+            ),
+            x, t1, t0, rtol=rtol, atol=atol, max_steps=max_steps,
+            with_stats=with_stats,
+        )
     dtype = jnp.float32
     leaves, treedef = jax.tree_util.tree_flatten(x)
     in_dtypes = [l.dtype for l in leaves]
