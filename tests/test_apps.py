@@ -243,8 +243,9 @@ def test_iterative_training_injects_synthetic():
         probs[:, 0] = 0.01
         return probs
 
-    def real_batches_fn(extra_z, extra_y):
+    def real_batches_fn(extra_z, extra_y, iteration):
         calls["extra"].append(None if extra_z is None else len(extra_z))
+        calls.setdefault("iters", []).append(iteration)
         z = np.zeros((4, 2, 2, 4), np.float32)
         y = np.zeros((4,), np.int32)
         while True:
@@ -260,6 +261,8 @@ def test_iterative_training_injects_synthetic():
     assert state == 6 and calls["steps"] == 6
     # user 1 accepted 8 each iter, user 0 accepted 0 → 8 synthetic latents injected
     assert calls["extra"] == [8, 8]
+    # each round re-keys the data shuffle with its iteration index
+    assert calls["iters"] == [0, 1]
     assert [h["accepted"] for h in history] == [8, 8]
     assert all(np.isfinite(h["final_loss"]) for h in history)
 

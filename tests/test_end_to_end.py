@@ -262,3 +262,49 @@ def test_vavae_sigterm_preemption_checkpoints_midepoch(tmp_path):
     # epoch.json lags the interrupted epoch (<= epochs actually completed)
     done = json.load(open(stage_dir / "epoch.json"))["epochs_done"]
     assert done < 500
+
+
+def test_run_stages_chains_best_val_checkpoint(tmp_path):
+    """A completed stage chains its BEST-val checkpoint into the next stage,
+    not the final epoch (reference step4 train_stage:560-620) — previously
+    the best/ dir was written but never read back."""
+    import json
+
+    import jax
+    import numpy as np
+    import yaml
+
+    from vavae_tpu.pipelines.train_vavae import build_vae_trainer, run_stages
+    from vavae_tpu.train import checkpoint as ckpt_lib
+    from vavae_tpu.utils.config import Config
+    from vavae_tpu.parallel.mesh import make_mesh
+
+    cfg = Config({"model": {"base_learning_rate": 1e-4, "params": {
+        "embed_dim": 4,
+        "lossconfig": {"params": {"disc_start": 10_000}},
+        "ddconfig": {"z_channels": 4, "resolution": 32, "ch": 32,
+                     "ch_mult": [1, 1], "num_res_blocks": 1,
+                     "attn_resolutions": []}}}})
+
+    # fabricate a COMPLETED stage 1 whose best/ checkpoint differs from its
+    # latest: the chain must restore the best one
+    out = tmp_path / "out"
+    stage1 = out / "stage1"
+    best = stage1 / "best"
+    trainer = build_vae_trainer(cfg, make_mesh())
+    s_latest = jax.device_get(trainer.init_state(jax.random.PRNGKey(1)))
+    s_best = jax.device_get(trainer.init_state(jax.random.PRNGKey(2)))
+    ckpt_lib.save_checkpoint(str(stage1), 20, s_latest)
+    ckpt_lib.save_checkpoint(str(best), 10, s_best)
+    stage1.mkdir(exist_ok=True)
+    json.dump({"epochs_done": 1}, open(stage1 / "epoch.json", "w"))
+    json.dump({"val": 0.1, "step": 10}, open(best / "metric.json", "w"))
+
+    state = run_stages(
+        cfg, dataset=None, stages=[{"epochs": 1}], output_dir=str(out),
+        batch_size=4,
+    )
+    got = jax.device_get(state.gen_params)
+    want = s_best.gen_params
+    for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

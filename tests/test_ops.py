@@ -228,3 +228,36 @@ def test_fid_pipeline_end_to_end(tmp_path, monkeypatch):
     assert arr.shape == (32, 32, 32, 3) and arr.dtype == np.uint8
     # folder-vs-npz of the same images is also ~0
     assert abs(fid_given_paths(str(a), npz)) < 1e-6
+
+
+def test_fid_stats_vs_stats_needs_no_inception(tmp_path, monkeypatch):
+    """Two precomputed mu/sigma npz files must compare WITHOUT loading the
+    Inception weights (the point of --save_stats), and an empty sample
+    folder fails with a clear path-naming error, not np.concatenate noise."""
+    import numpy as np
+    import pytest
+
+    from vavae_tpu.eval.fid import FIDExtractor, fid_given_paths, frechet_distance
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(100, 8)).astype(np.float64)
+    b = rng.normal(loc=0.5, size=(100, 8)).astype(np.float64)
+    stats = {}
+    for name, acts in (("a", a), ("b", b)):
+        mu, sigma = acts.mean(axis=0), np.cov(acts, rowvar=False)
+        np.savez(tmp_path / f"{name}.npz", mu=mu, sigma=sigma)
+        stats[name] = (mu, sigma)
+
+    monkeypatch.setenv("VAVAE_FID_WEIGHTS", str(tmp_path / "definitely_missing.pt"))
+    got = fid_given_paths(str(tmp_path / "a.npz"), str(tmp_path / "b.npz"))
+    want = frechet_distance(*stats["a"], *stats["b"])
+    assert got == pytest.approx(want)
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    ex = FIDExtractor.__new__(FIDExtractor)  # no weights: only batch_size used
+    ex.batch_size = 4
+    from vavae_tpu.eval.fid import compute_statistics_of_path
+
+    with pytest.raises(ValueError, match="empty"):
+        compute_statistics_of_path(str(empty), ex)

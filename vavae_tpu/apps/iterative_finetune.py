@@ -40,7 +40,9 @@ class IterativeTraining:
         fcfg = FilterConfig(
             confidence_threshold=self.confidence,
             target_per_user=self.samples_per_user,
-            batch_size=min(self.samples_per_user, 50),
+            # generation batch follows the configured batch size (capped by
+            # the per-user target — no point compiling a larger program)
+            batch_size=min(self.samples_per_user, self.batch_size),
             max_batches=self.max_batches_per_user,
         )
         latents: List[np.ndarray] = []
@@ -63,9 +65,13 @@ class IterativeTraining:
         return np.zeros((0,)), np.zeros((0,), np.int32), 0
 
     def run(self, state, real_batches_fn, seed: int = 0) -> tuple:
-        """real_batches_fn(extra_latents, extra_labels) -> batch iterator over
-        the real latent set augmented with the accepted synthetic latents
-        (iterative_finetune_dit.py:490 finetune_iteration)."""
+        """real_batches_fn(extra_latents, extra_labels, iteration) -> batch
+        iterator over the real latent set augmented with the accepted
+        synthetic latents (iterative_finetune_dit.py:490
+        finetune_iteration). ``iteration`` keys the data shuffle so each
+        round sees a DIFFERENT slice/order of the real set — a fixed seed
+        would replay the identical leading subset every round when
+        steps_per_iteration is less than one epoch."""
         history: List[Dict] = []
         rng = jax.random.PRNGKey(seed)
         for it in range(self.iterations):
@@ -78,6 +84,7 @@ class IterativeTraining:
             batches = real_batches_fn(
                 synth_z if len(synth_z) else None,
                 synth_y if len(synth_y) else None,
+                it,
             )
             metrics = None
             for step, batch in enumerate(batches):
@@ -148,7 +155,10 @@ def main() -> None:
     dataset = ImgLatentDataset(
         cfg.data.data_path,
         latent_norm=cfg.data.get("latent_norm", False),
-        latent_multiplier=cfg.data.get("latent_multiplier", 1.0),
+        # SAME default as pipelines/train_dit.py:126 (and the reference
+        # train.py:124): a 1.0 default here fed finetuning latents 5.49×
+        # the scale the checkpoint was trained on
+        latent_multiplier=cfg.data.get("latent_multiplier", 0.18215),
     )
     mean, std = dataset.latent_stats  # (1, C, 1, 1)
     mean_nhwc = np.transpose(mean[0], (1, 2, 0))[None]
@@ -179,15 +189,16 @@ def main() -> None:
             z = (z - mean_nhwc) / std_nhwc
         return z * mult
 
-    def real_batches_fn(extra_z, extra_y):
+    def real_batches_fn(extra_z, extra_y, iteration):
         def gen():
             extras = None
             if extra_z is not None and len(extra_z):
-                order = np.random.default_rng(0).permutation(len(extra_z))
+                order = np.random.default_rng(iteration).permutation(len(extra_z))
                 extras = (extra_z[order], extra_y[order])
             ei = 0
             for lats, labels in dataset.batches(
                 args.batch_size,
+                seed=iteration,  # fresh shuffle per round (see run())
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
             ):

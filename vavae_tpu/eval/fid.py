@@ -53,7 +53,7 @@ class FIDExtractor:
 
     def activations(self, images: Iterable[np.ndarray]) -> np.ndarray:
         """images: iterable of (B, H, W, 3) uint8 or float[0,1] arrays."""
-        out = []
+        out: list = []
         for batch in images:
             x = np.asarray(batch)
             if x.dtype == np.uint8:
@@ -65,6 +65,11 @@ class FIDExtractor:
                 x = np.concatenate([x, pad])
             acts = np.asarray(self._apply(self.variables, jnp.asarray(x)))[:n]
             out.append(acts)
+        if not out:
+            raise ValueError(
+                "no images to extract activations from — empty folder/npz "
+                "or a wrong path"
+            )
         return np.concatenate(out)
 
 
@@ -94,19 +99,31 @@ def _iter_npz(path: str, batch_size: int, max_images: Optional[int]):
         yield data[s : s + batch_size]
 
 
+def _precomputed_stats(path: str):
+    """(mu, sigma) when ``path`` is a precomputed stats npz, else None."""
+    if path.endswith(".npz"):
+        with np.load(path) as f:
+            if "mu" in f and "sigma" in f:
+                return f["mu"], f["sigma"]
+    return None
+
+
 def compute_statistics_of_path(
     path: str,
     extractor: FIDExtractor,
     max_images: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
+    stats = _precomputed_stats(path)
+    if stats is not None:
+        return stats
     if path.endswith(".npz"):
-        with np.load(path) as f:
-            if "mu" in f and "sigma" in f:  # precomputed stats file
-                return f["mu"], f["sigma"]
         it = _iter_npz(path, extractor.batch_size, max_images)
     else:
         it = _iter_folder(path, extractor.batch_size, max_images)
-    acts = extractor.activations(it)
+    try:
+        acts = extractor.activations(it)
+    except ValueError as e:
+        raise ValueError(f"{e}: {path!r}") from None
     return activation_statistics(acts)
 
 
@@ -117,10 +134,18 @@ def fid_given_paths(
     batch_size: int = 50,
     max_images: Optional[int] = None,
 ) -> float:
-    """FID between two image folders / npz files (reference :629-651)."""
-    ex = FIDExtractor(weights_path, batch_size)
-    mu1, s1 = compute_statistics_of_path(path1, ex, max_images)
-    mu2, s2 = compute_statistics_of_path(path2, ex, max_images)
+    """FID between two image folders / npz files (reference :629-651).
+
+    The Inception extractor (and its weights) loads lazily — two
+    precomputed mu/sigma npz files compare without any weights, which is
+    the whole point of --save_stats."""
+    stats = [_precomputed_stats(path1), _precomputed_stats(path2)]
+    if not all(s is not None for s in stats):
+        ex = FIDExtractor(weights_path, batch_size)
+        for i, (s, p) in enumerate(zip(stats, (path1, path2))):
+            if s is None:
+                stats[i] = compute_statistics_of_path(p, ex, max_images)
+    (mu1, s1), (mu2, s2) = stats
     return frechet_distance(mu1, s1, mu2, s2)
 
 

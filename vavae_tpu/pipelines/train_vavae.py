@@ -89,7 +89,11 @@ def build_vae_trainer(
         dtype=compute_dtype,
     )
     lr = (stage_overrides or {}).get("lr") or cfg.model.get("base_learning_rate", 1e-4)
-    use_vf = p.get("use_vf") is not None
+    # truthiness, matching run_stages: `use_vf: false` means OFF — the old
+    # `is not None` put the trainer in VF mode with no foundation fn, saving
+    # an untrained random projector into every checkpoint (which downstream
+    # VF-alignment checks key on)
+    use_vf = bool(p.get("use_vf"))
     return VAETrainer(
         vae,
         mesh,
@@ -149,7 +153,9 @@ def train_epochs(
     async_ckpt: bool = True,
     log_images_every: int = 750,
 ):
-    """Returns (state, best_val_path). dataset yields (B, H, W, 3) in [-1,1].
+    """Returns (state, best_val_path, preempted). dataset yields
+    (B, H, W, 3) in [-1,1]. ``preempted`` is True when SIGTERM ended the
+    run mid-epoch — the caller must stop (not chain further stages).
 
     ``start_epoch`` keeps the per-epoch shuffle seeds on the same schedule
     when a run resumes mid-stage (auto-resume in ``run_stages``)."""
@@ -206,7 +212,12 @@ def train_epochs(
             if (
                 log_images_every
                 and tracer_step % log_images_every == 0
-                and jax.process_index() == 0
+                # single-process only: the sharded reconstruct + shard_batch
+                # are collectives every process must enter — gating them on
+                # process 0 would deadlock a multihost run. (The reference's
+                # ImageLogger logs rank 0's local batch; a multihost grid
+                # would need an allgather nobody looks at mid-training.)
+                and jax.process_count() == 1
             ):
                 # Lightning ImageLogger equivalent (vavae/main.py:317-431,
                 # batch_frequency 750): input/recon grids to <ckpt_dir>/images
@@ -221,18 +232,23 @@ def train_epochs(
                 )
             if guard.should_stop:
                 # preemption (SIGTERM): checkpoint mid-epoch and exit.
-                # epoch.json is NOT advanced, so resume re-runs this epoch
-                # from its start on the saved (newer) weights — partial work
-                # survives instead of rolling back to the last epoch end
+                # epoch.json records only the COMPLETED epochs (this one is
+                # partial), written explicitly because stage_epochs_done's
+                # checkpoint-count fallback would otherwise count this
+                # mid-epoch save as a finished first epoch — resume re-runs
+                # the interrupted epoch on the saved (newer) weights
                 if writer is not None:
                     writer.wait()  # order after any in-flight epoch save
                 step_now = int(jax.device_get(state.step))
                 ckpt_lib.save_checkpoint(ckpt_dir, step_now, state)
+                if jax.process_index() == 0:
+                    with open(os.path.join(ckpt_dir, "epoch.json"), "w") as f:
+                        json.dump({"epochs_done": epoch}, f)
                 logger.info(f"preempted at step {step_now}: checkpoint saved")
                 tracer.close()
                 mlog.close()
                 guard.__exit__()
-                return state, best_path
+                return state, best_path, True
             if log_steps % log_every == 0:
                 dt = time.time() - t0
                 step_now = int(jax.device_get(state.step))
@@ -309,7 +325,7 @@ def train_epochs(
         # the stage's last write must be durable before the caller chains the
         # next stage (auto-resume counts files on disk)
         writer.wait()
-    return state, best_path
+    return state, best_path, False
 
 
 def stage_epochs_done(stage_dir: str) -> int:
@@ -437,7 +453,16 @@ def run_stages(
                 f"epochs from {stage_dir} (step {int(jax.device_get(state.step))})"
             )
             if epochs_done >= stage["epochs"]:
-                continue  # stage complete; its state chains into the next
+                # stage complete: chain its BEST-val state when one was
+                # recorded (reference step4 train_stage:560-620 chains the
+                # best checkpoint, not the final epoch), else the latest
+                best_ck = ckpt_lib.latest_checkpoint(os.path.join(stage_dir, "best"))
+                if best_ck:
+                    state = trainer.replicate(
+                        ckpt_lib.restore_checkpoint(best_ck, jax.device_get(fresh))
+                    )
+                    logger.info(f"stage {si + 1}: chaining best-val {best_ck}")
+                continue
         elif state is None:
             fresh = trainer.init_state(jax.random.PRNGKey(0))
             # pretrained stage-1 init (reference weight_init / step4 stage-1
@@ -458,7 +483,7 @@ def run_stages(
                 )
             )
         logger.info(f"=== stage {si + 1}/{len(stages)}: {stage} ===")
-        state, _ = train_epochs(
+        state, best_path, preempted = train_epochs(
             trainer,
             state,
             dataset,
@@ -472,6 +497,26 @@ def run_stages(
             # reference ImageLogger batch_frequency (main.py:635); 0 disables
             log_images_every=cfg.get("train", Config()).get("log_images_every", 750),
         )
+        if preempted:
+            # SIGTERM mid-stage: training a later stage from PARTIAL weights
+            # would pollute its dir with checkpoints resume then trusts —
+            # exit cleanly; relaunch auto-resumes this stage
+            logger.info(
+                f"preempted during stage {si + 1} — exiting for relaunch "
+                "(auto-resume continues this stage)"
+            )
+            return state
+        # best-val chaining (reference step4 train_stage:560-620): the next
+        # stage starts from the best-val checkpoint, not the final epoch.
+        # Resolved by the deterministic dir scan — NOT the returned
+        # best_path, which is "" on non-zero processes and would desync a
+        # multihost run's restores.
+        best_ck = ckpt_lib.latest_checkpoint(os.path.join(stage_dir, "best"))
+        if best_ck:
+            state = trainer.replicate(
+                ckpt_lib.restore_checkpoint(best_ck, jax.device_get(state))
+            )
+            logger.info(f"stage {si + 1}: chaining best-val {best_ck}")
     return state
 
 
