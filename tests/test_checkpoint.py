@@ -225,3 +225,48 @@ def test_weight_init_is_weights_only(tmp_path):
     s_opt = jax.tree_util.tree_leaves(jax.device_get(state.opt_state))
     for a, b in zip(f_opt, s_opt):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_weight_init_from_bf16_checkpoint_casts_to_fresh_dtypes(tmp_path):
+    """weight_init from a bf16-params checkpoint must cast to the fresh
+    init's dtypes and seed a FLOAT32 EMA — a bf16 EMA crashes update_ema at
+    decay 0.9999 (the 1e-4 increment underflows bf16) on the first step."""
+    import logging
+
+    import ml_dtypes
+
+    from vavae_tpu.models.dit import LightningDiT
+    from vavae_tpu.parallel.mesh import make_mesh
+    from vavae_tpu.pipelines.train_dit import load_weight_init
+    from vavae_tpu.train.dit_trainer import DiTTrainer
+    from vavae_tpu.transport import create_transport
+
+    model = LightningDiT(
+        input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,
+        num_heads=2, num_classes=4, use_swiglu=True, use_rope=True,
+        use_rmsnorm=True,
+    )
+    trainer = DiTTrainer(model, create_transport("Linear", "velocity"),
+                         make_mesh(), lr=1e-3)
+    old = trainer.init_state(jax.random.PRNGKey(0), (4, 8, 8, 4))
+    old = old.replace(
+        params=jax.tree_util.tree_map(
+            lambda p: np.asarray(p, ml_dtypes.bfloat16), jax.device_get(old.params)
+        )
+    )
+    path = save_checkpoint(str(tmp_path), 10, jax.device_get(old))
+
+    fresh = trainer.init_state(jax.random.PRNGKey(1), (4, 8, 8, 4))
+    state = load_weight_init(path, fresh, model, logging.getLogger("t"))
+    for p, q in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(fresh.params)):
+        assert np.asarray(p).dtype == np.asarray(q).dtype  # fresh dtypes
+    for e in jax.tree_util.tree_leaves(state.ema_params):
+        assert np.asarray(e).dtype == np.float32
+    # the first train step (incl. the EMA blend) must run
+    state = trainer.replicate(state)
+    x = np.zeros((8, 8, 8, 4), np.float32)
+    y = np.zeros((8,), np.int32)
+    state, m = trainer.train_step(state, jax.random.PRNGKey(2),
+                                  trainer.shard_batch((x, y)))
+    assert np.isfinite(float(jax.device_get(m["loss"])))

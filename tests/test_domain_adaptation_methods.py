@@ -220,7 +220,7 @@ def test_lccs_pnc_with_domain_adaptive_classifier():
             features=True,
         ))
 
-    res = evaluate_adaptation(model, params, stats, feature_fn, x, labels)
+    res = evaluate_adaptation(model, params, stats, x, labels)
     assert 0.0 <= res.accuracy <= 1.0
 
     for method, lp in [("weighted", None),
@@ -282,3 +282,99 @@ def test_select_support_strategies_match_reference_semantics():
 
     with _pytest.raises(ValueError, match="strategy"):
         select_support(features, labels, probs, 4, "nope")
+
+
+def test_target_bn_stats_are_source_free(tiny_clf):
+    """compute_target_bn_stats must yield PURE target-domain statistics —
+    the reference resets running stats + momentum=1.0 before collecting
+    (lccs_adapter.py:66-83). Train-mode BN normalizes by the batch's own
+    moments, so the result must be IDENTICAL under any source tree (the old
+    EMA-from-source implementation leaked ~0.6·source into the 'target'
+    side and compressed the lccs_alpha grid toward zero adaptation)."""
+    import jax
+
+    from vavae_tpu.apps.domain_adaptation import compute_target_bn_stats
+
+    model, params, stats, x = tiny_clf
+    support = (x + 3.0).astype(np.float32)  # shifted target domain
+
+    t1 = compute_target_bn_stats(model, params, stats, support, batch_size=3)
+    # a wildly different source tree must not change the result at all
+    other = jax.tree_util.tree_map(lambda s: s * 5.0 + 1.0, stats)
+    t2 = compute_target_bn_stats(model, params, other, support, batch_size=3)
+    for a, b in zip(jax.tree_util.tree_leaves(t1), jax.tree_util.tree_leaves(t2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    # and the stats genuinely reflect the shifted domain, not the source
+    flat_src = jax.tree_util.tree_leaves(stats)
+    diff = sum(
+        float(np.abs(np.asarray(a) - np.asarray(s)).sum())
+        for a, s in zip(jax.tree_util.tree_leaves(t1), flat_src)
+    )
+    assert diff > 1.0
+
+
+def test_pnc_fusion_parity_vs_actual_reference():
+    """pnc_probs matches the ACTUAL reference adaptive_fusion_predict
+    (improved_pnc.py:70-108) numerically, on both the confidence-weighted
+    path (normalized proto/class confidences; alpha_base ignored) and the
+    fixed-weight path (alpha·proto + (1−alpha)·class); build_prototypes
+    norm_weighted matches the reference builder's formula (normalize →
+    uniform softmax weights → re-normalized mean)."""
+    import importlib.util
+    import os
+
+    REF = "/root/reference/domain_adaptation_experiment/improved_pnc.py"
+    if not os.path.exists(REF):
+        pytest.skip("reference tree not mounted")
+    import torch
+    import torch.nn.functional as F
+
+    import sys
+    import types
+
+    import torchvision_stub
+
+    torchvision_stub.install()  # the reference imports torchvision.transforms
+    if "timm" not in sys.modules:  # pulled in via improved_classifier_training
+        sys.modules["timm"] = types.ModuleType("timm")
+    # the reference script resolves sibling imports via its own cwd
+    ref_dir = os.path.dirname(REF)
+    if ref_dir not in sys.path:
+        sys.path.append(ref_dir)
+    spec = importlib.util.spec_from_file_location("ref_pnc", REF)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from vavae_tpu.apps.domain_adaptation import build_prototypes, pnc_probs
+
+    rng = np.random.default_rng(0)
+    n_cls, d = 31, 8  # the reference hardcodes range(31)
+    protos = rng.normal(size=(n_cls, d)).astype(np.float32)
+    protos /= np.linalg.norm(protos, axis=-1, keepdims=True)
+    feats = rng.normal(size=(5, d)).astype(np.float32)
+    logits = rng.normal(size=(5, n_cls)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+
+    pnc = ref.ImprovedPNC.__new__(ref.ImprovedPNC)
+    pnc.device = "cpu"
+    pnc.similarity_tau = 0.1
+    pnc.prototypes = {i: torch.from_numpy(protos[i]) for i in range(n_cls)}
+
+    for adaptive, alpha in ((True, 0.5), (False, 0.7), (False, 0.3)):
+        _, _, ref_probs = pnc.adaptive_fusion_predict(
+            torch.from_numpy(feats), torch.from_numpy(logits),
+            alpha_base=alpha, confidence_weight=adaptive,
+        )
+        ours = pnc_probs(feats, probs, protos, temperature=0.1,
+                         fusion_weight=alpha, confidence_adaptive=adaptive)
+        np.testing.assert_allclose(ours, ref_probs.numpy(), rtol=1e-5, atol=1e-6)
+
+    # norm-weighted prototype builder == the reference formula
+    class_feats = rng.normal(size=(7, d)).astype(np.float32) * 3.0
+    labels = np.zeros((7,), np.int64)
+    ours_p = build_prototypes(class_feats, labels, 1, norm_weighted=True)[0]
+    ft = F.normalize(torch.from_numpy(class_feats), dim=1)
+    w = F.softmax(ft.norm(dim=1), dim=0).unsqueeze(1)
+    want = F.normalize((ft * w).sum(dim=0), dim=0).numpy()
+    np.testing.assert_allclose(ours_p, want, rtol=1e-5, atol=1e-6)

@@ -48,15 +48,54 @@ def compute_target_bn_stats(
     source_stats: Any,
     support_images: np.ndarray,
     batch_size: int = 32,
+    bn_momentum: float = 0.9,  # models/resnet.py BatchNorm momentum
 ) -> Any:
-    """Run the support set through the model in train-mode (mutable
-    batch_stats) to collect target-domain BN statistics."""
-    stats = source_stats
+    """PURE target-domain BN statistics from the support set.
+
+    The reference resets the running stats and sets momentum=1.0 before the
+    collection passes (lccs_adapter.py:66-83) so NO source statistics leak
+    into the 'target' side of the fusion. A flax EMA seeded from the source
+    tree would instead yield mostly-source stats (≈0.6·source after 5
+    batches at momentum 0.9), silently compressing the lccs_alpha grid
+    toward zero adaptation. Train-mode BN normalizes by the batch's OWN
+    moments — the running tree never feeds the activations — so each
+    chunk's statistics are recovered exactly from the EMA update
+    (new = m·old + (1−m)·batch ⇒ batch = (new − m·old)/(1−m)) and pooled
+    across chunks (means size-weighted; variances via E[x²])."""
+    from flax import traverse_util
+
+    n_total = 0
+    acc_mean: dict = {}
+    acc_e2: dict = {}
+    src_flat = traverse_util.flatten_dict(jax.device_get(source_stats))
     for s in range(0, len(support_images), batch_size):
         batch = jnp.asarray(support_images[s : s + batch_size])
-        _, updates = _train_mode_apply(model, params, stats, batch, seed=s)
-        stats = updates["batch_stats"]
-    return stats
+        n = batch.shape[0]
+        _, updates = _train_mode_apply(model, params, source_stats, batch, seed=s)
+        new_flat = traverse_util.flatten_dict(jax.device_get(updates["batch_stats"]))
+        batch_flat = {
+            k: (np.asarray(v, np.float64) - bn_momentum * np.asarray(src_flat[k], np.float64))
+            / (1.0 - bn_momentum)
+            for k, v in new_flat.items()
+        }
+        for k, v in batch_flat.items():
+            if k[-1] != "mean":
+                continue
+            kv = k[:-1] + ("var",)
+            acc_mean[k] = acc_mean.get(k, 0.0) + n * v
+            acc_e2[kv] = acc_e2.get(kv, 0.0) + n * (batch_flat[kv] + v**2)
+        n_total += n
+    out = {}
+    for k in src_flat:
+        if k[-1] == "mean":
+            out[k] = acc_mean[k] / n_total
+        elif k[-1] == "var":
+            mean_k = acc_mean[k[:-1] + ("mean",)] / n_total
+            out[k] = acc_e2[k] / n_total - mean_k**2
+        else:  # non-moment leaves (none expected) pass through
+            out[k] = np.asarray(src_flat[k])
+    out = {k: jnp.asarray(np.asarray(v, np.float32)) for k, v in out.items()}
+    return traverse_util.unflatten_dict(out)
 
 
 def lccs_fuse_stats(source_stats: Any, target_stats: Any, alpha: float) -> Any:
@@ -174,9 +213,16 @@ def build_prototypes(
         if len(f) == 0:
             continue
         if norm_weighted:
-            w = np.linalg.norm(f, axis=-1)
+            # reference-exact (improved_pnc.py:48-66): features are
+            # L2-NORMALIZED first — the softmax over their (unit) norms is
+            # then uniform — and the prototype is re-normalized. Weighting
+            # RAW features by raw-norm fractions would hand an outlier with
+            # 10× the norm ~10× the weight.
+            fn = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+            w = np.exp(np.linalg.norm(fn, axis=-1))
             w = w / max(w.sum(), 1e-12)
-            protos[c] = (f * w[:, None]).sum(axis=0)
+            proto = (fn * w[:, None]).sum(axis=0)
+            protos[c] = proto / max(np.linalg.norm(proto), 1e-12)
         else:
             protos[c] = f.mean(axis=0)
     return protos
@@ -191,8 +237,10 @@ def pnc_probs(
     confidence_adaptive: bool = True,
 ) -> np.ndarray:
     """Fuse prototype-similarity softmax with classifier probabilities
-    (improved_pnc.py:70-148). With confidence_adaptive, low-confidence
-    classifier predictions lean more on the prototypes."""
+    (improved_pnc.py:70-108 adaptive_fusion_predict). With
+    confidence_adaptive, each side is weighted by its NORMALIZED confidence
+    (proto_conf/(proto_conf+class_conf) — the reference ignores alpha_base
+    on this path); otherwise fusion_weight·proto + (1−fusion_weight)·class."""
     f = features / np.maximum(np.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
     p = prototypes / np.maximum(np.linalg.norm(prototypes, axis=-1, keepdims=True), 1e-12)
     sim = f @ p.T  # cosine similarities
@@ -200,11 +248,13 @@ def pnc_probs(
     proto_probs = ex / ex.sum(axis=-1, keepdims=True)
 
     if confidence_adaptive:
-        conf = classifier_probs.max(axis=-1, keepdims=True)
-        w = fusion_weight * (1.0 - conf)  # low confidence → trust prototypes
-    else:
-        w = fusion_weight
-    return (1.0 - w) * classifier_probs + w * proto_probs
+        proto_conf = proto_probs.max(axis=-1, keepdims=True)
+        class_conf = classifier_probs.max(axis=-1, keepdims=True)
+        total = proto_conf + class_conf + 1e-8
+        return proto_probs * (proto_conf / total) + classifier_probs * (
+            class_conf / total
+        )
+    return fusion_weight * proto_probs + (1.0 - fusion_weight) * classifier_probs
 
 
 # -- combined evaluation --------------------------------------------------------
@@ -221,7 +271,6 @@ def evaluate_adaptation(
     model,
     params: Any,
     batch_stats: Any,
-    feature_fn: Callable,
     test_images: np.ndarray,
     test_labels: np.ndarray,
     prototypes: Optional[np.ndarray] = None,
@@ -229,7 +278,12 @@ def evaluate_adaptation(
     batch_size: int = 64,
 ) -> DAResult:
     """CrossDomainEvaluator equivalent: accuracy (+per-class) on the target
-    test set with the given adapted stats and optional PNC fusion."""
+    test set with the given adapted stats and optional PNC fusion.
+
+    PNC features are extracted internally with the SAME ``batch_stats`` the
+    logits use: a caller-supplied feature fn bound to source stats would
+    pair adapted-space logits with source-space features and silently
+    degrade the fusion."""
     preds = []
     for s in range(0, len(test_images), batch_size):
         x = jnp.asarray(test_images[s : s + batch_size])
@@ -237,7 +291,10 @@ def evaluate_adaptation(
             _apply_logits(model, params, batch_stats, x)
         ))
         if prototypes is not None:
-            feats = np.asarray(feature_fn(x))
+            feats = np.asarray(model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, train=False, features=True,
+            ))
             probs = pnc_probs(feats, probs, prototypes, **(pnc_cfg or {}))
         preds.append(probs.argmax(axis=-1))
     preds = np.concatenate(preds)
@@ -809,9 +866,7 @@ def main() -> None:
         sup_x, sup_y = sup_x[sel], sup_y[sel]
         print(f"support after {args.support_selection} selection: {len(sup_x)}")
 
-    baseline = evaluate_adaptation(
-        model, params, source_stats, feature_fn, test_x, test_y
-    )
+    baseline = evaluate_adaptation(model, params, source_stats, test_x, test_y)
     print(f"baseline (no adaptation): {baseline.accuracy:.4f}")
 
     grid = DEFAULT_SEARCH_SPACE if args.full_grid else {
@@ -835,12 +890,46 @@ def main() -> None:
             ),
         )
 
+    # The expensive work (BN-stat adaptation, support/test forwards,
+    # prototype build) depends ONLY on the lccs/prototype sub-config; the
+    # PNC fusion knobs (temperature/weight/adaptive) are cheap numpy over
+    # cached test probs+features. The reference grid sweeps ~240 fusion
+    # combos per LCCS variant — without this cache every one re-ran the
+    # full model over support+test sets.
+    adapt_cache: dict = {}
+
+    def _adapt_key(cfg):
+        return json.dumps(
+            {k: cfg.get(k) for k in
+             ("lccs_alpha", "lccs_method", "lccs_params", "prototype_strategy")},
+            sort_keys=True,
+        )
+
     def eval_cfg(cfg):
-        _, _, predict = adapt_cfg(cfg)
-        preds = []
-        for s in range(0, len(test_x), 64):
-            preds.append(predict(test_x[s : s + 64]).argmax(-1))
-        return float((np.concatenate(preds) == test_y).mean())
+        key = _adapt_key(cfg)
+        if key not in adapt_cache:
+            stats, protos, _ = adapt_cfg(cfg)
+            probs_l, feats_l = [], []
+            for s in range(0, len(test_x), 64):
+                xb = jnp.asarray(test_x[s : s + 64])
+                probs_l.append(np.asarray(jax.nn.softmax(
+                    _apply_logits(model, params, stats, xb)
+                )))
+                feats_l.append(np.asarray(model.apply(
+                    {"params": params, "batch_stats": stats},
+                    xb, train=False, features=True,
+                )))
+            adapt_cache[key] = (
+                np.concatenate(probs_l), np.concatenate(feats_l), protos
+            )
+        probs, feats, protos = adapt_cache[key]
+        fused = pnc_probs(
+            feats, probs, protos,
+            temperature=cfg["pnc_temperature"],
+            fusion_weight=cfg["pnc_fusion_weight"],
+            confidence_adaptive=cfg["confidence_adaptive"],
+        )
+        return float((fused.argmax(-1) == test_y).mean())
 
     if args.reference_grid:
         combos = full_method_grid()

@@ -50,11 +50,15 @@ def intra_class_diversity(
     features: np.ndarray, lpips_pairs: Optional[np.ndarray] = None
 ) -> Dict:
     """Feature-space diversity = 1 − mean pairwise cosine sim; optional LPIPS
-    pairwise mean (:108-148)."""
+    pairwise mean (:108-148). A single sample has NO pairs — diversity is
+    undefined (NaN), matching the reference's empty-upper-triangle mean; the
+    old 1.0 rewarded degenerate one-image users with the MAXIMAL score."""
+    n = len(features)
+    if n < 2:
+        return {"feature_diversity": float("nan")}
     f = features / np.maximum(np.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
     sim = f @ f.T
-    n = len(f)
-    feat_div = float(1.0 - (sim.sum() - np.trace(sim)) / max(n * (n - 1), 1))
+    feat_div = float(1.0 - (sim.sum() - np.trace(sim)) / (n * (n - 1)))
     out = {"feature_diversity": feat_div}
     if lpips_pairs is not None:
         out["lpips_diversity"] = float(np.mean(lpips_pairs))
@@ -91,11 +95,18 @@ def knn_coverage(
 
 @dataclasses.dataclass
 class ComprehensiveGenerationEvaluator:
-    """Weighted overall score (comprehensive_generation_evaluator.py:255)."""
+    """Weighted overall score (comprehensive_generation_evaluator.py:255-285):
+    weights 0.5/0.3/0.2, identity_score = top1_accuracy × mean target
+    confidence (:105). Deviation by design: the reference's diversity score
+    is the mean pairwise LPIPS ×10 (:146,262); this evaluator uses the
+    feature-cosine diversity ×2 capped at 1 instead (no O(n²) LPIPS
+    forwards), documented here rather than silently. Undefined components
+    (single-sample diversity, single-real-sample coverage) make the overall
+    score NaN with an explanatory note instead of propagating silently."""
 
-    identity_weight: float = 0.4
+    identity_weight: float = 0.5
     diversity_weight: float = 0.3
-    coverage_weight: float = 0.3
+    coverage_weight: float = 0.2
 
     def evaluate_user(
         self,
@@ -107,12 +118,24 @@ class ComprehensiveGenerationEvaluator:
         ident = identity_preservation(gen_probs, target_user)
         div = intra_class_diversity(gen_features)
         cov = knn_coverage(gen_features, real_features)
-        overall = (
-            self.identity_weight * ident["identity_acc"]
-            + self.diversity_weight * min(div["feature_diversity"] * 2.0, 1.0)
-            + self.coverage_weight * cov["coverage"]
-        )
-        return {**ident, **div, **cov, "overall_score": float(overall)}
+        identity_score = ident["identity_acc"] * ident["mean_target_prob"]
+        components = {
+            "identity": self.identity_weight * identity_score,
+            "diversity": self.diversity_weight
+            * min(div["feature_diversity"] * 2.0, 1.0),
+            "coverage": self.coverage_weight * cov["coverage"],
+        }
+        undefined = [k for k, v in components.items() if not np.isfinite(v)]
+        out = {**ident, **div, **cov, "identity_score": float(identity_score)}
+        if undefined:
+            out["overall_score"] = float("nan")
+            out["note"] = (
+                f"overall undefined — component(s) {undefined} have too few "
+                "samples (diversity needs ≥2 generated, coverage ≥2 real)"
+            )
+        else:
+            out["overall_score"] = float(sum(components.values()))
+        return out
 
 
 def recommend_thresholds(

@@ -305,6 +305,22 @@ def train_classifier(
     rng = jax.random.PRNGKey(seed)
     state = jax.device_put(trainer.init_state(rng, image_size), replicated(trainer.mesh))
     best_acc, epochs_since_best, best_state = 0.0, 0, None
+
+    # validation counts EVERY sample: tail batches are padded to the
+    # compiled size and sliced back (drop_last would silently exclude up to
+    # batch_size−1 samples, and a val split smaller than batch_size would
+    # yield ZERO batches — constant 0.0 acc, best-state never snapshots,
+    # patience early-stops onto the unselected final state)
+    model = trainer.model
+
+    @jax.jit
+    def _val_probs(params, batch_stats, x):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        if isinstance(out, tuple):  # domain_adaptive: (logits, feat)
+            out = out[0]
+        return jax.nn.softmax(out)
     for epoch in range(epochs):
         t0, steps = time.time(), 0
         for batch in prefetch(dataset.batches(batch_size, seed=seed + epoch, epochs=1)):
@@ -316,11 +332,21 @@ def train_classifier(
                     f"acc {float(metrics['acc']):.3f} ({steps / (time.time() - t0):.1f} it/s)"
                 )
         if val_dataset is not None:
-            accs = []
-            for batch in val_dataset.batches(batch_size, shuffle=False, epochs=1):
-                m = trainer.eval_step(state, shard_batch(trainer.mesh, batch))
-                accs.append(float(m["acc"]))
-            acc = float(np.mean(accs)) if accs else 0.0
+            correct, total = 0, 0
+            for x, y in val_dataset.batches(
+                batch_size, shuffle=False, drop_last=False, epochs=1
+            ):
+                n = len(y)
+                if n < batch_size:  # pad to the compiled shape, slice back
+                    x = np.concatenate([x, np.repeat(x[-1:], batch_size - n, 0)])
+                probs = np.asarray(_val_probs(state.params, state.batch_stats, x))[:n]
+                correct += int((probs.argmax(axis=-1) == np.asarray(y)).sum())
+                total += n
+            if total == 0:
+                import warnings
+
+                warnings.warn("validation split is empty — early stopping inert")
+            acc = correct / total if total else 0.0
             if acc > best_acc:
                 best_acc, epochs_since_best = acc, 0
                 # snapshot the best-val state: the saved classifier must be
@@ -392,7 +418,10 @@ def main() -> None:
         epochs=args.epochs, batch_size=args.batch_size, image_size=args.image_size,
     )
     out = args.out if args.out.endswith(".safetensors") else args.out + ".safetensors"
-    save_state_file(out, state)
+    # strip training-only rolling buffers (memory/feature banks): the saved
+    # artifact is an inference classifier, and consumers (classifier_eval,
+    # analyze_metrics, generation_evaluator) restore into extras=None states
+    save_state_file(out, state.replace(extras=None))
     print(f"saved classifier state to {out}")
 
 

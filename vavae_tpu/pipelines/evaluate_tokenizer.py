@@ -37,6 +37,12 @@ def evaluate_tokenizer(
     if max_images:
         items = items[:max_images]
     items = items[jax.process_index() :: jax.process_count()]
+    if not items:
+        raise ValueError(
+            f"no images for process {jax.process_index()} — empty/wrong "
+            f"--data_path {data_path!r} or max_images smaller than the "
+            "process count"
+        )
 
     lpips_fn = None
     try:
@@ -73,34 +79,56 @@ def evaluate_tokenizer(
             lpips_vals.append(np.asarray(lpips_fn(jnp.asarray(x), jnp.asarray(dec))))
 
         if output_path:
+            # rank-tagged names (reference evaluate_tokenizer.py:100):
+            # processes share the folders and must never collide
+            tag = f"{jax.process_index():02d}"
             for i in range(len(x)):
                 Image.fromarray((a01[i] * 255).astype(np.uint8)).save(
-                    os.path.join(output_path, "ref", f"{n_done + i:06d}.png")
+                    os.path.join(output_path, "ref", f"{tag}_{n_done + i:06d}.png")
                 )
                 Image.fromarray((b01[i] * 255).astype(np.uint8)).save(
-                    os.path.join(output_path, "dec", f"{n_done + i:06d}.png")
+                    os.path.join(output_path, "dec", f"{tag}_{n_done + i:06d}.png")
                 )
         n_done += len(x)
 
+    # cross-process reduction (reference all_reduce(AVG), :144-145) — here a
+    # size-weighted mean via summed (value, count) pairs
+    sums = np.asarray([
+        np.concatenate(psnrs).sum(),
+        np.concatenate(ssims).sum(),
+        np.concatenate(lpips_vals).sum() if lpips_vals else 0.0,
+        float(n_done),
+        float(sum(len(v) for v in lpips_vals)),
+    ])
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        sums = np.asarray(multihost_utils.process_allgather(jnp.asarray(sums))).sum(axis=0)
     results = {
-        "psnr": float(np.concatenate(psnrs).mean()),
-        "ssim": float(np.concatenate(ssims).mean()),
-        "num_images": n_done,
+        "psnr": float(sums[0] / sums[3]),
+        "ssim": float(sums[1] / sums[3]),
+        "num_images": int(sums[3]),
     }
-    if lpips_vals:
-        results["lpips"] = float(np.concatenate(lpips_vals).mean())
+    if sums[4] > 0:
+        results["lpips"] = float(sums[2] / sums[4])
 
     if output_path:
-        try:
-            from vavae_tpu.eval.fid import fid_given_paths
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
 
-            results["rfid"] = fid_given_paths(
-                os.path.join(output_path, "ref"),
-                os.path.join(output_path, "dec"),
-                weights_path=fid_weights,
-            )
-        except FileNotFoundError:
-            pass
+            # every process's PNGs must be on disk before rank 0 reads them
+            multihost_utils.sync_global_devices("tokenizer_eval_pngs")
+        if jax.process_index() == 0:
+            try:
+                from vavae_tpu.eval.fid import fid_given_paths
+
+                results["rfid"] = fid_given_paths(
+                    os.path.join(output_path, "ref"),
+                    os.path.join(output_path, "dec"),
+                    weights_path=fid_weights,
+                )
+            except FileNotFoundError:
+                pass
     return results
 
 

@@ -61,12 +61,18 @@ def load_dit_params(cfg: Config, model, ckpt_path: str, prefer_ema: bool = True)
     )
 
 
-def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None):
+def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None,
+                    hold_params: bool = True):
     """Returns jitted fn(rng, labels) -> decoded-ready latents (B, h, w, C).
 
     With ``mesh`` the batch shards over the data axis across all local
     devices (params replicated) — on a v5e-8 host one call drives all 8
-    chips; without it everything runs on the default device."""
+    chips; without it everything runs on the default device.
+
+    ``hold_params=False`` skips placing/closing over ``params`` entirely:
+    callers that only ever use the param-explicit ``wrapper.jit_fn`` handle
+    (in-training EMA sampling) would otherwise pin a dead full-model copy
+    in HBM for the rest of training."""
     sc = cfg.sample
     transport = build_transport(cfg)
     sampler = Sampler(transport)
@@ -203,11 +209,17 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None):
             in_shardings=(rep, rep, data_sharding(mesh, 1)),
             out_shardings=data_sharding(mesh, 4),
         )
-        params = jax.device_put(params, rep)
     else:
         jit_generate = jax.jit(generate)
-        params = jax.device_put(params)
-    wrapper = lambda rng, labels: jit_generate(params, rng, labels)
+    if hold_params:
+        held = jax.device_put(params, rep) if mesh is not None else jax.device_put(params)
+        wrapper = lambda rng, labels: jit_generate(held, rng, labels)
+    else:
+        def wrapper(rng, labels):  # type: ignore[misc]
+            raise ValueError(
+                "built with hold_params=False — call wrapper.jit_fn(params, "
+                "rng, labels) with explicit params"
+            )
     # param-explicit handle for callers that swap weights without recompiling
     # (e.g. in-training EMA sampling)
     wrapper.jit_fn = jit_generate

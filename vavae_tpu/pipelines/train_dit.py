@@ -94,11 +94,21 @@ def load_weight_init(init_path: str, state: TrainState, model, logger) -> TrainS
             ),
         )
         logger.info(f"converted torch weights from {init_path}")
-    # distinct copies — params/ema sharing buffers breaks state donation in
-    # the jitted step
+    # cast to the fresh init's leaf dtypes: a bf16-params checkpoint would
+    # otherwise seed a bf16 EMA, which update_ema rejects at decay 0.9999
+    # (the 1e-4 increment underflows bf16 — train/ema.py), and silently
+    # train in bf16 where the model was initialized f32.
+    # Distinct copies — params/ema sharing buffers breaks state donation in
+    # the jitted step.
+    params = jax.tree_util.tree_map(
+        lambda p, q: np.asarray(jax.device_get(p), dtype=q.dtype),
+        params, jax.device_get(state.params),
+    )
     return state.replace(
         params=params,
-        ema_params=jax.tree_util.tree_map(np.copy, jax.device_get(params)),
+        ema_params=jax.tree_util.tree_map(
+            lambda p: np.array(p, dtype=np.float32), params
+        ),
     )
 
 
@@ -126,8 +136,8 @@ def do_train(cfg: Config) -> TrainState:
         latent_multiplier=cfg.data.get("latent_multiplier", 0.18215),
     )
 
-    global_bs_ = cfg.train.global_batch_size
-    steps_per_epoch = max(len(dataset) // global_bs_, 1)
+    global_bs = cfg.train.global_batch_size
+    steps_per_epoch = max(len(dataset) // global_bs, 1)
     # step- or epoch-based run length (config_dit_base.yaml uses max_epochs)
     if cfg.train.get("max_epochs"):
         max_steps = int(cfg.train.max_epochs) * steps_per_epoch
@@ -170,7 +180,6 @@ def do_train(cfg: Config) -> TrainState:
             latent_multiplier=cfg.data.get("latent_multiplier", 0.18215),
         )
 
-    global_bs = cfg.train.global_batch_size
     per_proc_bs = global_bs // jax.process_count()
     C = model.in_channels
     rng = jax.random.PRNGKey(cfg.train.get("global_seed", 0))
@@ -179,7 +188,13 @@ def do_train(cfg: Config) -> TrainState:
 
     # optional pretrained weights (reference 'weight_init'/'ckpt' keys)
     init_path = cfg.train.get("weight_init") or cfg.train.get("ckpt")
-    if init_path and os.path.exists(str(init_path)):
+    if init_path:
+        if not os.path.exists(str(init_path)):
+            # never silently train from scratch on a typo'd pretrained path
+            raise FileNotFoundError(
+                f"train.weight_init/ckpt points at a missing file: "
+                f"{init_path!r}"
+            )
         state = load_weight_init(str(init_path), state, model, logger)
 
     # resume from latest step-numbered checkpoint
@@ -242,65 +257,80 @@ def do_train(cfg: Config) -> TrainState:
     loss_acc, log_steps, t_start = [], 0, time.time()
     step = int(jax.device_get(state.step))
     guard = PreemptionGuard().__enter__()
-    while step < max_steps:
-        if guard.should_stop:
-            # preemption (SIGTERM): checkpoint the in-flight state and exit
-            # cleanly so the relaunch resumes here instead of at ckpt_every
-            save_ckpt(ckpt_dir, step, sync=True)
-            logger.info(f"preempted: checkpointed at step {step}, exiting")
-            break
-        batch = trainer.shard_batch(next(it))
-        state, metrics = trainer.train_step(state, rng, batch)
-        step += 1
-        tracer.step(step, sync_on=metrics["loss"])
-        # keep the loss ON DEVICE — fetching per step blocks the host on the
-        # step and serializes batch prep with device compute; everything is
-        # pulled in one transfer at log points
-        loss_acc.append(metrics["loss"])
-        log_steps += 1
+    completed = False
+    try:
+        while step < max_steps:
+            if guard.should_stop:
+                # preemption (SIGTERM): checkpoint the in-flight state and exit
+                # cleanly so the relaunch resumes here instead of at ckpt_every
+                save_ckpt(ckpt_dir, step, sync=True)
+                logger.info(f"preempted: checkpointed at step {step}, exiting")
+                break
+            batch = trainer.shard_batch(next(it))
+            state, metrics = trainer.train_step(state, rng, batch)
+            step += 1
+            tracer.step(step, sync_on=metrics["loss"])
+            # keep the loss ON DEVICE — fetching per step blocks the host on the
+            # step and serializes batch prep with device compute; everything is
+            # pulled in one transfer at log points
+            loss_acc.append(metrics["loss"])
+            log_steps += 1
 
-        if step % log_every == 0:
-            jax.block_until_ready(state.params)
-            dt = time.time() - t_start
-            sps = log_steps / dt
-            avg_loss = float(np.mean(jax.device_get(loss_acc)))
-            logger.info(
-                f"(step={step:07d}) Train Loss: {avg_loss:.4f}, "
-                f"Train Steps/Sec: {sps:.2f}, Img/Sec: {sps * global_bs:.1f}"
-            )
-            metrics_log.log_scalars(
-                step,
-                {"train/loss": avg_loss, "train/steps_per_sec": sps,
-                 "train/grad_norm": float(jax.device_get(metrics["grad_norm"]))},
-            )
-            loss_acc, log_steps, t_start = [], 0, time.time()
+            if step % log_every == 0:
+                # time AFTER a value fetch: on the tunneled backend
+                # block_until_ready can return before completion (CLAUDE.md) —
+                # the fetched mean forces every accumulated step to have run
+                avg_loss = float(np.mean(jax.device_get(loss_acc)))
+                dt = time.time() - t_start
+                sps = log_steps / dt
+                logger.info(
+                    f"(step={step:07d}) Train Loss: {avg_loss:.4f}, "
+                    f"Train Steps/Sec: {sps:.2f}, Img/Sec: {sps * global_bs:.1f}"
+                )
+                metrics_log.log_scalars(
+                    step,
+                    {"train/loss": avg_loss, "train/steps_per_sec": sps,
+                     "train/grad_norm": float(jax.device_get(metrics["grad_norm"]))},
+                )
+                loss_acc, log_steps, t_start = [], 0, time.time()
 
-        sample_every = cfg.train.get("sample_every")
-        if sample_every and step % sample_every == 0:
-            # in-training EMA sampling (reference train_dit_s_official.py:557-660)
-            _sample_grid(cfg, trainer, state, exp_dir, step, logger,
-                         latent_stats=dataset.latent_stats if cfg.data.get("latent_norm") else None)
+            sample_every = cfg.train.get("sample_every")
+            if sample_every and step % sample_every == 0:
+                # in-training EMA sampling (reference train_dit_s_official.py:557-660)
+                _sample_grid(cfg, trainer, state, exp_dir, step, logger,
+                             latent_stats=dataset.latent_stats if cfg.data.get("latent_norm") else None)
 
-        if step % ckpt_every == 0 and step > 0:
-            save_ckpt(ckpt_dir, step)
-            logger.info(f"saved checkpoint at step {step}")
-            if valid_dataset is not None:
-                val = evaluate(trainer, state, valid_dataset, per_proc_bs, rng)
-                logger.info(f"(step={step:07d}) Validation Loss: {val:.4f}")
-                metrics_log.log_scalars(step, {"val/loss": val})
-                if patience:
-                    if val < best_val - min_delta:
-                        best_val, bad_evals = val, 0
-                        save_ckpt(os.path.join(exp_dir, "best"), step,
-                                  with_cfg=False)
-                    else:
-                        bad_evals += 1
-                        if bad_evals >= patience:
-                            logger.info(f"early stopping at step {step}")
-                            break
+            if step % ckpt_every == 0 and step > 0:
+                save_ckpt(ckpt_dir, step)
+                logger.info(f"saved checkpoint at step {step}")
+                if valid_dataset is not None:
+                    val = evaluate(trainer, state, valid_dataset, per_proc_bs, rng)
+                    logger.info(f"(step={step:07d}) Validation Loss: {val:.4f}")
+                    metrics_log.log_scalars(step, {"val/loss": val})
+                    if patience:
+                        if val < best_val - min_delta:
+                            best_val, bad_evals = val, 0
+                            save_ckpt(os.path.join(exp_dir, "best"), step,
+                                      with_cfg=False)
+                        else:
+                            bad_evals += 1
+                            if bad_evals >= patience:
+                                logger.info(f"early stopping at step {step}")
+                                break
 
-    guard.__exit__()
-    tracer.close()
+        completed = True
+    finally:
+        # always restore the signal handler, close any open trace window,
+        # and best-effort checkpoint on an abnormal exit (e.g. a re-raised
+        # async-writer error) — without masking the original exception
+        guard.__exit__()
+        tracer.close()
+        if not completed:
+            try:
+                save_ckpt(ckpt_dir, step, sync=True)
+                metrics_log.close()
+            except Exception as e:  # noqa: BLE001
+                logger.error(f"final checkpoint after failure also failed: {e}")
     save_ckpt(ckpt_dir, step, sync=True)
     metrics_log.close()
     logger.info("training done")
@@ -321,10 +351,11 @@ def _sample_grid(cfg, trainer, state, exp_dir, step, logger, n: int = 8,
     try:
         cache = _sample_grid.__dict__.setdefault("_cache", {})
         if "gen" not in cache:
-            # dummy params only pin shapes; real EMA rides per call
+            # only the param-explicit jit_fn is ever used — hold_params=False
+            # so no dead full-model copy stays pinned in HBM for the run
             cache["gen"] = build_sample_fn(
-                cfg, trainer.model, jax.device_get(state.ema_params),
-                latent_stats=latent_stats,
+                cfg, trainer.model, state.ema_params,
+                latent_stats=latent_stats, hold_params=False,
             )
             vae_ckpt = cfg.get("vae", {}).get("ckpt_path")
             cache["vae"] = None

@@ -181,11 +181,18 @@ class AsyncCheckpointer:
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None
-    best, best_step = None, -1
+    best, best_key = None, (-1, -1)
     for name in os.listdir(ckpt_dir):
         m = re.fullmatch(r"(\d+)\.(msgpack|safetensors)", name)
-        if m and int(m.group(1)) > best_step:
-            best_step = int(m.group(1))
+        if not m:
+            continue
+        # same-step tie prefers .safetensors deterministically: a dir
+        # spanning the msgpack migration must not resume from the legacy
+        # file by os.listdir order (36× slower restore; pre-split-half-RoPE
+        # layouts restore silently wrong)
+        key = (int(m.group(1)), 1 if m.group(2) == "safetensors" else 0)
+        if key > best_key:
+            best_key = key
             best = os.path.join(ckpt_dir, name)
     return best
 
@@ -234,11 +241,13 @@ def restore_checkpoint(path: str, target: Any, lenient: bool = False) -> Any:
 
     import ml_dtypes
     from safetensors import safe_open
-    from safetensors.numpy import load_file
 
+    # one pass over the file: metadata and all tensors from the same handle
+    # (safe_open + a separate load_file read every byte twice on this
+    # ~12 MB/s disk)
     with safe_open(path, framework="numpy") as f:
         meta = json.loads((f.metadata() or {}).get("tree", "{}"))
-    tensors = dict(load_file(path))
+        tensors = {k: f.get_tensor(k) for k in f.keys()}
     for k, dt in meta.get("dtypes", {}).items():
         if dt == "bfloat16" and k in tensors:
             tensors[k] = tensors[k].view(ml_dtypes.bfloat16)
@@ -263,6 +272,23 @@ def restore_checkpoint(path: str, target: Any, lenient: bool = False) -> Any:
     for k, t in tgt_flat.items():
         if k not in flat and t is None:
             flat[k] = None
+    # ...and the converse: a checkpoint written by a differently-configured
+    # trainer may carry a SUBTREE under a field the target holds as None
+    # (e.g. a global-contrastive memory bank restored by an eval consumer
+    # that never uses it) — drop it with a note instead of failing to
+    # unflatten onto the None leaf
+    for k, t in tgt_flat.items():
+        if t is None:
+            pref = k + _SEP
+            dropped = [fk for fk in flat if fk.startswith(pref)]
+            for fk in dropped:
+                del flat[fk]
+            if dropped:
+                flat[k] = None
+                print(
+                    f"[restore] dropped {len(dropped)} leaves under optional "
+                    f"field {k!r} (target holds None)"
+                )
 
     if lenient:
         loaded, skipped = 0, 0
