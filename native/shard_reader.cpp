@@ -124,14 +124,37 @@ bool open_shard(const char *path, Shard *s) {
   s->map = map;
   s->map_size = st.st_size;
   s->data = base + 8 + hdr_len;
+  const size_t data_size = st.st_size - 8 - hdr_len;
+  // Every failure past this point must unmap: the caller only cleans up
+  // shards it has already accepted into its list.
+  auto fail = [&]() { munmap(map, st.st_size); s->map = nullptr; return false; };
   if (!parse_tensor(hdr, "latents", &s->latents) ||
-      !parse_tensor(hdr, "labels", &s->labels)) {
-    munmap(map, st.st_size);
-    return false;
-  }
+      !parse_tensor(hdr, "labels", &s->labels))
+    return fail();
   parse_tensor(hdr, "latents_flip", &s->latents_flip);  // optional
   s->rows = s->latents.shape.empty() ? 0 : s->latents.shape[0];
-  return s->latents.dtype == "F32" && s->rows > 0;
+  if (s->latents.dtype != "F32" || s->rows <= 0 || s->latents.shape.size() != 4)
+    return fail();
+  // Unsupported label dtypes must fail LOUDLY here — label_at would otherwise
+  // silently return 0 and the whole dataset trains as class 0.
+  if (s->labels.dtype != "I64" && s->labels.dtype != "I32" && s->labels.dtype != "F32")
+    return fail();
+  // Offsets must lie inside the data section (guards OOB reads on a
+  // truncated/corrupt file).
+  auto in_bounds = [&](const TensorInfo &ti) {
+    return ti.begin <= ti.end && ti.end <= data_size;
+  };
+  if (!in_bounds(s->latents) || !in_bounds(s->labels) ||
+      (s->latents_flip.valid && !in_bounds(s->latents_flip)))
+    return fail();
+  const size_t item_bytes =
+      4ull * s->latents.shape[1] * s->latents.shape[2] * s->latents.shape[3];
+  if (s->latents.end - s->latents.begin < item_bytes * (size_t)s->rows)
+    return fail();
+  if (s->latents_flip.valid &&
+      s->latents_flip.end - s->latents_flip.begin < item_bytes * (size_t)s->rows)
+    s->latents_flip.valid = false;  // malformed flip tensor: ignore, don't read OOB
+  return true;
 }
 
 inline int64_t label_at(const Shard &s, int64_t row) {
@@ -155,10 +178,18 @@ void *shard_reader_create(const char **paths, int n_paths) {
       delete r;
       return nullptr;
     }
-    if (r->C == 0 && s.latents.shape.size() == 4) {
+    if (r->C == 0) {
       r->C = s.latents.shape[1];
       r->H = s.latents.shape[2];
       r->W = s.latents.shape[3];
+    } else if (s.latents.shape[1] != r->C || s.latents.shape[2] != r->H ||
+               s.latents.shape[3] != r->W) {
+      // Mixed-shape shards (e.g. two extraction runs in one dir) would be
+      // gathered with shard-0 strides — garbage latents / OOB reads.
+      munmap(s.map, s.map_size);
+      for (auto &sh : r->shards) munmap(sh.map, sh.map_size);
+      delete r;
+      return nullptr;
     }
     int shard_id = static_cast<int>(r->shards.size());
     for (int64_t row = 0; row < s.rows; ++row)

@@ -11,7 +11,9 @@ Artifacts via env:
   VAVAE_GN_IMAGENET_TRAIN ImageNet train dir (optional; extraction)
   VAVAE_GN_FID_NPZ        VIRTUAL_imagenet256_labeled.npz
   VAVAE_FID_WEIGHTS       pt_inception-2015-12-05 weights
-  VAVAE_LPIPS_WEIGHTS     taming vgg.pth
+  VAVAE_LPIPS_WEIGHTS     taming vgg.pth (lin heads; full dumps also work)
+  VAVAE_VGG16_WEIGHTS     torchvision vgg16 state dict (needed with the
+                          genuine vgg.pth, which has no conv backbone)
 
 `--check` validates the layout and converter loadability without chip
 time; `--config` picks the reproduction config (default 800ep cfg).
@@ -61,7 +63,17 @@ def check() -> bool:
     print("ok      FID Inception checkpoint converts")
     sd = torch.load(os.environ["VAVAE_LPIPS_WEIGHTS"], map_location="cpu",
                     weights_only=False)
-    lpips_params_from_torch({k: v.numpy() for k, v in sd.items()})
+    vgg_sd = None
+    vgg16_path = os.environ.get("VAVAE_VGG16_WEIGHTS")
+    if vgg16_path and os.path.exists(vgg16_path):
+        vgg_sd = torch.load(vgg16_path, map_location="cpu", weights_only=False)
+        if hasattr(vgg_sd, "state_dict"):
+            vgg_sd = vgg_sd.state_dict()
+        vgg_sd = {k: v.numpy() for k, v in vgg_sd.items()}
+    # the genuine vgg.pth has only the lin heads; the torchvision vgg16
+    # state dict (VAVAE_VGG16_WEIGHTS, optional for full-module dumps)
+    # supplies the conv backbone
+    lpips_params_from_torch({k: v.numpy() for k, v in sd.items()}, vgg_sd)
     print("ok      LPIPS checkpoint converts")
     print("all artifacts present — run without --check to execute")
     return True

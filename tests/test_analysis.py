@@ -173,6 +173,42 @@ def test_schedulers():
     assert s2(49) < 0.1  # end of first cycle near min
 
 
+def test_warmup_cosine_cycles_matches_reference_scheduler2():
+    """Numeric parity vs the ACTUAL LambdaWarmUpCosineScheduler2
+    (vavae/ldm/lr_scheduler.py:36-80), incl. the f_start warmup origin the
+    LDM configs rely on (f_start=[1e-6], f_min=f_max=[1.0] must RAMP, not
+    sit at 1.0) and the boundary step that belongs to the earlier cycle."""
+    import importlib.util
+    import os
+
+    ref_path = "/root/reference/LightningDiT/vavae/ldm/lr_scheduler.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("ref_lr_sched", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from vavae_tpu.utils.schedulers import warmup_cosine_cycles
+
+    cases = [
+        # (warmups, f_min, f_max, f_start, cycle_lengths)
+        ([5, 3], [0.1, 0.0], [1.0, 0.5], [1e-6, 0.2], [40, 30]),
+        ([10], [1.0], [1.0], [1e-6], [100]),  # the LDM-config degenerate case
+    ]
+    for warmups, fmin, fmax, fstart, cycles in cases:
+        theirs = ref.LambdaWarmUpCosineScheduler2(
+            warm_up_steps=warmups, f_min=fmin, f_max=fmax, f_start=fstart,
+            cycle_lengths=cycles,
+        )
+        ours = warmup_cosine_cycles(fmax, fmin, warmups, cycles, lr_starts=fstart)
+        for n in range(0, sum(cycles)):
+            assert ours(n) == pytest.approx(theirs(n), abs=1e-12), n
+    # the degenerate case must actually warm up
+    s = warmup_cosine_cycles([1.0], [1.0], [10], [100], lr_starts=[1e-6])
+    assert s(0) == pytest.approx(1e-6)
+    assert s(5) == pytest.approx(0.5, abs=0.01)
+
+
 def test_preemption_guard():
     import os
     import signal

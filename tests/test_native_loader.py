@@ -65,6 +65,42 @@ def test_dataset_uses_native_when_available(shard_dir):
     assert labels.dtype in (np.int32, np.int64)
 
 
+def test_native_reader_rejects_malformed_dirs(tmp_path):
+    """Mixed-shape shards and unsupported label dtypes must fail LOUDLY at
+    open time: gathering with shard-0 strides would read garbage/OOB, and
+    unknown label dtypes used to silently decode as class 0."""
+    from vavae_tpu.data.native_loader import NativeShardReader, available
+
+    if not available():
+        pytest.skip("native reader build unavailable")
+    rng = np.random.default_rng(0)
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    for shard, hw in enumerate((8, 16)):  # two extraction runs in one dir
+        save_file(
+            {
+                "latents": rng.normal(size=(4, 4, hw, hw)).astype(np.float32),
+                "labels": np.zeros((4,), np.int64),
+            },
+            str(mixed / f"latents_rank00_shard{shard:03d}.safetensors"),
+        )
+    with pytest.raises(RuntimeError, match="failed to open"):
+        NativeShardReader(sorted(str(p) for p in mixed.glob("*.safetensors")))
+
+    badlabels = tmp_path / "badlabels"
+    badlabels.mkdir()
+    save_file(
+        {
+            "latents": rng.normal(size=(4, 4, 8, 8)).astype(np.float32),
+            "labels": np.zeros((4,), np.uint8),  # not I64/I32/F32
+        },
+        str(badlabels / "latents_rank00_shard000.safetensors"),
+    )
+    with pytest.raises(RuntimeError, match="failed to open"):
+        NativeShardReader([str(badlabels / "latents_rank00_shard000.safetensors")])
+
+
 def test_native_png_writer_roundtrip(tmp_path):
     """Native PNGs must decode (via PIL) to exactly the input pixels, and the
     batch API must beat/equal PIL on a moderate batch."""

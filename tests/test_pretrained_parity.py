@@ -179,6 +179,62 @@ def test_lpips_vgg16_parity():
     np.testing.assert_allclose(d, d_ref, rtol=1e-4, atol=1e-6)
 
 
+def test_lpips_genuine_split_artifacts_parity():
+    """The GENUINE taming vgg.pth contains only scaling_layer + lin heads
+    (the reference builds VGG16 from torchvision and loads vgg.pth
+    strict=False, lpips.py:53,65-68). The converter must accept that pair —
+    lin-only vgg.pth + torchvision-layout vgg16 state dict — and match the
+    reference forward."""
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not mounted")
+    torchvision_stub.install()
+    import torch
+
+    ref = _load_file("ref_lpips_split", f"{REF}/models/lpips.py")
+    ref.LPIPS.load_from_pretrained = lambda self, name="vgg_lpips": None
+    torch.manual_seed(0)
+    ref_lpips = ref.LPIPS(use_dropout=True).eval()
+    _randomize_torch(ref_lpips, seed=7)
+
+    full = {k: v.numpy() for k, v in ref_lpips.state_dict().items()}
+    # the two artifacts a real user downloads:
+    lin_sd = {k: v for k, v in full.items()
+              if k.startswith("lin") or k.startswith("scaling_layer")}
+    assert not any(k.startswith("net.") for k in lin_sd)
+    # net.slice{S}.{N}.* keeps the ORIGINAL torchvision features index as N
+    vgg_sd = {}
+    for k, v in full.items():
+        if k.startswith("net.slice"):
+            _, _, idx, kind = k.split(".")
+            vgg_sd[f"features.{idx}.{kind}"] = v
+
+    import jax
+    import jax.numpy as jnp
+
+    from vavae_tpu.models.lpips import LPIPS, lpips_params_from_torch
+
+    # lin-only alone must fail loudly with guidance, not mis-convert
+    with pytest.raises(KeyError, match="VAVAE_VGG16_WEIGHTS"):
+        lpips_params_from_torch(lin_sd)
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray, lpips_params_from_torch(lin_sd, vgg_sd)
+    )
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1.0, 1.0, size=(2, 3, 64, 64)).astype(np.float32)
+    b = rng.uniform(-1.0, 1.0, size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        d_ref = ref_lpips(torch.from_numpy(a), torch.from_numpy(b))
+    d = np.asarray(
+        LPIPS().apply(
+            {"params": params},
+            jnp.asarray(np.transpose(a, (0, 2, 3, 1))),
+            jnp.asarray(np.transpose(b, (0, 2, 3, 1))),
+        )
+    )
+    np.testing.assert_allclose(d, d_ref.reshape(-1).numpy(), rtol=1e-4, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # timm-faithful torch ViT (timm is not installed): mirrors the pieces of
 # timm.models.vision_transformer that vit_large_patch14_dinov2/.mae use —

@@ -46,7 +46,10 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
+            if not _build() and not os.path.exists(_SO):
+                # no toolchain and no library; a stale-but-present .so still
+                # loads below (checkout mtimes are arbitrary — don't discard
+                # a working library just because g++ is missing)
                 return None
         try:
             lib = ctypes.CDLL(_SO)

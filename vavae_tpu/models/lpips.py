@@ -5,9 +5,15 @@ LPIPS: scaling layer, VGG16 feature taps relu{1_2,2_2,3_3,4_3,5_3},
 channel-unit-normalized squared diffs, 1×1 linear heads, spatial mean,
 sum over taps).
 
-Weights: converted from the taming ``vgg.pth`` checkpoint (which bundles the
-torchvision VGG16 features under ``net.`` and the lin heads under ``lin*``).
-No download here — provide the file via VAVAE_LPIPS_WEIGHTS or weights_path.
+Weights: the GENUINE taming ``vgg.pth`` download (URL_MAP['vgg_lpips'])
+contains ONLY the scaling layer and the ``lin*`` 1×1 heads — the reference
+builds the VGG16 backbone from ``torchvision.models.vgg16(pretrained=True)``
+and loads vgg.pth with strict=False (LightningDiT/models/lpips.py:53,65-68).
+So two artifacts are accepted here (no downloads, zero-egress):
+  - VAVAE_LPIPS_WEIGHTS: vgg.pth (lin heads), or a FULL LPIPS module dump
+    that already bundles ``net.slice*`` conv weights;
+  - VAVAE_VGG16_WEIGHTS: the torchvision vgg16 state dict
+    (``features.N.weight`` layout) — required iff vgg.pth lacks the convs.
 """
 from __future__ import annotations
 
@@ -71,9 +77,16 @@ class LPIPS(nn.Module):
         return total
 
 
-def lpips_params_from_torch(sd) -> dict:
-    """Convert a taming/LPIPS vgg.pth state dict to our param tree."""
+def lpips_params_from_torch(sd, vgg_sd=None) -> dict:
+    """Convert LPIPS torch weights to our param tree.
+
+    ``sd``: the taming vgg.pth state dict (lin heads; may also bundle the
+    VGG convs if it is a full-module dump). ``vgg_sd``: a torchvision vgg16
+    state dict (``features.N.*``) consulted for any conv ``sd`` lacks — the
+    genuine vgg.pth download has none of them.
+    """
     sd = {k: np.asarray(v) for k, v in sd.items()}
+    vgg_sd = {k: np.asarray(v) for k, v in (vgg_sd or {}).items()}
     params: dict = {"net": {}}
     # torchvision vgg16 features module indices of the convs
     conv_torch_idx = []
@@ -91,6 +104,9 @@ def lpips_params_from_torch(sd) -> dict:
         for n in names:
             if n in sd:
                 return sd[n]
+        for n in names:
+            if n in vgg_sd:
+                return vgg_sd[n]
         return None
 
     # slices boundaries in the taming LPIPS implementation
@@ -109,7 +125,12 @@ def lpips_params_from_torch(sd) -> dict:
         bvec = find([f"net.slice{si}.{ti}.bias", f"net.slice{si}.{within}.bias",
                      f"features.{ti}.bias", f"net.features.{ti}.bias"])
         if w is None:
-            raise KeyError(f"VGG conv {ci} (torch idx {ti}) not found in state dict")
+            raise KeyError(
+                f"VGG conv {ci} (torch idx {ti}) not found. The genuine taming "
+                "vgg.pth contains only the lin heads — also provide the "
+                "torchvision vgg16 state dict (features.N.weight layout) via "
+                "VAVAE_VGG16_WEIGHTS / the vgg16_path argument."
+            )
         params["net"][f"conv{ci}"] = {
             "kernel": np.transpose(w, (2, 3, 1, 0)),
             "bias": bvec,
@@ -123,16 +144,26 @@ def lpips_params_from_torch(sd) -> dict:
     return params
 
 
-def load_lpips(weights_path: str | None = None):
+def load_lpips(weights_path: str | None = None, vgg16_path: str | None = None):
     model = LPIPS()
     weights_path = weights_path or os.environ.get("VAVAE_LPIPS_WEIGHTS")
+    vgg16_path = vgg16_path or os.environ.get("VAVAE_VGG16_WEIGHTS")
     if weights_path and os.path.exists(weights_path):
         import torch
 
         sd = torch.load(weights_path, map_location="cpu", weights_only=False)
-        params = jax.tree_util.tree_map(jnp.asarray, lpips_params_from_torch(sd))
+        vgg_sd = None
+        if vgg16_path and os.path.exists(vgg16_path):
+            vgg_sd = torch.load(vgg16_path, map_location="cpu", weights_only=False)
+            if hasattr(vgg_sd, "state_dict"):  # a pickled module, not a dict
+                vgg_sd = vgg_sd.state_dict()
+        params = jax.tree_util.tree_map(
+            jnp.asarray, lpips_params_from_torch(sd, vgg_sd)
+        )
         return model, {"params": params}
     raise FileNotFoundError(
-        "LPIPS VGG weights not found. Provide the taming 'vgg.pth' and set "
-        "VAVAE_LPIPS_WEIGHTS=/path/to/vgg.pth"
+        "LPIPS VGG weights not found. Provide the taming 'vgg.pth' via "
+        "VAVAE_LPIPS_WEIGHTS=/path/to/vgg.pth — and, since that file holds "
+        "only the lin heads, the torchvision vgg16 state dict via "
+        "VAVAE_VGG16_WEIGHTS=/path/to/vgg16.pth"
     )

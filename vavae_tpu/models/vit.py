@@ -172,7 +172,7 @@ class FoundationModel:
 
     def init_random(self, rng) -> "FoundationModel":
         """Random-init fallback (tests / smoke runs without weights)."""
-        size = 224 if self.kind == "dinov2" else 224
+        size = 224  # init only shapes the traced input; all kinds use 224
         x = jnp.zeros((1, size, size, 3))
         self.params = self.model.init({"params": rng}, x)["params"]
         return self

@@ -172,7 +172,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ) * scale  # (block_q, block_k)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -182,6 +183,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         return acc, m_new, l_new
 
@@ -439,14 +441,16 @@ def _pad_halves(x: jax.Array, dp: int) -> jax.Array:
     return x.reshape(*x.shape[:-2], dp)
 
 
-def _heads_per_program(bh: int, n: int, dp: int) -> int:
+def _heads_per_program(bh: int, n: int, dp: int, itemsize: int = 2) -> int:
     """Largest divisor of B·H (≤16) keeping the working set under VMEM.
 
     Measured on v5e (XL/1 shapes, BH=512, N=256, Dp=128): G=8 runs 0.93 ms
     vs 1.15 ms for XLA attention and 1.6 ms for G=4 — per-program overhead
-    dominates small G, VMEM pressure caps large G."""
+    dominates small G, VMEM pressure caps large G. ``itemsize`` is the q/k/v
+    element size (bf16=2, fp32=4) — sizing with 2 unconditionally would
+    underestimate fp32 tiles 2× and overflow VMEM near N=SMALL_SEQ_MAX."""
     budget = 8 * 1024 * 1024  # bytes; leave room for double buffering
-    per_head = 4 * n * dp * 2 + 2 * n * n * 4  # q,k,v,o bf16 + s,p f32
+    per_head = 4 * n * dp * itemsize + 2 * n * n * 4  # q,k,v,o + s,p f32
     g = max(1, min(16, budget // max(per_head, 1)))
     while g > 1 and bh % g:
         g -= 1
@@ -469,7 +473,7 @@ def _forward(q, k, v, rope, block_q: int, block_k: int):
     BH = B * H
 
     if N <= SMALL_SEQ_MAX and N % 8 == 0:
-        G = _heads_per_program(BH, N, Dp)
+        G = _heads_per_program(BH, N, Dp, itemsize=qb.dtype.itemsize)
         grid = (BH // G,)
         qspec = pl.BlockSpec((G, N, Dp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         if use_rope:
@@ -562,9 +566,10 @@ def _bwd_pallas(q, k, v, rope, g):
     Dp = qb.shape[-1]
     BH = B * H
 
-    # bigger per-head VMEM footprint than forward: p/dp/ds f32 + 7 bf16 tiles
+    # bigger per-head VMEM footprint than forward: p/dp/ds f32 + 7 q/k/v-dtype
+    # tiles (itemsize-scaled — fp32 doubles the estimate vs bf16)
     budget = 8 * 1024 * 1024
-    per_head = 3 * N * N * 4 + 7 * N * Dp * 2
+    per_head = 3 * N * N * 4 + 7 * N * Dp * qb.dtype.itemsize
     G = max(1, min(16, budget // max(per_head, 1)))
     while G > 1 and BH % G:
         G -= 1

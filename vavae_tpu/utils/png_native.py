@@ -50,7 +50,10 @@ def _load() -> Optional[ctypes.CDLL]:
             )
         except OSError:
             stale = not os.path.exists(_SO)
-        if stale and not _build():
+        if stale and not _build() and not os.path.exists(_SO):
+            # no toolchain AND no library at all; a stale-but-present .so is
+            # still worth loading (checkout mtimes are arbitrary — discarding
+            # a working library would silently fall back to per-image PIL)
             return None
         try:
             lib = ctypes.CDLL(_SO)

@@ -4,7 +4,7 @@ The reference's closest equivalents are steps/sec logging with explicit
 cuda.synchronize (train.py:224-226) and the CUDACallback epoch/peak-memory
 logger (vavae/main.py:433-453). Here:
 
-  - ``StepTimer``: wall-clock steps/sec with block_until_ready fencing
+  - ``StepTimer``: wall-clock steps/sec fenced by a VALUE FETCH
   - ``trace()``: context manager around jax.profiler for TensorBoard traces
   - ``device_memory_stats()``: live/peak HBM per device
 """
@@ -29,8 +29,18 @@ class StepTimer:
         self._steps += 1
 
     def rate(self, sync_on: Any = None) -> float:
-        """steps/sec since last reset; fences on ``sync_on`` if given."""
+        """steps/sec since last reset; fences on ``sync_on`` if given.
+
+        The fence FETCHES a value: on the tunneled axon backend
+        block_until_ready can return before completion (CLAUDE.md), so any
+        array leaf of ``sync_on`` is pulled to host via np.asarray."""
         if sync_on is not None:
+            import numpy as np
+
+            leaves = [x for x in jax.tree_util.tree_leaves(sync_on)
+                      if hasattr(x, "dtype")]
+            if leaves:
+                np.asarray(jax.device_get(leaves[0]))
             jax.block_until_ready(sync_on)
         dt = time.perf_counter() - self._t0
         return self._steps / dt if dt > 0 else float("inf")

@@ -51,23 +51,39 @@ def warmup_cosine_cycles(
     lr_mins: Sequence[float],
     warmups: Sequence[int],
     cycle_lengths: Sequence[int],
+    lr_starts: Sequence[float] | None = None,
 ) -> Callable:
-    """Cycle-based warmup-cosine (LambdaWarmUpCosineScheduler2): each cycle
-    has its own warmup / max / min. Host-side helper (python control flow),
-    suitable for epoch-level LR setting."""
-    starts = np.cumsum([0] + list(cycle_lengths[:-1]))
+    """Cycle-based warmup-cosine (LambdaWarmUpCosineScheduler2,
+    lr_scheduler.py:36-80): each cycle has its own warmup / max / min / start.
+    Host-side helper (python control flow), suitable for epoch-level LR.
+
+    ``lr_starts`` is the reference's separate ``f_start`` list — the warmup
+    ramps lr_start→lr_max, NOT lr_min→lr_max (with the common LDM config
+    f_start=[1e-6], f_min=[1.0], f_max=[1.0] those differ: ramping from
+    lr_min would yield a constant 1.0 and silently disable warmup). Defaults
+    to zeros like warmup_cosine's lr_start."""
+    if lr_starts is None:
+        lr_starts = [0.0] * len(lr_maxes)
+    # reference cycle lookup: n <= cum_cycles[k+1] keeps a boundary step in
+    # the EARLIER cycle (find_in_interval, lr_scheduler.py:52-57)
+    cums = np.cumsum([0] + list(cycle_lengths))
 
     def schedule(step: int) -> float:
         step = int(step)
-        cycle = int(np.searchsorted(starts, step, side="right") - 1)
-        cycle = min(cycle, len(cycle_lengths) - 1)
-        s = step - int(starts[cycle])
+        cycle = 0
+        for i, cl in enumerate(cums[1:]):
+            if step <= cl:
+                cycle = i
+                break
+        else:
+            cycle = len(cycle_lengths) - 1
+        s = step - int(cums[cycle])
         if s < warmups[cycle]:
-            return lr_mins[cycle] + (lr_maxes[cycle] - lr_mins[cycle]) * s / max(
+            return lr_starts[cycle] + (lr_maxes[cycle] - lr_starts[cycle]) * s / max(
                 warmups[cycle], 1
             )
         t = (s - warmups[cycle]) / max(cycle_lengths[cycle] - warmups[cycle], 1)
-        t = min(max(t, 0.0), 1.0)
+        t = min(t, 1.0)
         return lr_mins[cycle] + 0.5 * (lr_maxes[cycle] - lr_mins[cycle]) * (
             1.0 + math.cos(math.pi * t)
         )
