@@ -137,7 +137,13 @@ bool open_shard(const char *path, Shard *s) {
     return fail();
   // Unsupported label dtypes must fail LOUDLY here — label_at would otherwise
   // silently return 0 and the whole dataset trains as class 0.
-  if (s->labels.dtype != "I64" && s->labels.dtype != "I32" && s->labels.dtype != "F32")
+  size_t label_size;
+  if (s->labels.dtype == "I64") label_size = 8;
+  else if (s->labels.dtype == "I32" || s->labels.dtype == "F32") label_size = 4;
+  else return fail();
+  // labels are indexed by LATENTS row count — a shorter labels tensor would
+  // read adjacent mmap bytes as classes
+  if (s->labels.end - s->labels.begin < label_size * (size_t)s->rows)
     return fail();
   // Offsets must lie inside the data section (guards OOB reads on a
   // truncated/corrupt file).
@@ -168,6 +174,11 @@ inline int64_t label_at(const Shard &s, int64_t row) {
 }  // namespace
 
 extern "C" {
+
+// Bump when the library's validation/behavior contract changes; the python
+// binding refuses an .so whose ABI predates what it was written against
+// (mtime-based staleness can't be trusted across checkouts).
+int shard_reader_abi_version() { return 2; }
 
 void *shard_reader_create(const char **paths, int n_paths) {
   auto *r = new Reader();

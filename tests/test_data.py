@@ -79,6 +79,48 @@ def test_image_folder_batches_worker_invariant(image_tree):
     assert a[0][0].min() >= -1.0 and a[0][0].max() <= 1.0
 
 
+def test_image_folder_batches_equal_counts_across_processes(image_tree):
+    """Striping must equalize BEFORE splitting: with 12-1=11 items visible to
+    2 processes, naive order[p::2] gives 6 vs 5 items — the extra batch's
+    data-parallel collective would deadlock multihost training (same fix as
+    ImgLatentDataset.batches). Also: a zero-batch epochs=None loop must raise
+    instead of spinning forever."""
+    import os
+
+    from vavae_tpu.data.image_folder import ImageFolderDataset
+
+    # drop one file -> odd count after equalize check
+    victims = sorted((image_tree / "a").glob("*.png"))
+    os.remove(victims[0])
+    ds = ImageFolderDataset(str(image_tree), image_size=32)
+    assert len(ds) == 11
+    n0 = len(list(ds.batches(5, seed=3, epochs=1, process_index=0, process_count=2,
+                             drop_last=False, workers=1)))
+    n1 = len(list(ds.batches(5, seed=3, epochs=1, process_index=1, process_count=2,
+                             drop_last=False, workers=1)))
+    assert n0 == n1 == 1
+
+    with pytest.raises(ValueError, match="spin forever"):
+        next(ds.batches(64, epochs=None, workers=1))
+
+
+def test_split_file_flat_layout_skips_missing(tmp_path, image_tree):
+    """A flat-layout entry pointing at a deleted file is skipped at
+    construction (like the dict layout), not raised mid-epoch in the decode
+    pool."""
+    import json as _json
+
+    from vavae_tpu.data.image_folder import SplitFileDataset
+
+    p = sorted((image_tree / "a").glob("*.png"))[0]
+    flat = {"train": [{"path": str(p), "user_id": 0},
+                      {"path": str(image_tree / "a" / "gone.png"), "user_id": 1}]}
+    sf = tmp_path / "flat_missing.json"
+    sf.write_text(_json.dumps(flat))
+    ds = SplitFileDataset(str(sf), "train", image_size=32)
+    assert [uid for _, uid in ds.items] == [0]
+
+
 def test_parse_user_id_conventions():
     """ID_k is 1-based, User_k/user_k 0-based, bare number as-is
     (domain_classifier_training.py:373-389)."""

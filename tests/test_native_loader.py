@@ -100,6 +100,35 @@ def test_native_reader_rejects_malformed_dirs(tmp_path):
     with pytest.raises(RuntimeError, match="failed to open"):
         NativeShardReader([str(badlabels / "latents_rank00_shard000.safetensors")])
 
+    shortlabels = tmp_path / "shortlabels"
+    shortlabels.mkdir()
+    save_file(
+        {
+            # labels indexed by LATENTS rows: 2 labels for 4 rows would read
+            # adjacent mmap bytes as classes
+            "latents": rng.normal(size=(4, 4, 8, 8)).astype(np.float32),
+            "labels": np.zeros((2,), np.int64),
+        },
+        str(shortlabels / "latents_rank00_shard000.safetensors"),
+    )
+    with pytest.raises(RuntimeError, match="failed to open"):
+        NativeShardReader([str(shortlabels / "latents_rank00_shard000.safetensors")])
+
+
+def test_native_reader_abi_version_gate():
+    """The loaded library must report the ABI the binding was written
+    against — a prebuilt .so from an older checkout (no toolchain to rebuild)
+    must be refused rather than silently lacking the open-time rejections."""
+    import ctypes
+
+    from vavae_tpu.data import native_loader
+
+    lib = native_loader._load()
+    if lib is None:
+        pytest.skip("native reader build unavailable")
+    lib.shard_reader_abi_version.restype = ctypes.c_int
+    assert int(lib.shard_reader_abi_version()) >= native_loader._ABI_VERSION
+
 
 def test_native_png_writer_roundtrip(tmp_path):
     """Native PNGs must decode (via PIL) to exactly the input pixels, and the

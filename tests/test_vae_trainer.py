@@ -71,6 +71,55 @@ def test_vae_train_step_runs_and_descends(tiny_trainer):
     assert losses[-1] < losses[0]
 
 
+def test_disc_bn_stats_chain_real_and_fake(request):
+    """The discriminator's BN running stats must see all THREE train-mode
+    forwards of a step like torch does — fake (generator phase), real, fake —
+    chained sequentially (autoencoder.py:386-406 + contperceptual). Chained
+    EMA is linear in the single-step updates, so the step's final stats must
+    equal m²·u0 + m·u1 + u2 − (m²+m)·pre where u_i are one-EMA updates from
+    the pre-step stats and m=0.9 is the BN momentum. (The old code kept only
+    the fake-batch update → stats tracked generated images exclusively.)"""
+    mesh8 = request.getfixturevalue("mesh8")
+    vae = AutoencoderKL(embed_dim=4, ch=32, ch_mult=(1, 2), resolution=32)
+    cfg = VAELossConfig(disc_start=0, kl_weight=1e-6, perceptual_weight=0.0)
+    trainer = VAETrainer(vae, mesh8, loss_cfg=cfg, use_vf=False, disc_layers=2)
+
+    rng = jax.random.PRNGKey(3)
+    state = trainer.init_state(rng)
+    pre = jax.device_get(state.disc_batch_stats)
+    assert jax.tree_util.tree_leaves(pre), "disc has no BN stats to test"
+
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.5
+    )
+    # reproduce the step's decode (pre-update gen params, the step's noise)
+    noise_rng = jax.random.fold_in(rng, state.step)
+    down = 2 ** (len(vae.ch_mult) - 1)
+    zshape = (x.shape[0], x.shape[1] // down, x.shape[2] // down, vae.embed_dim)
+    noise = jax.random.normal(noise_rng, zshape, jnp.float32)
+    dec, _, _ = trainer._forward(state.gen_params, x, noise)
+
+    dvars = {"params": state.disc_params, "batch_stats": state.disc_batch_stats}
+    _, u0 = trainer.disc.apply(dvars, dec, train=True, mutable=["batch_stats"])
+    _, u1 = trainer.disc.apply(dvars, x, train=True, mutable=["batch_stats"])
+    u0 = jax.device_get(u0["batch_stats"])
+    u1 = jax.device_get(u1["batch_stats"])
+
+    m = 0.9  # models/discriminator.py BatchNorm momentum
+    expected = jax.tree_util.tree_map(
+        lambda p, a, b: m * m * a + m * b + a - (m * m + m) * p, pre, u0, u1
+    )
+
+    state2, _ = trainer.train_step(
+        trainer.replicate(state), rng, shard_batch(trainer.mesh, np.asarray(x))
+    )
+    got = jax.device_get(state2.disc_batch_stats)
+    jax.tree_util.tree_map(
+        lambda e, g: np.testing.assert_allclose(g, e, rtol=1e-5, atol=1e-6),
+        expected, got,
+    )
+
+
 def test_frozen_bf16_matches_fp32(request):
     """frozen_bf16 (bf16 DINOv2/LPIPS feature nets) changes the losses only
     at bf16 noise level: one train step in each mode, metrics close."""

@@ -90,8 +90,26 @@ class ImageFolderDataset:
                 order = np.arange(len(self))
                 if shuffle:
                     np.random.default_rng(seed + epoch).shuffle(order)
+                if process_count > 1:
+                    # equalize BEFORE striping (same as ImgLatentDataset.batches):
+                    # otherwise processes get counts differing by one and the
+                    # extra batch's data-parallel collective waits forever
+                    order = order[: len(order) - (len(order) % process_count)]
                 order = order[process_index::process_count]
                 stop = len(order) - (len(order) % batch_size) if drop_last else len(order)
+                if stop == 0:
+                    msg = (
+                        f"per-process dataset ({len(order)} items after striping "
+                        f"{process_count} ways) is smaller than batch_size "
+                        f"{batch_size}"
+                        + (" with drop_last" if drop_last else "")
+                        + " — the epoch yields zero batches"
+                    )
+                    if epochs is None:
+                        raise ValueError(msg + " and epochs=None would spin forever")
+                    import warnings
+
+                    warnings.warn(msg, stacklevel=2)
                 for s in range(0, stop, batch_size):
                     idxs = [int(i) for i in order[s : s + batch_size]]
                     items = list(pool.map(self.__getitem__, idxs)) if pool else [
@@ -313,9 +331,15 @@ class SplitFileDataset(ImageFolderDataset):
         else:
             for e in entries:
                 if isinstance(e, dict):
-                    path = e.get("path") or e.get("file")
+                    path = resolve(e.get("path") or e.get("file"))
                     uid = int(e.get("user_id", e.get("label", 0)))
-                    add(resolve(path), uid)
+                    # same missing-file policy as the dict layout above: skip
+                    # at construction instead of raising mid-epoch in the
+                    # decode pool
+                    if os.path.isfile(path):
+                        add(path, uid)
+                    else:
+                        print(f"SplitFileDataset: missing file skipped: {path}")
                 elif isinstance(e, str):
                     # legacy layout (microdoppler_dataset_diffusion.py:57-83)
                     p = resolve(e)

@@ -20,6 +20,7 @@ _SRC = os.path.join(
     "shard_reader.cpp",
 )
 _SO = os.path.join(os.path.dirname(_SRC), "libshard_reader.so")
+_ABI_VERSION = 2  # must match shard_reader_abi_version() in the C++ source
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -54,6 +55,16 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
+            return None
+        # Refuse an .so whose validation contract predates this binding
+        # (e.g. a prebuilt library from an older checkout on a g++-less box
+        # would silently lack the open-time shape/label/bounds rejections).
+        try:
+            lib.shard_reader_abi_version.restype = ctypes.c_int
+            abi = int(lib.shard_reader_abi_version())
+        except AttributeError:
+            abi = 0
+        if abi < _ABI_VERSION:
             return None
         lib.shard_reader_create.restype = ctypes.c_void_p
         lib.shard_reader_create.argtypes = [

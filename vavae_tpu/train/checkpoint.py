@@ -45,7 +45,11 @@ def _to_host(state: Any) -> Any:
             # result is a true snapshot even if the caller mutates/donates
             # the original while an async write is in flight
             return x.copy()
-        return jax.device_get(x)
+        # np.array(copy=True): on the CPU backend device_get can return a
+        # ZERO-COPY view of the live device buffer, which the next donating
+        # train step overwrites while the async write is in flight (a torn
+        # checkpoint that restores without error)
+        return np.array(jax.device_get(x))
 
     return jax.tree_util.tree_map(fetch, state)
 

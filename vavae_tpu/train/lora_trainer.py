@@ -25,6 +25,7 @@ from vavae_tpu.parallel.mesh import (
     data_sharding,
     donate_state_argnums,
     replicated,
+    shard_batch as _mesh_shard_batch,
 )
 from vavae_tpu.train.ema import update_ema
 from vavae_tpu.train.lora import init_lora, merge_lora
@@ -83,9 +84,9 @@ class LoRATrainer:
         return jax.device_put(tree, replicated(self.mesh))
 
     def shard_batch(self, batch):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, data_sharding(self.mesh, x.ndim)), batch
-        )
+        # the mesh helper handles multi-process placement (device_put alone
+        # cannot target non-addressable devices under jax.distributed)
+        return _mesh_shard_batch(self.mesh, batch)
 
     def merged_params(self, base_params: Any, state: LoRAState, ema: bool = True) -> Any:
         """Export: effective weights with the (EMA) adapters folded in."""

@@ -123,7 +123,6 @@ class VAETrainer:
                 r2, (1, 1, self.vae.embed_dim, self.vf_dim), jnp.float32
             )
             gen_params["proj"] = {"kernel": k}
-        latent = jnp.zeros((1, 2, 2, self.vae.embed_dim), jnp.float32)
         disc_vars = self.disc.init({"params": r3}, jnp.zeros((1, 32, 32, 3)), train=True)
         return VAETrainState(
             step=jnp.zeros((), jnp.int32),
@@ -162,7 +161,17 @@ class VAETrainer:
         )
         nll, rec_mean = nll_loss(x, dec, p_loss, cfg)
         kl = jnp.mean(posterior.kl())
-        logits_fake = self.disc.apply(disc_vars, dec, train=False)
+        # train=True: the reference's generator phase runs the discriminator
+        # in TRAIN mode (Lightning training_step, autoencoder.py:386-388), so
+        # g_loss is normalized by the fake batch's own BN statistics (and its
+        # gradient flows through them) AND the running stats tick once here —
+        # upd0 is chained into the disc phase by _train_step.
+        if "batch_stats" in disc_vars:
+            logits_fake, upd0 = self.disc.apply(
+                disc_vars, dec, train=True, mutable=["batch_stats"]
+            )
+        else:
+            logits_fake, upd0 = self.disc.apply(disc_vars, dec, train=False), {}
         g_loss = -jnp.mean(logits_fake)
         if self.use_vf and aux is not None:
             z_proj = self._proj(gen_params, z)
@@ -170,7 +179,8 @@ class VAETrainer:
         else:
             vf, vf_dm, vf_cos = jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
         parts = {"rec_loss": rec_mean, "kl_loss": kl, "g_loss": g_loss,
-                 "vf_loss": vf, "vf_distmat": vf_dm, "vf_cos": vf_cos, "dec": dec}
+                 "vf_loss": vf, "vf_distmat": vf_dm, "vf_cos": vf_cos, "dec": dec,
+                 "bn_gen": upd0.get("batch_stats", {})}
         return nll, kl, g_loss, vf, parts
 
     def _train_step(
@@ -253,6 +263,7 @@ class VAETrainer:
             state.gen_params
         )
         dec = jax.lax.stop_gradient(parts.pop("dec"))
+        bn_gen = jax.lax.stop_gradient(parts.pop("bn_gen"))
         gen_updates, gen_opt = self.gen_tx.update(gen_grads, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, gen_updates)
 
@@ -260,12 +271,21 @@ class VAETrainer:
         d_loss_fn = hinge_d_loss if cfg.disc_loss == "hinge" else vanilla_d_loss
 
         def disc_loss_fn(disc_params):
+            # BN running stats chain SEQUENTIALLY through the step's three
+            # train-mode discriminator forwards, like torch: fake (generator
+            # phase, bn_gen) → real → fake. Normalization always uses the
+            # current batch's stats, so logits are chain-order independent —
+            # only the stored EMA differs (the old code fed both disc-phase
+            # forwards the pre-step stats and kept just the fake update,
+            # tracking generated images only).
             dvars = {"params": disc_params}
             if state.disc_batch_stats:
-                dvars["batch_stats"] = state.disc_batch_stats
+                dvars["batch_stats"] = bn_gen
             (logits_real, upd1) = self.disc.apply(
                 dvars, x, train=True, mutable=["batch_stats"]
             )
+            if state.disc_batch_stats:
+                dvars["batch_stats"] = upd1["batch_stats"]
             (logits_fake, upd2) = self.disc.apply(
                 dvars, dec, train=True, mutable=["batch_stats"]
             )
