@@ -229,8 +229,10 @@ def main() -> None:
         run(jax.random.PRNGKey(2 + i))
     dt = time.perf_counter() - t0
 
-    n_chips = jax.device_count()
-    samples_per_sec_chip = (batch * n_iters) / dt / n_chips
+    # `generate` is a plain single-device jit (no mesh), so exactly ONE chip
+    # does the work regardless of how many the backend exposes — normalizing
+    # by jax.device_count() on a multi-chip slice would under-report 8x.
+    samples_per_sec_chip = (batch * n_iters) / dt
     value = round(samples_per_sec_chip, 4)
     tag = "" if cache_interval == 1 else f",vcache{cache_interval}"
     if multistep_order > 1:

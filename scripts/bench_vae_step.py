@@ -5,27 +5,33 @@ disc, adaptive-weight VJPs, both optimizer updates) and ablations with each
 big piece disabled, plus standalone forwards of the frozen nets, so the
 attribution is measured rather than estimated.
 
+Every point runs in a FRESH subprocess (CLAUDE.md rule: a process that has
+already built big jits inflates later standalone measurements up to ~7x —
+a 13 ms DINOv2 forward measured 90 ms after four trainer builds).
+
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_vae_step.py [batch]
 """
 from __future__ import annotations
 
+import os
+import subprocess
 import sys
 import time
 
-import vavae_tpu.utils.jax_cache  # noqa: F401
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from vavae_tpu.models.lpips import LPIPS
-from vavae_tpu.models.vit import FoundationModel
-from vavae_tpu.parallel.mesh import make_mesh
-from vavae_tpu.train.vae_loss import VAELossConfig
-from vavae_tpu.train.vae_trainer import VAETrainer
-from vavae_tpu.models.vae import AutoencoderKL
+TRAINER_POINTS = [
+    ("full, frozen bf16", {}),
+    ("full, frozen fp32", dict(frozen_bf16=False)),
+    ("no vf", dict(use_vf=False)),
+    ("no lpips", dict(use_lpips=False)),
+    ("no disc", dict(disc_factor=0.0)),
+]
+STANDALONE_POINTS = ["dino", "lpips", "vae_fwd", "vae_fwd_bwd"]
 
 
 def timeit(fn, *args, iters=10, settle=3):
+    import jax
+    import numpy as np
+
     for _ in range(settle):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -40,6 +46,16 @@ def timeit(fn, *args, iters=10, settle=3):
 
 
 def build(batch, use_vf=True, use_lpips=True, disc_factor=1.0, frozen_bf16=True):
+    import jax
+    import jax.numpy as jnp
+
+    from vavae_tpu.models.lpips import LPIPS
+    from vavae_tpu.models.vae import AutoencoderKL
+    from vavae_tpu.models.vit import FoundationModel
+    from vavae_tpu.parallel.mesh import make_mesh
+    from vavae_tpu.train.vae_loss import VAELossConfig
+    from vavae_tpu.train.vae_trainer import VAETrainer
+
     mesh = make_mesh()
     rng = jax.random.PRNGKey(0)
     fm = FoundationModel(kind="dinov2").init_random(rng) if use_vf else None
@@ -65,20 +81,19 @@ def build(batch, use_vf=True, use_lpips=True, disc_factor=1.0, frozen_bf16=True)
     return trainer, state
 
 
-def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+def run_point(point: str, batch: int) -> None:
+    """Measure ONE point in this (fresh) process and print its line."""
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     rng = jax.random.PRNGKey(1)
     x = jax.random.uniform(rng, (batch, 256, 256, 3), jnp.float32, -1, 1)
 
-    results = {}
-
-    for name, kw in [
-        ("full, frozen bf16", {}),
-        ("full, frozen fp32", dict(frozen_bf16=False)),
-        ("no vf", dict(use_vf=False)),
-        ("no lpips", dict(use_lpips=False)),
-        ("no disc", dict(disc_factor=0.0)),
-    ]:
+    for name, kw in TRAINER_POINTS:
+        if name != point:
+            continue
         trainer, state = build(batch, **kw)
         # the step DONATES state: thread it through instead of reusing
         for _ in range(4):
@@ -90,35 +105,64 @@ def main():
             state, metrics = trainer.train_step(state, rng, x)
         np.asarray(metrics["total_loss"])
         t = (time.perf_counter() - t0) / iters * 1e3
-        results[name] = t
         print(f"{name:24s} {t:8.1f} ms/step   {batch / t * 1e3:6.1f} img/s", flush=True)
+        return
 
-    # standalone frozen forwards
-    fm = FoundationModel(kind="dinov2").init_random(jax.random.PRNGKey(0))
-    fn = jax.jit(fm.feature_fn_p())
-    t = timeit(fn, fm.params, x)
-    print(f"{'dino fwd alone':24s} {t:8.1f} ms")
+    if point == "dino":
+        from vavae_tpu.models.vit import FoundationModel
 
-    lp = LPIPS()
-    lp_vars = lp.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
-    lpf = jax.jit(lambda v, a, b: lp.apply(v, a, b))
-    t = timeit(lpf, lp_vars, x, x)
-    print(f"{'lpips fwd alone':24s} {t:8.1f} ms")
+        fm = FoundationModel(kind="dinov2").init_random(jax.random.PRNGKey(0))
+        fn = jax.jit(fm.feature_fn_p())
+        t = timeit(fn, fm.params, x)
+        print(f"{'dino fwd alone':24s} {t:8.1f} ms", flush=True)
+        return
+    if point == "lpips":
+        from vavae_tpu.models.lpips import LPIPS
 
-    vae = AutoencoderKL(embed_dim=32, ch=128, ch_mult=(1, 1, 2, 2, 4), resolution=256)
-    vp = vae.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)), sample=False)["params"]
+        lp = LPIPS()
+        lp_vars = lp.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+        )
+        lpf = jax.jit(lambda v, a, b: lp.apply(v, a, b))
+        t = timeit(lpf, lp_vars, x, x)
+        print(f"{'lpips fwd alone':24s} {t:8.1f} ms", flush=True)
+        return
+    if point in ("vae_fwd", "vae_fwd_bwd"):
+        from vavae_tpu.models.vae import AutoencoderKL
 
-    def recon_loss(p, x):
-        post = vae.apply({"params": p}, x, method=AutoencoderKL.encode)
-        dec = vae.apply({"params": p}, post.mean, method=AutoencoderKL.decode)
-        return jnp.mean(jnp.abs(x - dec))
+        vae = AutoencoderKL(embed_dim=32, ch=128, ch_mult=(1, 1, 2, 2, 4), resolution=256)
+        vp = vae.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)), sample=False
+        )["params"]
 
-    vfwd = jax.jit(recon_loss)
-    t = timeit(vfwd, vp, x)
-    print(f"{'vae enc+dec fwd':24s} {t:8.1f} ms")
-    vgrad = jax.jit(jax.grad(recon_loss))
-    t = timeit(vgrad, vp, x)
-    print(f"{'vae enc+dec fwd+bwd':24s} {t:8.1f} ms")
+        def recon_loss(p, xv):
+            post = vae.apply({"params": p}, xv, method=AutoencoderKL.encode)
+            dec = vae.apply({"params": p}, post.mean, method=AutoencoderKL.decode)
+            return jnp.mean(jnp.abs(xv - dec))
+
+        if point == "vae_fwd":
+            t = timeit(jax.jit(recon_loss), vp, x)
+            print(f"{'vae enc+dec fwd':24s} {t:8.1f} ms", flush=True)
+        else:
+            t = timeit(jax.jit(jax.grad(recon_loss)), vp, x)
+            print(f"{'vae enc+dec fwd+bwd':24s} {t:8.1f} ms", flush=True)
+        return
+    raise SystemExit(f"unknown point {point!r}")
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--point":
+        run_point(sys.argv[2], int(sys.argv[3]))
+        return
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    points = [name for name, _ in TRAINER_POINTS] + STANDALONE_POINTS
+    for point in points:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--point", point, str(batch)],
+            env=os.environ,
+        )
+        if r.returncode != 0:
+            print(f"# point {point!r} failed (rc={r.returncode})", flush=True)
 
 
 if __name__ == "__main__":

@@ -110,6 +110,16 @@ def main() -> None:
     lat_range = float(exact.max() - exact.min())
     img_range = float(dec_exact.max() - dec_exact.min())
 
+    def dump() -> None:
+        # incremental per-point dump: a tunnel drop mid-sweep keeps everything
+        # measured so far (same pattern as bench_multistep.py)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(results, f, indent=2)
+        os.replace(tmp, args.out)
+
+    dump()
     for k, order in ((2, 0), (3, 0), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1),
                      (3, 2), (4, 2), (5, 2), (6, 2)):
         cached = sample_with_k(k, order)
@@ -140,6 +150,7 @@ def main() -> None:
               f"ssim {r['decoded_ssim']:.4f}, "
               f"acc {acc_k:.3f} (Δ{acc_k - acc1:+.3f}), "
               f"conf {conf_k:.3f} (Δ{conf_k - conf1:+.3f})", flush=True)
+        dump()
 
     # ---- throughput phase: XL/1, fresh bench.py process per point ---------
     # (throughput is forecast-order independent: same model-eval count; the
@@ -150,10 +161,9 @@ def main() -> None:
             key = "exact" if k == 1 else f"k{k}"
             results.setdefault("throughput_xl1_b8", {})[key] = thr
             print(f"XL/1 throughput k={k}: {thr:.3f} samples/s/chip", flush=True)
+            dump()
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+    dump()
     print(json.dumps(results))
 
 

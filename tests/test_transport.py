@@ -552,3 +552,76 @@ def test_dopri5_reverse_interval_integrates_backwards():
     # and a backward-of-forward roundtrip is the identity
     rt = odeint_dopri5(f, fwd, 1.0, 0.0, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(rt), np.asarray(x0), rtol=1e-4)
+
+
+def test_cfg_interval_split_reverse_mirrors_model_time(rng):
+    """sample_ode_cfg(reverse=True) must evaluate the model at MIRRORED time
+    (1 - grid-t, ascending — same contract as sample_ode) and place the CFG
+    gate on model time (lightningdit.py:436-439). The old code used the raw
+    descending grid for both: the model saw descending t and searchsorted ran
+    on a descending array (garbage split index)."""
+    transport = create_transport("Linear", "velocity")
+    sampler = Sampler(transport)
+    num_steps, start, shift = 12, 0.3, 0.3
+    B, shape = 3, (3, 2, 2, 4)
+
+    w = jax.random.normal(rng, shape[1:])
+
+    def field(x, t, y):
+        scale = (y.astype(jnp.float32) + 1.0)[:, None, None, None]
+        return jnp.sin(3.0 * t)[:, None, None, None] * scale * (w[None] - 0.3 * x)
+
+    labels = jnp.array([0, 1, 2], jnp.int32)
+    y_cfg = jnp.concatenate([labels, jnp.full((B,), 7, jnp.int32)])
+    cfg_scale = 4.0
+
+    def model_cfg_fn_gated(x, t):
+        # t here is MODEL time (sample_ode's reverse drift already mirrors);
+        # the reference gate lives inside the model forward, on model t
+        half = x[:B]
+        both = field(jnp.concatenate([half, half]), jnp.tile(t[:B], 2), y_cfg)
+        cond, uncond = both[:B], both[B:]
+        guided = uncond + cfg_scale * (cond - uncond)
+        guided = jnp.where(t[0] < start, cond, guided)
+        return jnp.concatenate([guided, guided])
+
+    def model_cond_fn(x, t):
+        return field(x, t, labels)
+
+    def model_cfg_fn(x, t):
+        half = x[:B]
+        both = field(jnp.concatenate([half, half]), jnp.tile(t[:B], 2), y_cfg)
+        guided = both[B:] + cfg_scale * (both[:B] - both[B:])
+        return jnp.concatenate([guided, guided])
+
+    z = jax.random.normal(jax.random.fold_in(rng, 1), shape)
+
+    ref_fn = sampler.sample_ode(
+        sampling_method="euler", num_steps=num_steps, timestep_shift=shift,
+        reverse=True,
+    )
+    ref = ref_fn(jnp.concatenate([z, z]), model_cfg_fn_gated)[:B]
+
+    split_fn = sampler.sample_ode_cfg(
+        num_steps=num_steps, timestep_shift=shift, cfg_interval_start=start,
+        reverse=True,
+    )
+    got = split_fn(z, model_cond_fn, model_cfg_fn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    # sanity: the reverse trajectory differs from the forward one
+    fwd = sampler.sample_ode_cfg(
+        num_steps=num_steps, timestep_shift=shift, cfg_interval_start=start
+    )(z, model_cond_fn, model_cfg_fn)
+    assert np.abs(np.asarray(got) - np.asarray(fwd)).max() > 1e-3
+
+
+def test_shift_lg_partial_train_rejected(rng):
+    """The reference asserts shifted-lognormal t sampling is incompatible
+    with partial training (transport.py sample()); sample_t must fail fast
+    instead of silently drawing full-range t."""
+    tr = create_transport(
+        "Linear", "velocity", use_lognorm=True, shift_lg=True,
+        partial_train=(0.2, 0.6), partial_ratio=1.0,
+    )
+    with pytest.raises(ValueError, match="partial_train"):
+        tr.sample_t(rng, 8)

@@ -123,10 +123,23 @@ class Sampler:
             )
         transport = self.transport
         base_drift = self.drift
+        if reverse:
+            # same time mirror as sample_ode: the grid descends 1→0 and the
+            # model is evaluated at 1 - grid-time (ascending 0→1)
+            drift = lambda x, t, model_fn, **kw: base_drift(
+                x, jnp.ones_like(t) * (1.0 - t), model_fn, **kw
+            )
+        else:
+            drift = base_drift
         t0, t1 = transport.check_interval(eval=True, sde=False, reverse=reverse)
         grid_np = ode_mod.time_grid(t0, t1, num_steps, timestep_shift)
-        # first step index whose t_cur >= start ends the cond-only phase
-        split_idx = int(np.searchsorted(grid_np[:-1], cfg_interval_start))
+        # The CFG gate is on MODEL time (lightningdit.py:436-439): guidance
+        # applies once model-t >= cfg_interval_start. Under the reverse mirror
+        # model time is 1 - grid-time, still ascending, so the cond-only
+        # phase comes first either way; searchsorted needs the ascending view.
+        model_t = (1.0 - grid_np) if reverse else grid_np
+        # first step index whose model-t_cur >= start ends the cond-only phase
+        split_idx = int(np.searchsorted(model_t[:-1], cfg_interval_start))
         grid = jnp.asarray(grid_np)
 
         def _sample(
@@ -135,8 +148,8 @@ class Sampler:
             model_cfg_fn: Callable,
         ) -> jax.Array:
             B = x.shape[0]
-            d_cond = lambda xv, tv: base_drift(xv, tv, model_cond_fn)
-            d_cfg = lambda xv, tv: base_drift(xv, tv, model_cfg_fn)
+            d_cond = lambda xv, tv: drift(xv, tv, model_cond_fn)
+            d_cfg = lambda xv, tv: drift(xv, tv, model_cfg_fn)
             if multistep_order > 1:
                 # AB phases with a history restart at the boundary
                 if split_idx > 0:

@@ -121,6 +121,14 @@ class Transport:
                 return jnp.where(use_partial, partial_t, uniform_t)
             return jax.random.uniform(rng, (batch,)) * (t1 - t0) + t0
 
+        if self.shift_lg and self.partial_train is not None:
+            # reference transport.py sample(): "Shifted lognormal distribution
+            # is not compatible with partial training" — fail fast instead of
+            # silently training with full-range t
+            raise ValueError(
+                "shift_lg is not compatible with partial_train — the "
+                "reference asserts this combination is invalid"
+            )
         mu = shifted_mu if self.shift_lg else 0.0
         if self.partial_train is not None and not self.shift_lg:
             # truncated logit-normal on [lo, hi] via inverse-CDF (exact,
