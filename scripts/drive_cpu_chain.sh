@@ -152,6 +152,12 @@ run "domain_adaptation (reference grid + ensemble)" \
   --classifier_ckpt "$W/clf.safetensors" --target_split_file "$W/split.json" \
   --split train --num_classes 2 --image_size 32 --support_per_class 2 \
   --reference_grid --limit 3 --ensemble confidence_weighted
+# pinned single-combo evaluation + NCC supplement sweep
+run "domain_adaptation (--combo + --ncc)" \
+  python -m vavae_tpu.apps.domain_adaptation \
+  --classifier_ckpt "$W/clf.safetensors" --target_split_file "$W/split.json" \
+  --split train --num_classes 2 --image_size 32 --support_per_class 2 \
+  --combo '{"lccs_alpha": 0.3}' --ncc
 run "train_classifier (domain_adaptive)" python -m vavae_tpu.apps.train_classifier \
   --split_file "$W/split.json" --mode domain_adaptive --epochs 1 --batch_size 4 \
   --num_classes 2 --image_size 32 --out "$W/clf_da.safetensors"

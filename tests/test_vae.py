@@ -113,6 +113,17 @@ def test_vavae_facade_encode_decode_jit_path():
     assert not np.allclose(np.asarray(z), np.asarray(z2))
 
 
+def test_vavae_facade_missing_ckpt_raises():
+    """A provided-but-nonexistent ckpt_path must raise, not silently fall
+    back to random weights (every downstream latent would be garbage)."""
+    import pytest
+
+    from vavae_tpu.tokenizer import VA_VAE
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        VA_VAE(img_size=32, ckpt_path="/nonexistent/vavae.ckpt")
+
+
 def test_vavae_facade_mesh_sharded_matches_single(mesh8):
     """Mesh-sharded facade (batch over 8 CPU devices, with remainder padding)
     must equal the single-device facade."""

@@ -816,6 +816,17 @@ def main() -> None:
                          "prototype strategy — thousands of combos)")
     ap.add_argument("--limit", type=int, default=None,
                     help="cap the number of combos evaluated (sampled evenly)")
+    ap.add_argument("--combo", default=None,
+                    help="evaluate exactly ONE configuration, given as a JSON "
+                         "dict of grid keys (run_best_config_only.py "
+                         "equivalent), e.g. '{\"lccs_alpha\": 0.3, "
+                         "\"pnc_temperature\": 0.1, \"pnc_fusion_weight\": "
+                         "0.5, \"confidence_adaptive\": true}'")
+    ap.add_argument("--ncc", action="store_true",
+                    help="NCC supplement (run_ncc_supplement.py): after the "
+                         "search, nearest-centroid-classify the best-adapted "
+                         "feature space over the reference NCC grid "
+                         "(temperatures x distance metrics)")
     ap.add_argument("--ensemble", default=None,
                     choices=["confidence_weighted", "max_confidence",
                              "average", "lccs_only"],
@@ -931,7 +942,14 @@ def main() -> None:
         )
         return float((fused.argmax(-1) == test_y).mean())
 
-    if args.reference_grid:
+    if args.combo:
+        cfg = json.loads(args.combo)
+        cfg.setdefault("pnc_temperature", 0.1)
+        cfg.setdefault("pnc_fusion_weight", 0.5)
+        cfg.setdefault("confidence_adaptive", True)
+        best_cfg, best_acc = cfg, eval_cfg(cfg)
+        results = [(cfg, best_acc)]
+    elif args.reference_grid:
         combos = full_method_grid()
         if args.limit and args.limit < len(combos):
             idx = np.linspace(0, len(combos) - 1, args.limit).astype(int)
@@ -943,6 +961,20 @@ def main() -> None:
         best_cfg, best_acc, results = hyperparameter_search(eval_cfg, grid)
     print(f"best adapted: {best_acc:.4f} with {best_cfg} "
           f"(delta {best_acc - baseline.accuracy:+.4f})")
+
+    ncc_results: Dict[str, float] = {}
+    if args.ncc:
+        # the best config's adapted test features + prototypes are already
+        # cached from its eval — the NCC sweep is pure numpy on top
+        _, feats, protos = adapt_cache[_adapt_key(best_cfg)]
+        for metric in EVAL_CONFIG["ncc"]["distance_metrics"]:
+            for tau in EVAL_CONFIG["ncc"]["temperatures"]:
+                preds, _, _ = ncc_classify(feats, protos, metric=metric,
+                                           temperature=tau)
+                ncc_results[f"{metric}@{tau}"] = float((preds == test_y).mean())
+        best_ncc = max(ncc_results, key=ncc_results.get)
+        print(f"ncc supplement: best {best_ncc} = {ncc_results[best_ncc]:.4f} "
+              f"(vs adapted {best_acc:.4f})")
 
     if args.ensemble:
         stats, _, predict = adapt_cfg(best_cfg)
@@ -964,6 +996,7 @@ def main() -> None:
                 "best_accuracy": best_acc,
                 "best_config": best_cfg,
                 "grid_results": [(c, a) for c, a in results],
+                **({"ncc_results": ncc_results} if ncc_results else {}),
             }, f, indent=2)
         print(f"written to {args.out}")
 

@@ -119,8 +119,15 @@ class VA_VAE:
         return self.model.init({"params": self._rng}, z, sample=False)["params"]
 
     def _load_params(self, ckpt_path: Optional[str]):
-        if ckpt_path is None or not os.path.exists(str(ckpt_path)):
+        if ckpt_path is None:
             return self._fresh_params()  # tests / training-from-scratch
+        if not os.path.exists(str(ckpt_path)):
+            # a typo'd path must not silently yield random weights — every
+            # latent/image downstream would be garbage with no error
+            raise FileNotFoundError(
+                f"VAE checkpoint {ckpt_path!r} does not exist (pass "
+                "ckpt_path=None explicitly for fresh random params)"
+            )
         if str(ckpt_path).endswith((".msgpack", ".safetensors")):
             from vavae_tpu.train.checkpoint import restore_checkpoint
 
