@@ -343,6 +343,40 @@ def test_velocity_cached_order2_quadratic_field_is_exact(rng):
         odeint_euler_cached(lin, x0, grid, cache_interval=2, order=3)
 
 
+def test_ab_dominates_velocity_cache_at_equal_eval_budget(rng):
+    """The exact-solver family beats the forecast family at matched model-
+    eval counts (the BASELINE.md 'AB3 vs velocity cache' claim, pinned on an
+    analytic non-polynomial drift): euler-64 with cache interval k makes
+    64/k evals and rectangle-steps a forecast polynomial; AB3 on a 64/k-step
+    grid integrates its history polynomial exactly. Measured margin on this
+    field is ~10x; assert a conservative 2x so model-free regressions (a
+    broken divided difference, a wrong step moment) still fail loudly."""
+    from vavae_tpu.transport.ode import (
+        odeint_ab,
+        odeint_euler,
+        odeint_euler_cached,
+        time_grid,
+    )
+
+    x0 = jax.random.normal(rng, (2, 3, 3, 4))
+
+    def drift(x, t):
+        return jnp.sin(3.0 * t)[:, None, None, None] * (1.0 + 0.2 * x)
+
+    truth = odeint_euler(
+        drift, x0, jnp.asarray(time_grid(0.0, 1.0, 4097, timestep_shift=0.3))
+    )
+    tnorm = float(jnp.linalg.norm(truth))
+    g64 = jnp.asarray(time_grid(0.0, 1.0, 65, timestep_shift=0.3))
+    for k in (2, 4):
+        vc = odeint_euler_cached(drift, x0, g64, cache_interval=k, order=1)
+        gab = jnp.asarray(time_grid(0.0, 1.0, 64 // k + 1, timestep_shift=0.3))
+        ab3 = odeint_ab(drift, x0, gab, order=3)
+        e_vc = float(jnp.linalg.norm(vc - truth)) / tnorm
+        e_ab = float(jnp.linalg.norm(ab3 - truth)) / tnorm
+        assert e_ab < 0.5 * e_vc, (k, e_vc, e_ab)
+
+
 def test_sample_ode_cfg_cache_orders(rng):
     """The cached CFG sampler runs for every forecast order and the higher-
     order forecasts beat order-0 (hold) on a smooth label-dependent field."""
