@@ -75,13 +75,41 @@ def main() -> None:
     if pid == 0:
         assert os.path.exists(ckpt)
 
+    # VA-VAE two-optimizer GAN step over the same 2-process mesh — the
+    # repo's hardest sharded program (adaptive-weight VJPs, chained BN
+    # batch_stats, two optimizers in one jit) through REAL cross-process
+    # collectives; the 8-device dryrun covers it single-process only
+    from vavae_tpu.models.vae import AutoencoderKL
+    from vavae_tpu.parallel.mesh import shard_batch
+    from vavae_tpu.train.vae_loss import VAELossConfig
+    from vavae_tpu.train.vae_trainer import VAETrainer
+
+    vae = AutoencoderKL(embed_dim=4, ch=32, ch_mult=(1, 2), resolution=32)
+    vtr = VAETrainer(
+        vae, mesh,
+        loss_cfg=VAELossConfig(
+            disc_start=0, kl_weight=1e-6, perceptual_weight=0.0
+        ),
+        lr=1e-4, use_vf=False, lpips_fn=None, disc_layers=2,
+    )
+    vstate = vtr.replicate(vtr.init_state(rng))
+    gimg = (np.random.default_rng(9).normal(size=(8, 32, 32, 3)) * 0.5
+            ).astype(np.float32)
+    vbatch = shard_batch(mesh, gimg[4 * pid : 4 * pid + 4])
+    assert vbatch.shape == (8, 32, 32, 3), vbatch.shape  # GLOBAL shape
+    vstate, vmetrics = vtr.train_step(vstate, rng, vbatch)
+    vae_rec = float(jax.device_get(vmetrics["rec_loss"]))
+    vae_disc = float(jax.device_get(vmetrics["disc_loss"]))
+    assert np.isfinite(vae_rec) and np.isfinite(vae_disc)
+
     # process-indexed artifact naming (rank-interleaved reference scheme)
     name = process_fname("latents", ".safetensors", shard=0)
     assert f"rank{pid:02d}" in name, name
 
     with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
-        json.dump({"loss": loss, "fname": name}, f)
-    print(f"worker {pid}: OK loss={loss:.6f}")
+        json.dump({"loss": loss, "fname": name,
+                   "vae_rec": vae_rec, "vae_disc": vae_disc}, f)
+    print(f"worker {pid}: OK loss={loss:.6f} vae_rec={vae_rec:.6f}")
 
 
 if __name__ == "__main__":

@@ -42,7 +42,9 @@ def test_two_process_distributed_train_step(tmp_path):
     ]
     outs = []
     for w in workers:
-        out, _ = w.communicate(timeout=600)
+        # both workers compile the DiT step AND the VAE GAN step
+        # concurrently on this box's cores — budget generously
+        out, _ = w.communicate(timeout=900)
         outs.append(out)
     for pid, (w, out) in enumerate(zip(workers, outs)):
         assert w.returncode == 0, f"worker {pid} failed:\n{out}"
@@ -53,6 +55,10 @@ def test_two_process_distributed_train_step(tmp_path):
     ]
     # both processes computed the SAME global loss
     assert results[0]["loss"] == results[1]["loss"]
+    # the VAE two-optimizer GAN step is likewise numerically transparent
+    # across processes (adaptive-weight VJPs + BN stats + 2 optimizers)
+    assert results[0]["vae_rec"] == results[1]["vae_rec"]
+    assert results[0]["vae_disc"] == results[1]["vae_disc"]
     # rank-distinct artifact names (reference extract_features.py:115)
     assert results[0]["fname"] != results[1]["fname"]
     # multihost checkpoint was written by process 0
