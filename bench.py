@@ -94,10 +94,20 @@ def main() -> None:
         verdict = _probe()
         if verdict == "ok":
             break
-        if verdict == "fatal" or attempt >= retries:
-            # fall through: the direct init below raises the real error
+        if verdict == "fatal":
+            # deterministic failure: the direct init below raises the real
+            # error immediately (no hang risk)
             print("# attempting direct init", file=sys.stderr, flush=True)
             break
+        if attempt >= retries:
+            # outage-shaped after exhausting retries: a direct init would
+            # HANG UNRECOVERABLY (first in-process init has no timeout and
+            # no retry) — fail fast with a clear message instead of wedging
+            # the caller until ITS timeout fires
+            sys.exit("backend unavailable after "
+                     f"{retries + 1} probes (tunnel outage) — not attempting "
+                     "direct init, which would hang; rerun when the backend "
+                     "answers (scripts/tpu_watch.sh automates this)")
         print(f"# backend unavailable (probe {attempt + 1}/{retries}), "
               f"retrying in 60s", file=sys.stderr, flush=True)
         time.sleep(60)
