@@ -80,18 +80,26 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             print("# backend probe hung (init wedged — outage-shaped)",
                   file=sys.stderr, flush=True)
-            return "retry"
+            return "retry", "probe hung (no stderr — init wedged)"
         if "BACKEND_OK" in r.stdout:
-            return "ok"
+            return "ok", ""
         tail = "\n".join(r.stderr.strip().splitlines()[-3:])
         print(f"# backend probe failed (rc={r.returncode}):\n{tail}",
               file=sys.stderr, flush=True)
         outage = any(s in r.stderr for s in ("UNAVAILABLE", "DEADLINE", "unavailable"))
-        return "retry" if outage else "fatal"
+        return ("retry" if outage else "fatal"), r.stderr
 
     retries = int(os.environ.get("VAVAE_BENCH_RETRIES", "10"))
+    last_stderr = ""
+    # VAVAE_BENCH_DIRECT=1 skips the probe loop entirely — the escape hatch
+    # for deterministic failures whose stderr merely CONTAINS
+    # 'unavailable' (misclassified as outage-shaped, which would burn
+    # retries×60s before giving up), and for callers that just probed
+    # themselves (the watcher, bench_common subprocess points).
+    if os.environ.get("VAVAE_BENCH_DIRECT"):
+        retries = -1  # fall through to direct init below
     for attempt in range(retries + 1):
-        verdict = _probe()
+        verdict, last_stderr = _probe()
         if verdict == "ok":
             break
         if verdict == "fatal":
@@ -103,11 +111,15 @@ def main() -> None:
             # outage-shaped after exhausting retries: a direct init would
             # HANG UNRECOVERABLY (first in-process init has no timeout and
             # no retry) — fail fast with a clear message instead of wedging
-            # the caller until ITS timeout fires
+            # the caller until ITS timeout fires. Full stderr of the final
+            # probe rides along so a misclassified deterministic failure
+            # stays diagnosable (VAVAE_BENCH_DIRECT=1 bypasses the loop).
             sys.exit("backend unavailable after "
                      f"{retries + 1} probes (tunnel outage) — not attempting "
                      "direct init, which would hang; rerun when the backend "
-                     "answers (scripts/tpu_watch.sh automates this)")
+                     "answers (scripts/tpu_watch.sh automates this), or set "
+                     "VAVAE_BENCH_DIRECT=1 if this is NOT an outage.\n"
+                     f"--- final probe stderr ---\n{last_stderr}")
         print(f"# backend unavailable (probe {attempt + 1}/{retries}), "
               f"retrying in 60s", file=sys.stderr, flush=True)
         time.sleep(60)
@@ -244,17 +256,41 @@ def main() -> None:
     # by jax.device_count() on a multi-chip slice would under-report 8x.
     samples_per_sec_chip = (batch * n_iters) / dt
     value = round(samples_per_sec_chip, 4)
+    ref_steps = 250 if on_tpu else 4
+    is_euler250 = multistep_order == 1 and cache_interval == 1 and num_steps == ref_steps
     tag = "" if cache_interval == 1 else f",vcache{cache_interval}"
     if multistep_order > 1:
-        # exact-solver config: measured error <= the reference's euler-250
-        # (BASELINE.md error-match table)
-        tag += f",ab{multistep_order}-exact<=euler250err"
+        # exact-solver acceleration: AB-N ≤ euler-N error at EQUAL N on every
+        # measured testbed; the cross-count accuracy trade vs euler-250 is
+        # field-dependent — see the BASELINE.md testbed matrix before citing
+        tag += f",ab{multistep_order}"
     result = {
         "metric": f"dit_xl1_cfg_sampling_throughput[{model_name},{num_steps}steps,b{batch}{tag}]",
         "value": value,
         "unit": "samples/sec/chip",
         "vs_baseline": round(value / A100_BASELINE_SAMPLES_PER_SEC, 4),
     }
+    # keep the BENCH_r* series comparable across rounds even if the default
+    # solver changes: the reference-identical euler-250 number always rides
+    # along. Same-config runs self-report; others measure it in a FRESH
+    # subprocess (CLAUDE.md rule — never time in a process that already
+    # built big jits), reusing this process's probe verdict via DIRECT=1.
+    if is_euler250:
+        result["baseline_euler250"] = value
+    else:
+        env = dict(os.environ)
+        env["VAVAE_BENCH_DIRECT"] = "1"
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 str(batch), "1", "1", str(ref_steps)],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+            result["baseline_euler250"] = json.loads(
+                r.stdout.strip().splitlines()[-1])["value"]
+        except Exception as e:  # never fail the headline over the rider
+            print(f"# baseline euler-250 subprocess failed: {e}",
+                  file=sys.stderr, flush=True)
     print(json.dumps(result))
 
 

@@ -612,20 +612,35 @@ def test_load_trained_vae_rebuilds_generator(tmp_path):
     """--train_config rebuilds the TRAINED generator (arbitrary ddconfig)
     from a training checkpoint, and its encode matches a direct apply of the
     same params — the f16d32 facade can't represent e.g. a ch_mult [1,1]
-    testbed VAE (reference step5 validates the trained model itself)."""
+    testbed VAE (reference step5 validates the trained model itself).
+
+    The architecture is deliberately NON-default (num_res_blocks=1,
+    attn_resolutions=[16]): if load_trained_vae drops any ddconfig key the
+    rebuilt module tree diverges and the apply fails loudly instead of
+    silently validating the wrong model (round-2 verdict weak #5).
+
+    Staged asserts bisect the round-2 TPU-only 100%-mismatch: (1) device→host
+    fetch is stable across two reads, (2) the host→device→host round trip
+    through safetensors is bit-exact, (3) only then compare encodes."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import yaml
+    from flax import traverse_util
     from safetensors.numpy import save_file
 
     from vavae_tpu.apps.validate_export import load_trained_vae
     from vavae_tpu.models.vae import AutoencoderKL
 
-    model = AutoencoderKL(embed_dim=4, ch=32, ch_mult=(1, 1), resolution=32)
+    model = AutoencoderKL(embed_dim=4, ch=32, ch_mult=(1, 1), resolution=32,
+                          num_res_blocks=1, attn_resolutions=(16,))
     params = model.init(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3)), sample=False
     )["params"]
+    # non-default depth actually materialized (1 enc block, not the default 2)
+    assert "down_0_block_0" in params["encoder"]
+    assert "down_0_block_1" not in params["encoder"]
+    assert "down_1_attn_0" in params["encoder"]
 
     flat = {}
 
@@ -638,16 +653,31 @@ def test_load_trained_vae_rebuilds_generator(tmp_path):
                 flat[key] = np.asarray(v)
 
     _flatten(params, "gen_params|vae")
+    # stage 1: a second device→host fetch returns the same bits (tunneled
+    # backends have shown fetch instability under memory churn)
+    for key, leaf in traverse_util.flatten_dict(params, sep="|").items():
+        np.testing.assert_array_equal(
+            flat[f"gen_params|vae|{key}"], np.asarray(leaf),
+            err_msg=f"device fetch unstable for {key}")
     ckpt = str(tmp_path / "train.safetensors")
     save_file(flat, ckpt)
 
     cfg = {"model": {"params": {"embed_dim": 4, "ddconfig": {
         "z_channels": 4, "resolution": 32, "ch": 32, "ch_mult": [1, 1],
-        "num_res_blocks": 1, "attn_resolutions": []}}}}
+        "num_res_blocks": 1, "attn_resolutions": [16]}}}}
     cfg_path = str(tmp_path / "cfg.yaml")
     yaml.safe_dump(cfg, open(cfg_path, "w"))
 
     enc = load_trained_vae(cfg_path, ckpt)
+    # stage 2: safetensors → device upload round trip is bit-exact
+    loaded_flat = traverse_util.flatten_dict(enc.params, sep="|")
+    assert set(loaded_flat) == set(traverse_util.flatten_dict(params, sep="|"))
+    for key, leaf in loaded_flat.items():
+        np.testing.assert_array_equal(
+            np.asarray(leaf), flat[f"gen_params|vae|{key}"],
+            err_msg=f"upload round trip corrupt for {key}")
+
+    # stage 3: the rebuilt module computes the same encode
     x = np.random.default_rng(1).normal(size=(2, 32, 32, 3)).astype("float32")
     got = enc.encode_moments(x).mode()
     want = model.apply(

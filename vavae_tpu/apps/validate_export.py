@@ -81,19 +81,17 @@ def load_trained_vae(train_config: str, train_ckpt: str):
     from flax import traverse_util
     from safetensors import safe_open
 
-    from vavae_tpu.models.vae import AutoencoderKL
+    from vavae_tpu.models.vae import AutoencoderKL, vae_from_ddconfig
     from vavae_tpu.train.checkpoint import _SEP
     from vavae_tpu.utils.config import load_config
 
     cfg = load_config(train_config)
     p = cfg.model.params
-    dd = p.ddconfig
-    model = AutoencoderKL(
-        embed_dim=p.embed_dim,
-        ch=dd.get("ch", 128),
-        ch_mult=tuple(dd.ch_mult),
-        resolution=dd.get("resolution", 256),
-    )
+    # FULL ddconfig: dropping num_res_blocks/attn_resolutions/z_channels/
+    # out_ch/double_z here silently rebuilt the default architecture for any
+    # non-default training run (reference step5 validates the model it just
+    # trained, whatever its config — step5_validate_export.py:336,464)
+    model = vae_from_ddconfig(p.embed_dim, p.ddconfig)
     prefix = _SEP.join(("gen_params", "vae")) + _SEP
     flat = {}
     with safe_open(train_ckpt, framework="np") as f:
@@ -105,6 +103,12 @@ def load_trained_vae(train_config: str, train_ckpt: str):
     params = traverse_util.unflatten_dict(flat, sep=_SEP)
 
     class _TrainedEncoder:
+        def __init__(self):
+            # exposed for diagnostics (the TPU suite bisects transfer-layer
+            # corruption from apply-path bugs by checking these leaves)
+            self.model = model
+            self.params = params
+
         def encode_moments(self, images):
             return model.apply(
                 {"params": params}, jnp.asarray(images), method=AutoencoderKL.encode

@@ -15,7 +15,7 @@ N=256). Compute dtype configurable (bf16 for inference paths).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -223,28 +223,47 @@ class AutoencoderKL(nn.Module):
     resolution: int = 256
     use_variational: bool = True
     model_type: str = "vavae"
+    # Full ddconfig surface (ldm/models/autoencoder.py builds Encoder/Decoder
+    # straight from **ddconfig): None means the legacy f16d32 behavior
+    # (2 res-blocks, attn at 16 — decoder attn gated by model_type,
+    # z_channels == embed_dim) so existing checkpoints restore unchanged.
+    num_res_blocks: int = 2
+    attn_resolutions: Optional[Sequence[int]] = None
+    z_channels: Optional[int] = None
+    out_ch: int = 3
+    double_z: bool = True
     dtype: Dtype = jnp.float32
 
     def setup(self) -> None:
+        z_ch = self.embed_dim if self.z_channels is None else self.z_channels
+        enc_attn = (16,) if self.attn_resolutions is None else tuple(self.attn_resolutions)
+        if self.attn_resolutions is None:
+            dec_attn = (16,) if self.model_type == "vavae" else ()
+        else:
+            dec_attn = () if self.model_type == "marvae" else tuple(self.attn_resolutions)
         self.encoder = Encoder(
             ch=self.ch,
             ch_mult=tuple(self.ch_mult),
-            z_channels=self.embed_dim,
+            num_res_blocks=self.num_res_blocks,
+            attn_resolutions=enc_attn,
+            z_channels=z_ch,
+            double_z=self.double_z,
             resolution=self.resolution,
             dtype=self.dtype,
         )
-        dec_attn = (16,) if self.model_type == "vavae" else ()
         self.decoder = Decoder(
             ch=self.ch,
+            out_ch=self.out_ch,
             ch_mult=tuple(self.ch_mult),
-            z_channels=self.embed_dim,
+            num_res_blocks=self.num_res_blocks,
+            z_channels=z_ch,
             attn_resolutions=dec_attn,
             resolution=self.resolution,
             dtype=self.dtype,
         )
         mult = 2 if self.use_variational else 1
         self.quant_conv = nn.Conv(mult * self.embed_dim, (1, 1), dtype=self.dtype)
-        self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype)
+        self.post_quant_conv = nn.Conv(z_ch, (1, 1), dtype=self.dtype)
 
     def encode(self, x: jax.Array) -> DiagonalGaussian:
         # moments leave in fp32 regardless of conv compute dtype: the
@@ -263,3 +282,32 @@ class AutoencoderKL(nn.Module):
         z = posterior.sample(rng) if (sample and rng is not None) else posterior.mode()
         dec = self.decode(z)
         return dec, posterior, z
+
+
+def vae_from_ddconfig(
+    embed_dim: int,
+    ddconfig,
+    *,
+    dtype: Dtype = jnp.float32,
+    model_type: str = "vavae",
+) -> AutoencoderKL:
+    """Build an AutoencoderKL honoring the FULL ddconfig, the way the
+    reference instantiates Encoder/Decoder straight from ``**ddconfig``
+    (ldm/models/autoencoder.py:285-292). Dropping keys here silently trains
+    or validates a different architecture than the yaml describes — e.g.
+    ``num_res_blocks: 1`` used to build the default 2."""
+    get = ddconfig.get if hasattr(ddconfig, "get") else lambda k, d=None: getattr(ddconfig, k, d)
+    attn = get("attn_resolutions")
+    return AutoencoderKL(
+        embed_dim=embed_dim,
+        ch=get("ch", 128),
+        ch_mult=tuple(get("ch_mult", (1, 1, 2, 2, 4))),
+        resolution=get("resolution", 256),
+        num_res_blocks=get("num_res_blocks", 2),
+        attn_resolutions=None if attn is None else tuple(attn),
+        z_channels=get("z_channels"),
+        out_ch=get("out_ch", 3),
+        double_z=bool(get("double_z", True)),
+        model_type=model_type,
+        dtype=dtype,
+    )

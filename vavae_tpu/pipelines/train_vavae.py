@@ -24,7 +24,7 @@ import numpy as np
 
 import vavae_tpu.utils.jax_cache  # noqa: F401
 from vavae_tpu.data.prefetch import prefetch
-from vavae_tpu.models.vae import AutoencoderKL
+from vavae_tpu.models.vae import vae_from_ddconfig
 from vavae_tpu.parallel.mesh import make_mesh, multihost_init, shard_batch
 from vavae_tpu.train import checkpoint as ckpt_lib
 from vavae_tpu.train.vae_loss import VAELossConfig
@@ -81,13 +81,9 @@ def build_vae_trainer(
             "train fp32)"
         )
     compute_dtype = dtype_names[dtype_key]
-    vae = AutoencoderKL(
-        embed_dim=p.embed_dim,
-        ch=dd.get("ch", 128),
-        ch_mult=tuple(dd.ch_mult),
-        resolution=dd.get("resolution", 256),
-        dtype=compute_dtype,
-    )
+    # honor the FULL ddconfig — a yaml with num_res_blocks: 1 or
+    # attn_resolutions: [] used to silently train the default architecture
+    vae = vae_from_ddconfig(p.embed_dim, dd, dtype=compute_dtype)
     lr = (stage_overrides or {}).get("lr") or cfg.model.get("base_learning_rate", 1e-4)
     # truthiness, matching run_stages: `use_vf: false` means OFF — the old
     # `is not None` put the trainer in VF mode with no foundation fn, saving
