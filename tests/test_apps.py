@@ -621,13 +621,20 @@ def test_load_trained_vae_rebuilds_generator(tmp_path):
 
     Staged asserts bisect the round-2 TPU-only 100%-mismatch: (1) device→host
     fetch is stable across two reads, (2) the host→device→host round trip
-    through safetensors is bit-exact, (3) only then compare encodes."""
+    through safetensors is bit-exact, (3) only then compare encodes.
+
+    The save below MUST ride utils/safetensors_io (as the trainer does): on
+    the axon backend np.asarray(device_array) returns correct-content but
+    non-C-contiguous views for conv_out kernels, and raw
+    safetensors.numpy.save_file serializes the buffer WITHOUT strides —
+    which was the round-2 failure (transposed kernels in the file)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import yaml
     from flax import traverse_util
-    from safetensors.numpy import save_file
+
+    from vavae_tpu.utils.safetensors_io import save_file
 
     from vavae_tpu.apps.validate_export import load_trained_vae
     from vavae_tpu.models.vae import AutoencoderKL

@@ -25,7 +25,7 @@ import os
 from typing import Optional, Tuple
 
 import numpy as np
-from safetensors.numpy import save_file
+from vavae_tpu.utils.safetensors_io import save_file
 
 
 def _to_numpy(t) -> np.ndarray:

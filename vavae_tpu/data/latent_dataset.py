@@ -23,7 +23,7 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 from safetensors import safe_open
-from safetensors.numpy import save_file
+from vavae_tpu.utils.safetensors_io import save_file
 
 
 class ImgLatentDataset:

@@ -19,7 +19,7 @@ from typing import Iterator, List, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from safetensors.numpy import save_file
+from vavae_tpu.utils.safetensors_io import save_file
 
 import vavae_tpu.utils.jax_cache  # noqa: F401
 from vavae_tpu.data.prefetch import prefetch as _prefetch
