@@ -92,8 +92,21 @@ def main() -> None:
         default="vavae_tpu/configs/reproductions/lightningdit_xl_vavae_f16d32_800ep_cfg.yaml",
     )
     ap.add_argument("--latents", default="output/golden/latents")
+    ap.add_argument("--workdir", default="output/golden",
+                    help="tokenizer-eval PNG dump + metrics json land here; "
+                    "the PNG dump is REQUIRED for rFID (evaluate_tokenizer "
+                    "only computes rFID between dumped ref/dec folders)")
     ap.add_argument("--skip_tokenizer", action="store_true")
     ap.add_argument("--skip_extraction", action="store_true")
+    ap.add_argument("--skip_sampling", action="store_true",
+                    help="stop after tokenizer/extraction (rFID rehearsals)")
+    # rehearsal knobs: the CI runbook test drives the real legs at tiny
+    # scale (tests/test_golden_numbers.py) so the runbook can't bit-rot
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--max_images", type=int, default=None)
+    ap.add_argument("--tokenizer_config", default=None,
+                    help="tokenizer yaml (ddconfig honored); default = the "
+                    "f16d32 production architecture")
     args = ap.parse_args()
 
     if not check():
@@ -104,16 +117,28 @@ def main() -> None:
     env = os.environ
     py = sys.executable
     if not args.skip_tokenizer:
-        run([py, "-m", "vavae_tpu.pipelines.evaluate_tokenizer",
-             "--vae_ckpt", env["VAVAE_GN_VAE_CKPT"],
-             "--data_path", env["VAVAE_GN_IMAGENET_VAL"],
-             "--image_size", "256"])
+        cmd = [py, "-m", "vavae_tpu.pipelines.evaluate_tokenizer",
+               "--vae_ckpt", env["VAVAE_GN_VAE_CKPT"],
+               "--data_path", env["VAVAE_GN_IMAGENET_VAL"],
+               "--image_size", str(args.image_size),
+               "--output_path", os.path.join(args.workdir, "tokenizer"),
+               "--metrics_json", os.path.join(args.workdir, "tokenizer_metrics.json")]
+        if args.tokenizer_config:
+            cmd += ["--config", args.tokenizer_config]
+        if args.max_images:
+            cmd += ["--max_images", str(args.max_images)]
+        run(cmd)
     if not args.skip_extraction and env.get("VAVAE_GN_IMAGENET_TRAIN"):
-        run([py, "-m", "vavae_tpu.pipelines.extract_features",
-             "--data_path", env["VAVAE_GN_IMAGENET_TRAIN"],
-             "--output_path", args.latents,
-             "--vae_ckpt", env["VAVAE_GN_VAE_CKPT"],
-             "--image_size", "256"])
+        cmd = [py, "-m", "vavae_tpu.pipelines.extract_features",
+               "--data_path", env["VAVAE_GN_IMAGENET_TRAIN"],
+               "--output_path", args.latents,
+               "--vae_ckpt", env["VAVAE_GN_VAE_CKPT"],
+               "--image_size", str(args.image_size)]
+        if args.tokenizer_config:
+            cmd += ["--config", args.tokenizer_config]
+        run(cmd)
+    if args.skip_sampling:
+        return
     # fail fast: the 800ep config has latent_norm: true, and do_sample
     # silently skips the un-normalization stats when the latents dir is
     # missing — that would burn hours of chip time on wrongly-scaled

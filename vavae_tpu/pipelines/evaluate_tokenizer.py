@@ -140,6 +140,9 @@ def main() -> None:
     ap.add_argument("--output_path", default=None)
     ap.add_argument("--max_images", type=int, default=None)
     ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--metrics_json", default=None,
+                    help="also dump the results dict as JSON (runbook "
+                    "consumers parse this instead of scraping stdout)")
     args = ap.parse_args()
     from vavae_tpu.parallel.mesh import make_mesh
 
@@ -155,6 +158,12 @@ def main() -> None:
         image_size=args.image_size,
     )
     print(results)
+    if args.metrics_json and jax.process_index() == 0:
+        import json
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.metrics_json)), exist_ok=True)
+        with open(args.metrics_json, "w") as f:
+            json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -65,21 +65,58 @@ class VA_VAE:
         seed: int = 0,
         mesh=None,
     ):
+        ddconfig = None
         if config is not None:
             with open(config) as f:
                 cfg = yaml.safe_load(f)
             embed_dim = cfg["model"]["params"]["embed_dim"]
             ckpt_path = cfg.get("ckpt_path", ckpt_path)
+            # honor the FULL ddconfig when the yaml carries one (the
+            # reference facade reads only embed_dim, vavae.py:30-42, but its
+            # trainer builds from **ddconfig — a non-default architecture
+            # must round-trip through this facade too). The facade's
+            # img_size keeps controlling `resolution` (attention placement
+            # tracks the actual input size, matching the legacy behavior).
+            ddconfig = cfg["model"]["params"].get("ddconfig")
         self.embed_dim = embed_dim
         self.img_size = img_size
         self.downsample = 16
-        self.model = AutoencoderKL(
-            embed_dim=embed_dim,
-            ch_mult=(1, 1, 2, 2, 4),
-            resolution=img_size,
-            model_type=self.model_type,
-            dtype=dtype,
-        )
+        if ddconfig is not None:
+            from vavae_tpu.models.vae import vae_from_ddconfig
+
+            self._arch = {
+                "ch": ddconfig.get("ch", 128),
+                "ch_mult": tuple(ddconfig.get("ch_mult", (1, 1, 2, 2, 4))),
+                "num_res_blocks": ddconfig.get("num_res_blocks", 2),
+                # None → legacy (16,); an explicit [] genuinely means no attn
+                # (must match AutoencoderKL.setup's resolution gating)
+                "attn_resolutions": (16,)
+                if ddconfig.get("attn_resolutions") is None
+                else tuple(ddconfig["attn_resolutions"]),
+                "resolution": img_size,
+            }
+            self.downsample = 2 ** (len(self._arch["ch_mult"]) - 1)
+            self.model = vae_from_ddconfig(
+                embed_dim,
+                {**ddconfig, "resolution": img_size},
+                dtype=dtype,
+                model_type=self.model_type,
+            )
+        else:
+            self._arch = {
+                "ch": 128,
+                "ch_mult": (1, 1, 2, 2, 4),
+                "num_res_blocks": 2,
+                "attn_resolutions": (16,),
+                "resolution": img_size,
+            }
+            self.model = AutoencoderKL(
+                embed_dim=embed_dim,
+                ch_mult=(1, 1, 2, 2, 4),
+                resolution=img_size,
+                model_type=self.model_type,
+                dtype=dtype,
+            )
         self._rng = jax.random.PRNGKey(seed)
         self.params = self._load_params(ckpt_path)
 
@@ -96,21 +133,29 @@ class VA_VAE:
             self._encode = jax.jit(enc, in_shardings=(rep, ds4))
             self._decode = jax.jit(dec, in_shardings=(rep, ds4), out_shardings=ds4)
             self.params = jax.device_put(self.params, rep)
+            self._ds4 = ds4
             # batches must divide the data axis — _pad_batch rounds up
             # transparently and callers slice back via the true length
             self._batch_mult = mesh.shape["data"] * mesh.shape["fsdp"]
         else:
             self._encode = jax.jit(enc)
             self._decode = jax.jit(dec)
+            self._ds4 = None
             self._batch_mult = 1
 
     def _pad_batch(self, x: jax.Array):
-        """Round the batch up to a multiple of the mesh's data-axis size."""
+        """Round the batch up to a multiple of the mesh's data-axis size,
+        and commit the batch to the data sharding the encode/decode jits
+        declare — a chained call (decode of encode's output, whose sharding
+        the compiler chose) must be RE-laid out, not rejected: jit raises on
+        a committed arg whose sharding differs from in_shardings."""
         B = x.shape[0]
         pad = (-B) % self._batch_mult
-        if pad == 0:
-            return x, B
-        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)]), B
+        if pad != 0:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+        if self._ds4 is not None:
+            x = jax.device_put(x, self._ds4)
+        return x, B
 
     def _fresh_params(self):
         # param shapes don't depend on input resolution; init with a small
@@ -143,10 +188,18 @@ class VA_VAE:
             for k, v in sd.items()
             if hasattr(v, "numpy") and not k.startswith(("loss.", "foundation_model.", "linear_proj"))
         }
-        dec_attn = (16,) if self.model_type == "vavae" else ()
+        dec_attn = self._arch["attn_resolutions"] if self.model_type == "vavae" else ()
         return jax.tree_util.tree_map(
             jnp.asarray,
-            vae_params_from_torch(sd, resolution=self.img_size, dec_attn_resolutions=dec_attn),
+            vae_params_from_torch(
+                sd,
+                ch=self._arch["ch"],
+                ch_mult=self._arch["ch_mult"],
+                num_res_blocks=self._arch["num_res_blocks"],
+                attn_resolutions=self._arch["attn_resolutions"],
+                dec_attn_resolutions=dec_attn,
+                resolution=self._arch["resolution"],
+            ),
         )
 
     # -- API (reference vavae.py:61-82) ---------------------------------------
