@@ -28,6 +28,8 @@ def test_dryrun_survives_broken_tpu_backend():
         env=env, capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, f"dryrun failed:\n{proc.stdout}\n{proc.stderr}"
-    assert "DiT train step ok" in proc.stdout
-    assert "VAE 2-opt GAN step ok" in proc.stdout
+    assert "DiT 3 train steps ok" in proc.stdout
+    assert "sharded ckpt save/restore resumes bit-equal" in proc.stdout
+    assert "VAE 2-opt GAN 3 steps ok" in proc.stdout
     assert "sharded CFG sampling ok" in proc.stdout
+    assert "sharded tokenizer-eval ok" in proc.stdout
