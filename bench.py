@@ -1,18 +1,21 @@
 """Headline benchmark: DiT-XL/1 256×256 CFG sampling throughput per chip,
-at equal-or-better ODE accuracy than the reference's production sampler.
+running the reference's OWN production sampler configuration.
 
 The reference's production path (inference.py:200-228) is 250 euler ODE
 steps with classifier-free guidance (cond+uncond batched), on f16d32
-latents (16×16×32, 256 tokens), model in bf16. The default here runs the
-SAME probability-flow ODE with the order-3 Adams–Bashforth integrator
-(transport/ode.py odeint_ab) at 100 steps — one model eval per step like
-euler, and a MEASURED rel-L2 vs a 4000-step ground truth that is strictly
-lower than euler-250's on the trained-model testbed (0.184% vs 0.209%;
-BASELINE.md "steps-at-equal-error" table, raw record in docs/bench/).
-This is an exact-solver upgrade, not an approximation: no trajectory
-forecasting, no caching, the integration error is the only difference and
-it is smaller. `python bench.py 8 1 1 250` reproduces the reference-
-identical euler-250 configuration (1.43 samples/s/chip on v5e).
+latents (16×16×32, 256 tokens), model in bf16. The DEFAULT here is that
+reference-identical euler-250 program (1.43 samples/s/chip on v5e) — the
+honest apples-to-apples number, stable across rounds.
+
+Accelerations are reported SEPARATELY with their measured accuracy trade
+(BASELINE.md): the order-3 Adams–Bashforth integrator (`bench.py 8 1 3 N`)
+is an exact-solver upgrade whose error is strictly below euler's at EQUAL
+step count on every measured testbed — but the round-2 cross-count claim
+"ab3-100 error ≤ euler-250 error" proved FIELD-DEPENDENT (the well-trained
+on-chip testbed showed euler-250 0.160% < ab3-100 0.259%), so no cross-
+count equal-accuracy label rides the headline; see the testbed matrix
+(scripts/bench_multistep_matrix.py, docs/bench/multistep_matrix_*.json)
+for the distribution of the error-matched AB3 step count.
 
 Baseline for vs_baseline: an A100 running the PyTorch reference's OWN
 sampler (euler-250) at the same batch. Estimated from FLOPs: one CFG step
@@ -143,13 +146,13 @@ def main() -> None:
     # order-1 are 0.25-0.38% latent rel-L2 / ≥60.7 dB decoded PSNR / zero
     # classifier delta; k=6 runs 4.39 samples/s/chip).
     # argv: [batch] [cache_interval] [multistep_order] [num_steps].
-    # DEFAULT = the AB3-100 exact-solver configuration (strictly lower
-    # measured ODE error than the reference's euler-250 — BASELINE.md
-    # error-match table). multistep_order 1 + num_steps 250 reproduces the
-    # reference-identical euler program; cache_interval > 1 measures the
-    # opt-in velocity-cached sampler (report it ONLY alongside its measured
-    # quality cost — BASELINE.md velocity-cache table).
-    cache_interval, multistep_order, num_steps = 1, 3, (100 if on_tpu else 4)
+    # DEFAULT = the reference-identical euler-250 program (round-3 decision:
+    # the ab3-100 "equal accuracy" label was contradicted by the on-chip
+    # sweep on a well-trained field — see module docstring). AB3 points:
+    # multistep_order 3 + num_steps N; cache_interval > 1 measures the
+    # opt-in velocity-cached sampler (report either ONLY alongside its
+    # measured quality cost — BASELINE.md acceleration tables).
+    cache_interval, multistep_order, num_steps = 1, 1, (250 if on_tpu else 4)
     usage = "usage: bench.py [batch] [cache_interval] [multistep_order] [num_steps]"
     if len(sys.argv) > 5:
         sys.exit(f"{usage}; got {len(sys.argv) - 1} args")

@@ -17,17 +17,34 @@ step() {  # step <name> <timeout_s> <cmd...>
   local name=$1 to=$2; shift 2
   echo "=== $name ==="
   timeout "$to" "$@" >"$OUT/$name.log" 2>&1
-  echo "rc=$? (log: $OUT/$name.log)"
+  local rc=$?
+  # a log without a result line is a FAILED step, not a record — committing
+  # one round-2 log with only probe-failure lines misled the verdict
+  if ! grep -qE '"metric"|"n_points"|rel_l2|latent_fid|img/s|ms/step' "$OUT/$name.log"; then
+    mv "$OUT/$name.log" "$OUT/$name.FAILED.log"
+    echo "rc=$rc NO RESULT LINE — kept as $OUT/$name.FAILED.log"
+    return 1
+  fi
+  echo "rc=$rc (log: $OUT/$name.log)"
   tail -n 3 "$OUT/$name.log" | grep -v cpu_aot_loader || true
 }
 
-# 1. headline: AB3-100 exact-solver XL/1 CFG sampling (+ reference-identical
-#    euler-250 for the comparison row)
-step headline_ab3 2400 python bench.py
-step headline_euler250 2400 python bench.py 8 1 1 250
+# 1. headline: euler-250 reference-identical default (bench.py embeds the
+#    euler-250 baseline field itself); AB3-100 recorded as the quantified
+#    exact-solver acceleration point
+step headline_default 4800 python bench.py
+step headline_ab3_100 2400 python bench.py 8 1 3 100
 
 # 2. multistep error sweep + throughput on-chip (updates the BASELINE table)
 step multistep_sweep 5400 python scripts/bench_multistep.py --sweep auto
+
+# 2b. testbed MATRIX points on-chip (accuracy-claim robustness: different
+#     seeds/configs than round 2's single testbed) + the rankable quality
+#     gauge (latent-FID + per-sample deviation, >=1k samples)
+step multistep_matrix 7200 python scripts/bench_multistep_matrix.py \
+  --points 1200:2:1,2400:6.7:0,600:10:2 --append \
+  --out "$R/docs/bench/multistep_matrix_tpu.json"
+step sampler_quality 7200 python scripts/bench_sampler_quality.py
 
 # 3. VAE inference: fp32 + bf16 throughput, bf16 posterior-deviation gauge
 #    (pass a trained ckpt as $VAVAE_BENCH_VAE_CKPT for the trained-model ratio)

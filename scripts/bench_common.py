@@ -47,11 +47,12 @@ def make_class_means(seed: int = 0):
 
 
 def train_synthetic_dit(train_steps: int, on_tpu: bool, class_means, rng_np,
-                        big: bool | None = None):
+                        big: bool | None = None, seed: int = 0):
     """Train DiT-S on noisy per-class patterns; returns
     (model, transport, ema_params, final_loss). ``big`` forces the full
     DiT-S testbed (depth 12 / hidden 384, batch 64) regardless of backend —
-    default: big on TPU, tiny on CPU."""
+    default: big on TPU, tiny on CPU. ``seed`` varies the init/training
+    randomness (the testbed matrix needs independent trained fields)."""
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +83,7 @@ def train_synthetic_dit(train_steps: int, on_tpu: bool, class_means, rng_np,
                                  use_lognorm=True)
     trainer = DiTTrainer(model, transport, make_mesh(), lr=3e-4, beta2=0.95,
                          ema_decay=0.99)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(seed)
     state = trainer.replicate(trainer.init_state(rng, (B,) + LATENT_SHAPE))
     t0 = time.time()
     for _ in range(train_steps):

@@ -1,0 +1,205 @@
+"""Testbed MATRIX for the multistep-sampler accuracy claims.
+
+Round-2 left a fracture: the CPU testbed (train_steps=1200, cfg=2, truth
+acc 0.25) showed ab3-100 error BELOW euler-250's, while the on-chip run on
+a well-trained field (truth acc 0.94) showed the OPPOSITE ordering
+(euler-250 0.160% < ab3-100 0.259%). The cross-step-count claim "N AB3
+steps match 250 euler steps" is field-dependent; this script measures HOW
+field-dependent, across train_steps × cfg_scale × seeds, and publishes the
+distribution of the error-matched-to-euler-250 AB3 step count.
+
+What IS invariant in every run so far (and what BASELINE.md may claim):
+AB3-N ≤ euler-N error at EQUAL N — same cost, strictly better solver.
+This script asserts that invariant on every point it measures.
+
+Per point: train the synthetic DiT testbed (bench_common protocol), take a
+4000-step euler ground truth, measure rel-L2 for euler/{250,125,100,50},
+ab3/{250,200,150,125,100,83,62,50}, ab2/125, vcache/{3,6}@250; then
+log-log-interpolate the AB3 error curve to the N whose error equals
+euler-250's ("matched_N"; >250 means AB3 never matches within the sweep
+and the honest production choice is euler-250 itself).
+
+Usage:
+  python scripts/bench_multistep_matrix.py                      # full 27-pt
+  python scripts/bench_multistep_matrix.py --points 1200:2:0    # subset
+  python scripts/bench_multistep_matrix.py --out FILE --append  # resume
+
+Writes incrementally (backend drops / preemption lose at most one point).
+Reference being matched: inference.py:200-228 + the production yaml's
+250-step euler sampler (configs/lightningdit_xl_vavae_f16d32.yaml:71-82).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+EULER_NS = (250, 125, 100, 50)
+AB3_NS = (250, 200, 150, 125, 100, 83, 62, 50)
+VCACHE_KS = (3, 6)
+
+
+def matched_n(ab3_errors: dict, target: float) -> float:
+    """Smallest AB3 step count whose interpolated error equals ``target``
+    (log-log linear between grid points; inf if even ab3-250 exceeds it)."""
+    pts = sorted(ab3_errors.items())  # ascending N
+    # errors decrease with N; walk from large N down
+    pts = [(n, e) for n, e in pts if e > 0]
+    best = float("inf")
+    for (n0, e0), (n1, e1) in zip(pts, pts[1:]):
+        lo, hi = sorted((e0, e1))
+        if lo <= target <= hi and e0 != e1:
+            t = (math.log(target) - math.log(e0)) / (math.log(e1) - math.log(e0))
+            return float(math.exp(math.log(n0) + t * (math.log(n1) - math.log(n0))))
+    # target below every grid error → even N=max doesn't reach it
+    if target < min(e for _, e in pts):
+        return best
+    # target above every grid error → matched by fewer than min(N)
+    return float(min(n for n, _ in pts))
+
+
+def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench_common as bc
+    from vavae_tpu.transport import Sampler
+
+    on_tpu = jax.default_backend() == "tpu"
+    class_means, rng_np = bc.make_class_means(seed)
+    model, transport, ema, loss = bc.train_synthetic_dit(
+        train_steps, on_tpu, class_means, rng_np, seed=seed
+    )
+    sampler = Sampler(transport)
+    n_per = 4  # half the single-point bench's 8: 3 seeds average the noise
+    labels = jnp.asarray(np.repeat(np.arange(bc.N_CLASSES), n_per), jnp.int32)
+    Bs = len(labels)
+    y_cfg = jnp.concatenate([labels, jnp.full((Bs,), bc.N_CLASSES, jnp.int32)])
+    z = jax.random.normal(jax.random.PRNGKey(seed + 7), (Bs,) + bc.LATENT_SHAPE,
+                          jnp.float32)
+
+    def sample(num_steps, multistep_order=1, cache_interval=1):
+        fn = sampler.sample_ode_cfg(
+            num_steps=num_steps, timestep_shift=0.3, cfg_interval_start=0.11,
+            multistep_order=multistep_order, cache_interval=cache_interval,
+        )
+
+        @jax.jit
+        def generate(p, zz):
+            cond = lambda x, t: model.apply({"params": p}, x, t, labels)
+            cfgf = lambda x, t: model.forward_with_cfg(p, x, t, y_cfg, cfg_scale)
+            return fn(zz, cond, cfgf)
+
+        return np.asarray(generate(ema, z), np.float32)
+
+    gt_steps = 4000 if full_truth else 64
+    truth = sample(gt_steps)
+    tnorm = float(np.mean(np.linalg.norm(truth.reshape(Bs, -1), axis=-1)))
+    acc_t, _ = bc.classify(truth, class_means, labels)
+
+    def rel(out):
+        return float(np.mean(np.linalg.norm(
+            (out - truth).reshape(Bs, -1), axis=-1))) / tnorm
+
+    runs = {}
+    grid = ([("euler", n, 1, 1) for n in EULER_NS]
+            + [("ab3", n, 3, 1) for n in AB3_NS]
+            + [("ab2", 125, 2, 1)]
+            + [(f"vcache{k}", 250, 1, k) for k in VCACHE_KS])
+    if not full_truth:  # smoke: tiny grid
+        grid = [("euler", 16, 1, 1), ("euler", 8, 1, 1), ("ab3", 16, 3, 1),
+                ("ab3", 8, 3, 1), ("ab3", 12, 3, 1)]
+    for name, n, order, k in grid:
+        runs[f"{name}_{n}"] = rel(sample(n, order, k))
+        print(f"  {name:7s} N={n:4d}: rel_l2 {runs[f'{name}_{n}']:.5f}",
+              flush=True)
+
+    euler_errs = {n: runs[f"euler_{n}"] for _, n, o, k in grid
+                  if o == 1 and k == 1 for n in [n]}
+    ab3_errs = {n: runs[f"ab3_{n}"] for nm, n, o, k in grid if nm == "ab3"}
+    target_key = max(euler_errs)  # 250 in full runs
+    point = {
+        "train_steps": train_steps, "cfg_scale": cfg_scale, "seed": seed,
+        "train_loss": loss, "ground_truth_steps": gt_steps,
+        "truth_acc": acc_t, "runs": runs,
+        "euler_target": euler_errs[target_key],
+        "ab3_matched_n": matched_n(ab3_errs, euler_errs[target_key]),
+        # invariant: AB3 ≤ euler at every shared N (the claim BASELINE keeps)
+        "ab3_dominates_equal_n": all(
+            ab3_errs[n] <= euler_errs[n] for n in euler_errs if n in ab3_errs),
+    }
+    return point
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train_steps", default="600,1200,2400")
+    ap.add_argument("--cfg_scales", default="2,6.7,10")
+    ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--points", default=None,
+                    help="explicit subset 'ts:cfg:seed[,ts:cfg:seed...]' "
+                         "overriding the cross product")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--append", action="store_true",
+                    help="keep points already in --out (resume)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny grid + 64-step truth (CI)")
+    args = ap.parse_args()
+
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    out = args.out or (
+        f"docs/bench/multistep_matrix_{'tpu' if on_tpu else 'cpu'}.json")
+
+    if args.points:
+        pts = []
+        for spec in args.points.split(","):
+            ts, cfg, seed = spec.split(":")
+            pts.append((int(ts), float(cfg), int(seed)))
+    else:
+        pts = [(ts, cfg, seed)
+               for ts in map(int, args.train_steps.split(","))
+               for cfg in map(float, args.cfg_scales.split(","))
+               for seed in map(int, args.seeds.split(","))]
+
+    doc = {"platform": jax.default_backend(), "points": []}
+    if args.append and os.path.exists(out):
+        doc = json.load(open(out))
+    done = {(p["train_steps"], p["cfg_scale"], p["seed"]) for p in doc["points"]}
+
+    for ts, cfg, seed in pts:
+        if (ts, cfg, seed) in done:
+            print(f"skip (done): ts={ts} cfg={cfg} seed={seed}", flush=True)
+            continue
+        print(f"== point ts={ts} cfg={cfg} seed={seed} ==", flush=True)
+        point = run_point(ts, cfg, seed, full_truth=not args.smoke)
+        doc["points"].append(point)
+        matched = [p["ab3_matched_n"] for p in doc["points"]]
+        doc["summary"] = {
+            "n_points": len(doc["points"]),
+            "ab3_matched_n_distribution": sorted(
+                round(m, 1) if m != float("inf") else "inf" for m in matched
+                if m != float("inf")) + ["inf"] * sum(
+                    1 for m in matched if m == float("inf")),
+            "ab3_dominates_equal_n_everywhere": all(
+                p["ab3_dominates_equal_n"] for p in doc["points"]),
+        }
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(doc, f, indent=2)
+        print(f"  matched_N={point['ab3_matched_n']:.1f} "
+              f"dominates_equal_N={point['ab3_dominates_equal_n']}", flush=True)
+
+    print(json.dumps(doc.get("summary", {})))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Sampler-quality gauge that can actually RANK acceleration methods.
+
+Round 2's gauge (nearest-class-mean accuracy/confidence delta) was
+saturated: 0.000 at every point, even euler-50 at 3.7x the baseline ODE
+error — it cannot rank methods. This bench re-keys the acceleration tables
+on two gauges that are nonzero and monotone in the ODE error:
+
+1. **latent-FID**: the Fréchet distance (eval/fid.py frechet_distance — the
+   reference's own quality culture, tools/calculate_fid.py:629-651) between
+   the EXACT euler-250 output set and each accelerated output set, computed
+   over ≥1k samples on feature vectors from a fixed seeded random
+   projection of the latents (the testbed is pure-latent: no released
+   Inception/VAE weights in this zero-egress image; a fixed random
+   projection preserves Fréchet geometry in expectation and ranks methods
+   identically in practice). When real weights land (VAVAE_INCEPTION_WEIGHTS),
+   scripts/golden_numbers.py runs the pixel-space version.
+
+2. **per-sample deviation distribution**: rel-L2 between each accelerated
+   sample and its PAIRED exact euler-250 sample (same z, same label) —
+   p50/p90/p99/max, the per-sample analogue of the reference's
+   LPIPS-deviation habit.
+
+Usage: python scripts/bench_sampler_quality.py [--n 1024] [--train_steps N]
+       [--out F] [--smoke]
+Writes one JSON document incrementally (tunnel-drop safe).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PROJ_DIM = 192
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=None,
+                    help="samples per method (default 1024 TPU / 64 CPU)")
+    ap.add_argument("--train_steps", type=int, default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+
+    import vavae_tpu.utils.jax_cache  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench_common as bc
+    from vavae_tpu.eval.fid import activation_statistics, frechet_distance
+    from vavae_tpu.transport import Sampler
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_total = args.n or (1024 if on_tpu else 64)
+    train_steps = args.train_steps or (1200 if on_tpu else (10 if args.smoke else 600))
+    out = args.out or ("docs/bench/sampler_quality_"
+                       f"{'tpu' if on_tpu else 'cpu'}.json")
+
+    class_means, rng_np = bc.make_class_means()
+    model, transport, ema, _ = bc.train_synthetic_dit(
+        train_steps, on_tpu, class_means, rng_np
+    )
+    sampler = Sampler(transport)
+
+    B = 32 if on_tpu else 16
+    n_batches = max(1, n_total // B)
+    labels = jnp.asarray(np.arange(B) % bc.N_CLASSES, jnp.int32)
+    y_cfg = jnp.concatenate([labels, jnp.full((B,), bc.N_CLASSES, jnp.int32)])
+    cfg_scale = 2.0
+
+    def make_generate(num_steps, multistep_order=1, cache_interval=1):
+        fn = sampler.sample_ode_cfg(
+            num_steps=num_steps, timestep_shift=0.3, cfg_interval_start=0.11,
+            multistep_order=multistep_order, cache_interval=cache_interval,
+        )
+
+        @jax.jit
+        def generate(p, zz):
+            cond = lambda x, t: model.apply({"params": p}, x, t, labels)
+            cfgf = lambda x, t: model.forward_with_cfg(p, x, t, y_cfg, cfg_scale)
+            return fn(zz, cond, cfgf)
+
+        return generate
+
+    def sample_set(num_steps, order=1, k=1):
+        gen = make_generate(num_steps, order, k)
+        outs = []
+        for b in range(n_batches):
+            z = jax.random.normal(jax.random.PRNGKey(1000 + b),
+                                  (B,) + bc.LATENT_SHAPE, jnp.float32)
+            outs.append(np.asarray(gen(ema, z), np.float32))
+        return np.concatenate(outs)  # (n, 16, 16, 32)
+
+    # fixed seeded projection: same features for every method & every run
+    D = int(np.prod(bc.LATENT_SHAPE))
+    proj = (np.random.default_rng(42)
+            .normal(size=(D, PROJ_DIM)).astype(np.float32) / np.sqrt(D))
+
+    def features(x):
+        return x.reshape(len(x), -1) @ proj
+
+    ref_steps = 250 if not args.smoke else 32
+    print(f"generating exact euler-{ref_steps} reference set "
+          f"({n_batches * B} samples)", flush=True)
+    exact = sample_set(ref_steps)
+    mu_e, sig_e = activation_statistics(features(exact))
+    enorm = np.linalg.norm(exact.reshape(len(exact), -1), axis=-1)
+
+    methods = ([("euler", 125, 1, 1), ("euler", 100, 1, 1), ("euler", 50, 1, 1),
+                ("ab3", 125, 3, 1), ("ab3", 100, 3, 1), ("ab3", 83, 3, 1),
+                ("ab3", 62, 3, 1), ("ab3", 50, 3, 1),
+                ("vcache3", 250, 1, 3), ("vcache6", 250, 1, 6)]
+               if not args.smoke else
+               [("euler", 16, 1, 1), ("euler", 8, 1, 1), ("ab3", 16, 3, 1)])
+
+    doc = {"platform": jax.default_backend(), "train_steps": train_steps,
+           "n_samples": n_batches * B, "reference": f"euler_{ref_steps}",
+           "proj_dim": PROJ_DIM, "methods": {}}
+
+    def dump():
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(doc, f, indent=2)
+
+    for name, n, order, k in methods:
+        s = sample_set(n, order, k)
+        mu, sig = activation_statistics(features(s))
+        fid = frechet_distance(mu_e, sig_e, mu, sig)
+        dev = np.linalg.norm((s - exact).reshape(len(s), -1), axis=-1) / enorm
+        rec = {
+            "latent_fid_vs_exact": fid,
+            "per_sample_rel_l2": {
+                "p50": float(np.percentile(dev, 50)),
+                "p90": float(np.percentile(dev, 90)),
+                "p99": float(np.percentile(dev, 99)),
+                "max": float(dev.max()),
+                "mean": float(dev.mean()),
+            },
+        }
+        doc["methods"][f"{name}_{n}"] = rec
+        print(f"{name:7s} N={n:4d}: latent-FID {fid:10.6f}  "
+              f"relL2 p50 {rec['per_sample_rel_l2']['p50']:.5f} "
+              f"p99 {rec['per_sample_rel_l2']['p99']:.5f}", flush=True)
+        dump()
+
+    dump()
+    print(json.dumps({k: round(v["latent_fid_vs_exact"], 6)
+                      for k, v in doc["methods"].items()}))
+
+
+if __name__ == "__main__":
+    main()

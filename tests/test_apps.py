@@ -212,6 +212,97 @@ def test_knn_coverage_and_evaluator():
     assert 0 <= out["overall_score"] <= 1.0
 
 
+def test_lpips_diversity_composite_parity_vs_reference():
+    """--diversity lpips must reproduce the ACTUAL reference composite:
+    the pairwise protocol (subsample 50, all (i,j) pairs over the first 20,
+    comprehensive_generation_evaluator.py:113-127) and the overall score
+    min(1, mean_lpips*10) at weights 0.5/0.3/0.2 (:255-276). Both sides get
+    the same deterministic stand-in LPIPS callable, so any mismatch is in
+    the protocol/weights, not the net."""
+    import importlib.util
+    import sys as _sys
+    import types
+
+    ref_path = "/root/reference/comprehensive_generation_evaluator.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tree not mounted")
+    import torch
+
+    import torchvision_stub
+
+    torchvision_stub.install()
+    if "lpips" not in _sys.modules:
+        fake = types.ModuleType("lpips")
+        fake.LPIPS = lambda *a, **k: None
+        _sys.modules["lpips"] = fake
+    spec = importlib.util.spec_from_file_location("ref_comp_eval", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from vavae_tpu.apps.generation_evaluator import pairwise_lpips
+
+    rng = np.random.default_rng(3)
+    n = 7  # < 20: no subsampling, the pair set is fully determined
+    imgs = rng.normal(size=(n, 8, 8, 3)).astype(np.float32)
+
+    # deterministic stand-in metric, same math on both sides
+    def lpips_pair_fn(a, b):  # (B,H,W,C) batches -> (B,)
+        return np.abs(a - b).mean(axis=(1, 2, 3))
+
+    ev_ref = ref.ComprehensiveGenerationEvaluator.__new__(
+        ref.ComprehensiveGenerationEvaluator
+    )
+    ev_ref.lpips_fn = lambda a, b: torch.tensor(
+        lpips_pair_fn(
+            a.permute(0, 2, 3, 1).numpy(), b.permute(0, 2, 3, 1).numpy()
+        )
+    )
+    feats = rng.normal(size=(n, 16)).astype(np.float32)
+    ev_ref.classifier = lambda samples, return_features=True: (
+        torch.from_numpy(feats), None
+    )
+    ref_div = ev_ref.compute_intra_class_diversity(
+        torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))
+    )
+
+    pairs = pairwise_lpips(imgs, lpips_pair_fn)
+    assert len(pairs) == n * (n - 1) // 2
+    np.testing.assert_allclose(
+        float(np.mean(pairs)), ref_div["mean_lpips_distance"], rtol=1e-6
+    )
+
+    # composite: identical identity/coverage components into both scorers
+    identity_score, coverage_score = 0.8, 0.6
+    ref_overall = ev_ref.compute_overall_score({
+        "identity": {"identity_score": identity_score},
+        "diversity": {"diversity_score": ref_div["diversity_score"]},
+        "coverage": {"coverage_score": coverage_score},
+    })["overall_score"]
+    ours = (
+        0.5 * identity_score
+        + 0.3 * min(1.0, float(np.mean(pairs)) * 10.0)
+        + 0.2 * coverage_score
+    )
+    np.testing.assert_allclose(ours, ref_overall, rtol=1e-6)
+
+    # and the evaluate_user wiring applies exactly that diversity component
+    from vavae_tpu.apps.generation_evaluator import (
+        ComprehensiveGenerationEvaluator as Ours,
+    )
+
+    probs = np.zeros((n, 3), np.float32)
+    probs[:, 1] = 1.0
+    real = rng.normal(size=(30, 16)).astype(np.float32)
+    out = Ours(diversity_metric="lpips").evaluate_user(
+        probs, feats, real, target_user=1, lpips_pairs=pairs
+    )
+    # identity is saturated (acc 1.0 × conf 1.0) so the overall decomposes
+    expect = (0.5 * 1.0
+              + 0.3 * min(1.0, float(np.mean(pairs)) * 10.0)
+              + 0.2 * out["coverage"])
+    np.testing.assert_allclose(out["overall_score"], expect, rtol=1e-6)
+
+
 def test_iterative_training_injects_synthetic():
     """Accepted samples must be re-encoded and mixed into the training set
     (iterative_finetune_dit.py:490 behavior)."""

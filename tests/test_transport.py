@@ -344,13 +344,20 @@ def test_velocity_cached_order2_quadratic_field_is_exact(rng):
 
 
 def test_ab_dominates_velocity_cache_at_equal_eval_budget(rng):
-    """The exact-solver family beats the forecast family at matched model-
-    eval counts (the BASELINE.md 'AB3 vs velocity cache' claim, pinned on an
-    analytic non-polynomial drift): euler-64 with cache interval k makes
-    64/k evals and rectangle-steps a forecast polynomial; AB3 on a 64/k-step
-    grid integrates its history polynomial exactly. Measured margin on this
-    field is ~10x; assert a conservative 2x so model-free regressions (a
-    broken divided difference, a wrong step moment) still fail loudly."""
+    """SOLVER-MATH regression guard, pinned on an analytic non-polynomial
+    drift: euler-64 with cache interval k makes 64/k evals and
+    rectangle-steps a forecast polynomial; AB3 on a 64/k-step grid
+    integrates its history polynomial exactly, so on a smooth field it wins
+    by ~10x (assert a conservative 2x so a broken divided difference or a
+    wrong step moment still fails loudly).
+
+    This is NOT a production-ordering claim: on trained model fields the
+    AB3-vs-vcache ordering at matched eval budget is FIELD-DEPENDENT — the
+    round-2 on-chip well-trained testbed reversed it (vcache-k3 0.260% @
+    ~84 evals vs ab3-83 0.300%; BASELINE.md 'AB3 vs velocity cache').
+    What stays invariant on every measured testbed is AB3-N <= euler-N at
+    equal N (test_ab_beats_euler_at_equal_steps_on_trained_field-style
+    sweeps + the BASELINE testbed matrix)."""
     from vavae_tpu.transport.ode import (
         odeint_ab,
         odeint_euler,

@@ -65,6 +65,34 @@ def intra_class_diversity(
     return out
 
 
+def pairwise_lpips(
+    images: np.ndarray,
+    lpips_pair_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    sample_size: int = 50,
+    pair_limit: int = 20,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Pairwise perceptual distances, reference-exact protocol
+    (comprehensive_generation_evaluator.py:113-127): random-subsample to
+    ``sample_size`` when larger, then all (i, j) pairs over the first
+    ``pair_limit`` samples. ``lpips_pair_fn(a, b)`` takes two (B, H, W, C)
+    batches and returns (B,) distances (batched here — the reference loops
+    one pair per forward; same numbers, O(B) fewer dispatches)."""
+    if len(images) > sample_size:
+        rng = rng or np.random.default_rng(0)
+        images = images[rng.permutation(len(images))[:sample_size]]
+    n = min(len(images), pair_limit)
+    idx = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    if not idx:
+        return np.empty((0,), np.float32)
+    a = np.stack([images[i] for i, _ in idx])
+    b = np.stack([images[j] for _, j in idx])
+    out = []
+    for s in range(0, len(a), 32):
+        out.append(np.asarray(lpips_pair_fn(a[s:s + 32], b[s:s + 32])))
+    return np.concatenate(out).reshape(-1)
+
+
 def knn_coverage(
     gen_features: np.ndarray, real_features: np.ndarray, k: int = 5
 ) -> Dict:
@@ -97,16 +125,23 @@ def knn_coverage(
 class ComprehensiveGenerationEvaluator:
     """Weighted overall score (comprehensive_generation_evaluator.py:255-285):
     weights 0.5/0.3/0.2, identity_score = top1_accuracy × mean target
-    confidence (:105). Deviation by design: the reference's diversity score
-    is the mean pairwise LPIPS ×10 (:146,262); this evaluator uses the
-    feature-cosine diversity ×2 capped at 1 instead (no O(n²) LPIPS
-    forwards), documented here rather than silently. Undefined components
-    (single-sample diversity, single-real-sample coverage) make the overall
-    score NaN with an explanatory note instead of propagating silently."""
+    confidence (:105).
+
+    ``diversity_metric`` picks the diversity component:
+      - "feature" (fast default): feature-cosine diversity ×2 capped at 1 —
+        no O(n²) LPIPS forwards; a DOCUMENTED deviation from the reference.
+      - "lpips" (reference-exact): mean pairwise LPIPS ×10 capped at 1
+        (:146,262) over the :113-127 subsampling protocol; pass the
+        precomputed ``lpips_pairs`` (see ``pairwise_lpips``).
+
+    Undefined components (single-sample diversity, single-real-sample
+    coverage) make the overall score NaN with an explanatory note instead
+    of propagating silently."""
 
     identity_weight: float = 0.5
     diversity_weight: float = 0.3
     coverage_weight: float = 0.2
+    diversity_metric: str = "feature"
 
     def evaluate_user(
         self,
@@ -114,15 +149,25 @@ class ComprehensiveGenerationEvaluator:
         gen_features: np.ndarray,
         real_features: np.ndarray,
         target_user: int,
+        lpips_pairs: Optional[np.ndarray] = None,
     ) -> Dict:
         ident = identity_preservation(gen_probs, target_user)
-        div = intra_class_diversity(gen_features)
+        div = intra_class_diversity(gen_features, lpips_pairs)
         cov = knn_coverage(gen_features, real_features)
         identity_score = ident["identity_acc"] * ident["mean_target_prob"]
+        if self.diversity_metric == "lpips":
+            if lpips_pairs is None:
+                raise ValueError(
+                    "diversity_metric='lpips' needs lpips_pairs (pairwise_lpips)")
+            # reference :262: min(1, mean_lpips * 10); :146 means an empty
+            # pair list scores 0, not NaN — match that quirk exactly
+            lp = float(np.mean(lpips_pairs)) if len(lpips_pairs) else 0.0
+            div_component = min(1.0, lp * 10.0)
+        else:
+            div_component = min(div["feature_diversity"] * 2.0, 1.0)
         components = {
             "identity": self.identity_weight * identity_score,
-            "diversity": self.diversity_weight
-            * min(div["feature_diversity"] * 2.0, 1.0),
+            "diversity": self.diversity_weight * div_component,
             "coverage": self.coverage_weight * cov["coverage"],
         }
         undefined = [k for k, v in components.items() if not np.isfinite(v)]
@@ -172,6 +217,11 @@ def main() -> None:
     ap.add_argument("--mode", default="baseline",
                     choices=["baseline", "improved", "calibrated", "domain_adaptive"])
     ap.add_argument("--image_size", type=int, default=224)
+    ap.add_argument("--diversity", default="feature", choices=["feature", "lpips"],
+                    help="diversity component: fast feature-cosine (default) "
+                         "or the reference-exact pairwise LPIPS "
+                         "(comprehensive_generation_evaluator.py:108-148; "
+                         "needs VAVAE_LPIPS_WEIGHTS/VAVAE_VGG16_WEIGHTS)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -197,7 +247,19 @@ def main() -> None:
     gen_probs = batched(predict, gen_x)
     gen_feats = batched(features, gen_x)
 
-    ev = ComprehensiveGenerationEvaluator()
+    lpips_pair_fn = None
+    if args.diversity == "lpips":
+        import jax.numpy as jnp
+
+        from vavae_tpu.models.lpips import load_lpips
+
+        lpips_model, lpips_vars = load_lpips()
+        _lp = jax.jit(lambda a, b: lpips_model.apply(lpips_vars, a, b))
+
+        def lpips_pair_fn(a, b):
+            return np.asarray(_lp(jnp.asarray(a), jnp.asarray(b))).reshape(-1)
+
+    ev = ComprehensiveGenerationEvaluator(diversity_metric=args.diversity)
     report = {}
     for uid in np.unique(gen_labels):
         m = gen_labels == uid
@@ -216,8 +278,11 @@ def main() -> None:
             report[int(uid)] = r
             print(f"user {uid}: {r['note']}")
             continue
+        pairs = (pairwise_lpips(gen_x[m], lpips_pair_fn)
+                 if lpips_pair_fn is not None else None)
         report[int(uid)] = ev.evaluate_user(
-            gen_probs[m], gen_feats[m], real_feats[rm], int(uid)
+            gen_probs[m], gen_feats[m], real_feats[rm], int(uid),
+            lpips_pairs=pairs,
         )
         r = report[int(uid)]
         print(
