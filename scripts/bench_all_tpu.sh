@@ -46,8 +46,16 @@ step multistep_matrix 7200 python scripts/bench_multistep_matrix.py \
   --out "$R/docs/bench/multistep_matrix_tpu.json"
 step sampler_quality 7200 python scripts/bench_sampler_quality.py
 
-# 3. VAE inference: fp32 + bf16 throughput, bf16 posterior-deviation gauge
-#    (pass a trained ckpt as $VAVAE_BENCH_VAE_CKPT for the trained-model ratio)
+# 3. VAE inference: fp32 + bf16 throughput, bf16 posterior-deviation gauge.
+#    The bf16 gauge needs a TRAINED posterior (random logvar is O(1) and
+#    understates the ratio) — train the production f16d32 arch briefly on
+#    procedural images unless a real checkpoint is supplied via
+#    $VAVAE_BENCH_VAE_CKPT.
+if [ -z "${VAVAE_BENCH_VAE_CKPT:-}" ]; then
+  step train_vae_gauge 3600 python scripts/train_vae_gauge_ckpt.py 300 \
+    "$OUT/vae_gauge_ckpt.safetensors" \
+    && VAVAE_BENCH_VAE_CKPT="$OUT/vae_gauge_ckpt.safetensors"
+fi
 step vae_infer_fp32 1800 python scripts/bench_vae_infer.py 8
 step vae_infer_bf16 1800 python scripts/bench_vae_infer.py 8 bf16 ${VAVAE_BENCH_VAE_CKPT:-}
 
