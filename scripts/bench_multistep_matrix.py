@@ -183,12 +183,25 @@ def main() -> None:
         point = run_point(ts, cfg, seed, full_truth=not args.smoke)
         doc["points"].append(point)
         matched = [p["ab3_matched_n"] for p in doc["points"]]
+        by_cfg: dict = {}
+        for p in doc["points"]:  # the dominant axis: CFG scale (measured)
+            by_cfg.setdefault(p["cfg_scale"], []).append(p["ab3_matched_n"])
         doc["summary"] = {
             "n_points": len(doc["points"]),
             "ab3_matched_n_distribution": sorted(
                 round(m, 1) if m != float("inf") else "inf" for m in matched
                 if m != float("inf")) + ["inf"] * sum(
                     1 for m in matched if m == float("inf")),
+            # matched_N groups by cfg_scale, not train quality: low CFG →
+            # ~60-80 (3-4x at matched error), production CFG (>=6.7) →
+            # ~190-240 (barely better than euler-250) — the reason the
+            # round-3 headline is euler-250
+            "ab3_matched_n_by_cfg": {
+                str(c): {
+                    "min": round(min(v), 1), "max": round(max(v), 1),
+                    "median": round(sorted(v)[len(v) // 2], 1),
+                } for c, v in sorted(by_cfg.items())
+            },
             "ab3_dominates_equal_n_everywhere": all(
                 p["ab3_dominates_equal_n"] for p in doc["points"]),
         }
