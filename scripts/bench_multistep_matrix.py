@@ -129,12 +129,20 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
         "train_loss": loss, "ground_truth_steps": gt_steps,
         "truth_acc": acc_t, "runs": runs,
         "euler_target": euler_errs[target_key],
-        "ab3_matched_n": matched_n(ab3_errs, euler_errs[target_key]),
+        # inf (even ab3-250 misses the target) is stored as the string "inf"
+        # so the JSON stays strictly parseable; float("inf") round-trips it
+        "ab3_matched_n": (lambda m: "inf" if m == float("inf") else m)(
+            matched_n(ab3_errs, euler_errs[target_key])),
         # invariant: AB3 ≤ euler at every shared N (the claim BASELINE keeps)
         "ab3_dominates_equal_n": all(
             ab3_errs[n] <= euler_errs[n] for n in euler_errs if n in ab3_errs),
     }
     return point
+
+
+def _r(m: float):
+    """Round for the summary; inf becomes the string "inf" (valid JSON)."""
+    return "inf" if m == float("inf") else round(m, 1)
 
 
 def main() -> None:
@@ -182,10 +190,11 @@ def main() -> None:
         print(f"== point ts={ts} cfg={cfg} seed={seed} ==", flush=True)
         point = run_point(ts, cfg, seed, full_truth=not args.smoke)
         doc["points"].append(point)
-        matched = [p["ab3_matched_n"] for p in doc["points"]]
+        matched = [float(p["ab3_matched_n"]) for p in doc["points"]]
         by_cfg: dict = {}
         for p in doc["points"]:  # the dominant axis: CFG scale (measured)
-            by_cfg.setdefault(p["cfg_scale"], []).append(p["ab3_matched_n"])
+            by_cfg.setdefault(p["cfg_scale"], []).append(
+                float(p["ab3_matched_n"]))
         doc["summary"] = {
             "n_points": len(doc["points"]),
             "ab3_matched_n_distribution": sorted(
@@ -196,10 +205,13 @@ def main() -> None:
             # ~60-80 (3-4x at matched error), production CFG (>=6.7) →
             # ~190-240 (barely better than euler-250) — the reason the
             # round-3 headline is euler-250
+            # inf-safe: a noisy point where even ab3-250 misses the euler-250
+            # error yields matched_n = inf — keep the JSON strictly parseable
+            # (json.dump would emit the non-standard `Infinity` literal)
             "ab3_matched_n_by_cfg": {
                 str(c): {
-                    "min": round(min(v), 1), "max": round(max(v), 1),
-                    "median": round(sorted(v)[len(v) // 2], 1),
+                    "min": _r(min(v)), "max": _r(max(v)),
+                    "median": _r(sorted(v)[len(v) // 2]),
                 } for c, v in sorted(by_cfg.items())
             },
             "ab3_dominates_equal_n_everywhere": all(
@@ -208,7 +220,7 @@ def main() -> None:
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
         with open(out, "w") as f:
             json.dump(doc, f, indent=2)
-        print(f"  matched_N={point['ab3_matched_n']:.1f} "
+        print(f"  matched_N={float(point['ab3_matched_n']):.1f} "
               f"dominates_equal_N={point['ab3_dominates_equal_n']}", flush=True)
 
     print(json.dumps(doc.get("summary", {})))
