@@ -9,13 +9,18 @@ honest apples-to-apples number, stable across rounds.
 
 Accelerations are reported SEPARATELY with their measured accuracy trade
 (BASELINE.md): the order-3 Adams–Bashforth integrator (`bench.py 8 1 3 N`)
-is an exact-solver upgrade whose error is strictly below euler's at EQUAL
-step count on every measured testbed — but the round-2 cross-count claim
-"ab3-100 error ≤ euler-250 error" proved FIELD-DEPENDENT (the well-trained
-on-chip testbed showed euler-250 0.160% < ab3-100 0.259%), so no cross-
-count equal-accuracy label rides the headline; see the testbed matrix
-(scripts/bench_multistep_matrix.py, docs/bench/multistep_matrix_*.json)
-for the distribution of the error-matched AB3 step count.
+is an exact-solver upgrade — lower error than euler at EQUAL step count
+wherever the integration is in its asymptotic regime (error monotone in
+N), which held on 29 of 30 measured testbed points. It is NOT
+unconditional: the round-3 on-chip matrix found one stiff point
+(cfg 6.7 on a sharply-trained field, euler error itself non-monotone in
+N) where AB3's history extrapolation AMPLIFIED the error at every N.
+The round-2 cross-count claim "ab3-100 error ≤ euler-250 error" is
+likewise field-dependent (matched_N spanned 51 → ∞ across on-chip
+points). Hence no accuracy label rides the headline: see the testbed
+matrix (scripts/bench_multistep_matrix.py,
+docs/bench/multistep_matrix_*.json) and rank methods on YOUR model with
+scripts/bench_sampler_quality.py before adopting any acceleration.
 
 Baseline for vs_baseline: an A100 running the PyTorch reference's OWN
 sampler (euler-250) at the same batch. Estimated from FLOPs: one CFG step
@@ -263,9 +268,10 @@ def main() -> None:
     is_euler250 = multistep_order == 1 and cache_interval == 1 and num_steps == ref_steps
     tag = "" if cache_interval == 1 else f",vcache{cache_interval}"
     if multistep_order > 1:
-        # exact-solver acceleration: AB-N ≤ euler-N error at EQUAL N on every
-        # measured testbed; the cross-count accuracy trade vs euler-250 is
-        # field-dependent — see the BASELINE.md testbed matrix before citing
+        # exact-solver acceleration: AB-N ≤ euler-N at equal N on smooth
+        # (asymptotic-regime) fields, but one stiff on-chip point reversed
+        # it, and the cross-count trade vs euler-250 is field-dependent —
+        # see the BASELINE.md testbed matrix before citing any accuracy
         tag += f",ab{multistep_order}"
     result = {
         "metric": f"dit_xl1_cfg_sampling_throughput[{model_name},{num_steps}steps,b{batch}{tag}]",

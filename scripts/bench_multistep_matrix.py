@@ -8,9 +8,13 @@ steps match 250 euler steps" is field-dependent; this script measures HOW
 field-dependent, across train_steps × cfg_scale × seeds, and publishes the
 distribution of the error-matched-to-euler-250 AB3 step count.
 
-What IS invariant in every run so far (and what BASELINE.md may claim):
-AB3-N ≤ euler-N error at EQUAL N — same cost, strictly better solver.
-This script asserts that invariant on every point it measures.
+Equal-N behavior (recorded per point as ``ab3_dominates_equal_n``):
+AB3-N ≤ euler-N wherever the integration is in its asymptotic regime
+(error monotone in N) — 29 of the first 30 points. It is NOT
+unconditional: the on-chip point (2400 steps, cfg 6.7) sits in a STIFF
+regime (euler's own error non-monotone in N, 1-14% deviations from the
+4000-step reference) where AB3's history extrapolation amplifies the
+error at every N — the textbook Adams–Bashforth stiffness limitation.
 
 Per point: train the synthetic DiT testbed (bench_common protocol), take a
 4000-step euler ground truth, measure rel-L2 for euler/{250,125,100,50},
@@ -201,10 +205,12 @@ def main() -> None:
                 round(m, 1) if m != float("inf") else "inf" for m in matched
                 if m != float("inf")) + ["inf"] * sum(
                     1 for m in matched if m == float("inf")),
-            # matched_N groups by cfg_scale, not train quality: low CFG →
-            # ~60-80 (3-4x at matched error), production CFG (>=6.7) →
-            # ~190-240 (barely better than euler-250) — the reason the
-            # round-3 headline is euler-250
+            # On the TINY CPU testbeds matched_N groups by cfg_scale
+            # (cfg 2 → ~60-80, cfg 6.7-10 → ~190-240); the on-chip
+            # big-model points broke that pattern entirely (51 → inf
+            # across cfg 2/6.7/10) — matched_N is FIELD-dependent with no
+            # production-safe predictor, the reason the round-3 headline
+            # is euler-250
             # inf-safe: a noisy point where even ab3-250 misses the euler-250
             # error yields matched_n = inf — keep the JSON strictly parseable
             # (json.dump would emit the non-standard `Infinity` literal)

@@ -355,9 +355,10 @@ def test_ab_dominates_velocity_cache_at_equal_eval_budget(rng):
     AB3-vs-vcache ordering at matched eval budget is FIELD-DEPENDENT — the
     round-2 on-chip well-trained testbed reversed it (vcache-k3 0.260% @
     ~84 evals vs ab3-83 0.300%; BASELINE.md 'AB3 vs velocity cache').
-    What stays invariant on every measured testbed is AB3-N <= euler-N at
-    equal N (test_ab_beats_euler_at_equal_steps_on_trained_field-style
-    sweeps + the BASELINE testbed matrix)."""
+    Even AB3-N <= euler-N at equal N is only an asymptotic-regime fact:
+    it held on 29/30 matrix points, but one stiff on-chip point (cfg 6.7,
+    sharply-trained field, euler error non-monotone in N) reversed it —
+    history extrapolation amplifies stiffness (BASELINE testbed matrix)."""
     from vavae_tpu.transport.ode import (
         odeint_ab,
         odeint_euler,
