@@ -40,11 +40,18 @@ step multistep_sweep 5400 python scripts/bench_multistep.py --sweep auto
 
 # 2b. testbed MATRIX points on-chip (accuracy-claim robustness: different
 #     seeds/configs than round 2's single testbed) + the rankable quality
-#     gauge (latent-FID + per-sample deviation, >=1k samples)
-step multistep_matrix 7200 python scripts/bench_multistep_matrix.py \
-  --points 1200:2:1,2400:6.7:0,600:10:2 --append \
+#     gauge (latent-FID + per-sample deviation, >=1k samples).
+#     --force: re-run the 3 points to pick up the round-3 heun/dopri5/cost
+#     columns (deterministic seeds reproduce the old errors bit-identically)
+step multistep_matrix 10800 python scripts/bench_multistep_matrix.py \
+  --points 1200:2:1,2400:6.7:0,600:10:2 --append --force \
   --out "$R/docs/bench/multistep_matrix_tpu.json"
 step sampler_quality 7200 python scripts/bench_sampler_quality.py
+# the STIFF regime (the matrix's hardest field): heun/dopri5 were added
+# exactly for this point — does a history-free higher-order method beat
+# euler-250 on cost where AB3 failed?
+step sampler_quality_cfg67 10800 python scripts/bench_sampler_quality.py \
+  --cfg_scale 6.7 --train_steps 2400
 
 # 3. VAE inference: fp32 + bf16 throughput, bf16 posterior-deviation gauge.
 #    The bf16 gauge needs a TRAINED posterior (random logvar is O(1) and

@@ -23,6 +23,20 @@ log-log-interpolate the AB3 error curve to the N whose error equals
 euler-250's ("matched_N"; >250 means AB3 never matches within the sweep
 and the honest production choice is euler-250 itself).
 
+Round-3 additions, motivated by the stiff cfg-6.7 on-chip point where
+AB3's history extrapolation failed at every N:
+  - heun/{125,100,83,62,50}: one-STEP RK2 — no history to amplify
+    stiffness, 2 model evals per step. heun_matched_n is the analogous
+    error-matched-to-euler-250 step count; heun at N is cheaper than
+    euler-250 whenever 2N(+split discount) < 250.
+  - dopri5 at rtol {1e-2,1e-3,1e-4} (atol 1e-6): adaptive RK45 — the
+    controller shrinks steps where the field is rough, the principled
+    answer to a stiff regime. Records measured eval counts from the
+    controller stats.
+Every run also records ``cost``: CFG-forward-equivalent model evals
+(cond-phase half-batch calls count 0.5), so error-vs-cost is comparable
+across methods with different per-step eval counts and adaptive grids.
+
 Usage:
   python scripts/bench_multistep_matrix.py                      # full 27-pt
   python scripts/bench_multistep_matrix.py --points 1200:2:0    # subset
@@ -46,11 +60,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 EULER_NS = (250, 125, 100, 50)
 AB3_NS = (250, 200, 150, 125, 100, 83, 62, 50)
 VCACHE_KS = (3, 6)
+HEUN_NS = (125, 100, 83, 62, 50)
+DOPRI_RTOLS = (1e-2, 1e-3, 1e-4)
 
 
 def matched_n(ab3_errors: dict, target: float) -> float:
-    """Smallest AB3 step count whose interpolated error equals ``target``
-    (log-log linear between grid points; inf if even ab3-250 exceeds it)."""
+    """Smallest step count whose interpolated error equals ``target``
+    (log-log linear between grid points; inf if even N=max exceeds it)."""
     pts = sorted(ab3_errors.items())  # ascending N
     # errors decrease with N; walk from large N down
     pts = [(n, e) for n, e in pts if e > 0]
@@ -74,6 +90,7 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
 
     import bench_common as bc
     from vavae_tpu.transport import Sampler
+    from vavae_tpu.transport import ode as ode_mod
 
     on_tpu = jax.default_backend() == "tpu"
     class_means, rng_np = bc.make_class_means(seed)
@@ -88,11 +105,29 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
     z = jax.random.normal(jax.random.PRNGKey(seed + 7), (Bs,) + bc.LATENT_SHAPE,
                           jnp.float32)
 
-    def sample(num_steps, multistep_order=1, cache_interval=1):
-        fn = sampler.sample_ode_cfg(
-            num_steps=num_steps, timestep_shift=0.3, cfg_interval_start=0.11,
-            multistep_order=multistep_order, cache_interval=cache_interval,
-        )
+    t0_i, t1_i = transport.check_interval(eval=True, sde=False)
+
+    def cfg_split(n):
+        # same split the sampler computes: cond-only steps before model-t
+        # crosses cfg_interval_start on the shifted grid
+        g = np.asarray(ode_mod.time_grid(t0_i, t1_i, n, 0.3))
+        return int(np.searchsorted(g[:-1], 0.11))
+
+    def sample(num_steps=250, multistep_order=1, cache_interval=1,
+               method="euler", rtol=None):
+        """Returns (samples, cost) where cost is CFG-forward-equivalent
+        model evals: cond-phase half-batch calls count 0.5."""
+        if method == "dopri5":
+            fn = sampler.sample_ode_cfg(
+                sampling_method="dopri5", cfg_interval_start=0.11,
+                rtol=rtol, atol=1e-6, return_stats=True,
+            )
+        else:
+            fn = sampler.sample_ode_cfg(
+                num_steps=num_steps, timestep_shift=0.3,
+                cfg_interval_start=0.11, sampling_method=method,
+                multistep_order=multistep_order, cache_interval=cache_interval,
+            )
 
         @jax.jit
         def generate(p, zz):
@@ -100,10 +135,24 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
             cfgf = lambda x, t: model.forward_with_cfg(p, x, t, y_cfg, cfg_scale)
             return fn(zz, cond, cfgf)
 
-        return np.asarray(generate(ema, z), np.float32)
+        res = generate(ema, z)
+        if method == "dopri5":
+            out, stats = res
+            cost = 0.0
+            for phase, wgt in (("cond", 0.5), ("cfg", 1.0)):
+                st = stats[phase]
+                if st is not None:
+                    cost += wgt * (
+                        2 + 6 * (int(st["naccept"]) + int(st["nreject"])))
+            return np.asarray(out, np.float32), float(cost)
+        s = cfg_split(num_steps)
+        per = 2.0 if method == "heun" else 1.0  # heun: 2 model evals/step
+        n_cfg = (num_steps - s if cache_interval <= 1
+                 else math.ceil((num_steps - s) / cache_interval))
+        return np.asarray(res, np.float32), per * (0.5 * s + n_cfg)
 
     gt_steps = 4000 if full_truth else 64
-    truth = sample(gt_steps)
+    truth, _ = sample(gt_steps)
     tnorm = float(np.mean(np.linalg.norm(truth.reshape(Bs, -1), axis=-1)))
     acc_t, _ = bc.classify(truth, class_means, labels)
 
@@ -111,35 +160,61 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
         return float(np.mean(np.linalg.norm(
             (out - truth).reshape(Bs, -1), axis=-1))) / tnorm
 
-    runs = {}
-    grid = ([("euler", n, 1, 1) for n in EULER_NS]
-            + [("ab3", n, 3, 1) for n in AB3_NS]
-            + [("ab2", 125, 2, 1)]
-            + [(f"vcache{k}", 250, 1, k) for k in VCACHE_KS])
+    runs, costs = {}, {}
+    grid = ([(f"euler_{n}", dict(num_steps=n)) for n in EULER_NS]
+            + [(f"ab3_{n}", dict(num_steps=n, multistep_order=3))
+               for n in AB3_NS]
+            + [("ab2_125", dict(num_steps=125, multistep_order=2))]
+            + [(f"vcache{k}_250", dict(num_steps=250, cache_interval=k))
+               for k in VCACHE_KS]
+            + [(f"heun_{n}", dict(num_steps=n, method="heun"))
+               for n in HEUN_NS]
+            + [(f"dopri5_rtol{r:g}", dict(method="dopri5", rtol=r))
+               for r in DOPRI_RTOLS])
     if not full_truth:  # smoke: tiny grid
-        grid = [("euler", 16, 1, 1), ("euler", 8, 1, 1), ("ab3", 16, 3, 1),
-                ("ab3", 8, 3, 1), ("ab3", 12, 3, 1)]
-    for name, n, order, k in grid:
-        runs[f"{name}_{n}"] = rel(sample(n, order, k))
-        print(f"  {name:7s} N={n:4d}: rel_l2 {runs[f'{name}_{n}']:.5f}",
+        grid = [("euler_16", dict(num_steps=16)),
+                ("euler_8", dict(num_steps=8)),
+                ("ab3_16", dict(num_steps=16, multistep_order=3)),
+                ("ab3_8", dict(num_steps=8, multistep_order=3)),
+                ("ab3_12", dict(num_steps=12, multistep_order=3)),
+                ("heun_8", dict(num_steps=8, method="heun")),
+                ("dopri5_rtol0.01", dict(method="dopri5", rtol=1e-2))]
+    for label, kw in grid:
+        out, cost = sample(**kw)
+        runs[label] = rel(out)
+        costs[label] = cost
+        print(f"  {label:15s}: rel_l2 {runs[label]:.5f}  cost {cost:7.1f}",
               flush=True)
 
-    euler_errs = {n: runs[f"euler_{n}"] for _, n, o, k in grid
-                  if o == 1 and k == 1 for n in [n]}
-    ab3_errs = {n: runs[f"ab3_{n}"] for nm, n, o, k in grid if nm == "ab3"}
+    def _by_n(prefix):
+        return {int(l.split("_")[1]): e for l, e in runs.items()
+                if l.startswith(prefix + "_")}
+
+    euler_errs, ab3_errs, heun_errs = _by_n("euler"), _by_n("ab3"), _by_n("heun")
     target_key = max(euler_errs)  # 250 in full runs
+    target_err = euler_errs[target_key]
+    target_cost = costs[f"euler_{target_key}"]
+    _inf = lambda m: "inf" if m == float("inf") else m
     point = {
         "train_steps": train_steps, "cfg_scale": cfg_scale, "seed": seed,
         "train_loss": loss, "ground_truth_steps": gt_steps,
-        "truth_acc": acc_t, "runs": runs,
-        "euler_target": euler_errs[target_key],
-        # inf (even ab3-250 misses the target) is stored as the string "inf"
+        "truth_acc": acc_t, "runs": runs, "costs": costs,
+        "euler_target": target_err,
+        # inf (even N=max misses the target) is stored as the string "inf"
         # so the JSON stays strictly parseable; float("inf") round-trips it
-        "ab3_matched_n": (lambda m: "inf" if m == float("inf") else m)(
-            matched_n(ab3_errs, euler_errs[target_key])),
+        "ab3_matched_n": _inf(matched_n(ab3_errs, target_err)),
+        "heun_matched_n": _inf(matched_n(heun_errs, target_err))
+        if heun_errs else None,
         # invariant: AB3 ≤ euler at every shared N (the claim BASELINE keeps)
         "ab3_dominates_equal_n": all(
             ab3_errs[n] <= euler_errs[n] for n in euler_errs if n in ab3_errs),
+        # the production question: which accelerated points are BOTH cheaper
+        # than euler-250 (CFG-forward-equivalent evals) and at-or-below its
+        # error on this field?
+        "beats_euler250": sorted(
+            l for l in runs
+            if l != f"euler_{target_key}"
+            and costs[l] < target_cost and runs[l] <= target_err),
     }
     return point
 
@@ -160,6 +235,12 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--append", action="store_true",
                     help="keep points already in --out (resume)")
+    ap.add_argument("--force", action="store_true",
+                    help="with --append: re-run (and REPLACE) the requested "
+                         "points even if present — used to refresh old "
+                         "points with columns added later (heun/dopri5/"
+                         "costs); deterministic seeds reproduce the old "
+                         "euler/ab3 errors bit-identically")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny grid + 64-step truth (CI)")
     args = ap.parse_args()
@@ -188,12 +269,14 @@ def main() -> None:
     done = {(p["train_steps"], p["cfg_scale"], p["seed"]) for p in doc["points"]}
 
     for ts, cfg, seed in pts:
-        if (ts, cfg, seed) in done:
+        if (ts, cfg, seed) in done and not args.force:
             print(f"skip (done): ts={ts} cfg={cfg} seed={seed}", flush=True)
             continue
         print(f"== point ts={ts} cfg={cfg} seed={seed} ==", flush=True)
         point = run_point(ts, cfg, seed, full_truth=not args.smoke)
-        doc["points"].append(point)
+        doc["points"] = [p for p in doc["points"]
+                         if (p["train_steps"], p["cfg_scale"], p["seed"])
+                         != (ts, cfg, seed)] + [point]
         matched = [float(p["ab3_matched_n"]) for p in doc["points"]]
         by_cfg: dict = {}
         for p in doc["points"]:  # the dominant axis: CFG scale (measured)
@@ -222,6 +305,19 @@ def main() -> None:
             },
             "ab3_dominates_equal_n_everywhere": all(
                 p["ab3_dominates_equal_n"] for p in doc["points"]),
+            # round-3 columns (absent on points appended from older runs)
+            "heun_matched_n_distribution": sorted(
+                (_r(float(p["heun_matched_n"])) for p in doc["points"]
+                 if p.get("heun_matched_n") is not None),
+                key=lambda m: float("inf") if m == "inf" else m),
+            # labels that beat euler-250 on BOTH cost and error at EVERY
+            # point measured so far — the only production-safe defaults
+            "beats_euler250_everywhere": sorted(
+                set.intersection(*[set(p["beats_euler250"])
+                                   for p in doc["points"]
+                                   if "beats_euler250" in p])
+                if any("beats_euler250" in p for p in doc["points"])
+                else set()),
         }
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
         with open(out, "w") as f:

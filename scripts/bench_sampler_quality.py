@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=None,
                     help="samples per method (default 1024 TPU / 64 CPU)")
     ap.add_argument("--train_steps", type=int, default=None)
+    ap.add_argument("--cfg_scale", type=float, default=2.0,
+                    help="CFG scale of the gauged sampler (the on-chip "
+                         "matrix found a STIFF regime at cfg 6.7 on a "
+                         "sharply-trained field — gauge that too)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
@@ -58,8 +62,9 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     n_total = args.n or (1024 if on_tpu else 64)
     train_steps = args.train_steps or (1200 if on_tpu else (10 if args.smoke else 600))
+    cfg_tag = "" if args.cfg_scale == 2.0 else f"_cfg{args.cfg_scale:g}"
     out = args.out or ("docs/bench/sampler_quality_"
-                       f"{'tpu' if on_tpu else 'cpu'}.json")
+                       f"{'tpu' if on_tpu else 'cpu'}{cfg_tag}.json")
 
     class_means, rng_np = bc.make_class_means()
     model, transport, ema, _ = bc.train_synthetic_dit(
@@ -71,13 +76,29 @@ def main() -> None:
     n_batches = max(1, n_total // B)
     labels = jnp.asarray(np.arange(B) % bc.N_CLASSES, jnp.int32)
     y_cfg = jnp.concatenate([labels, jnp.full((B,), bc.N_CLASSES, jnp.int32)])
-    cfg_scale = 2.0
+    cfg_scale = args.cfg_scale
 
-    def make_generate(num_steps, multistep_order=1, cache_interval=1):
-        fn = sampler.sample_ode_cfg(
-            num_steps=num_steps, timestep_shift=0.3, cfg_interval_start=0.11,
-            multistep_order=multistep_order, cache_interval=cache_interval,
-        )
+    from vavae_tpu.transport import ode as ode_mod
+
+    t0_i, t1_i = transport.check_interval(eval=True, sde=False)
+
+    def cfg_split(n):
+        g = np.asarray(ode_mod.time_grid(t0_i, t1_i, n, 0.3))
+        return int(np.searchsorted(g[:-1], 0.11))
+
+    def make_generate(num_steps, multistep_order=1, cache_interval=1,
+                      method="euler", rtol=None):
+        if method == "dopri5":
+            fn = sampler.sample_ode_cfg(
+                sampling_method="dopri5", cfg_interval_start=0.11,
+                rtol=rtol, atol=1e-6, return_stats=True,
+            )
+        else:
+            fn = sampler.sample_ode_cfg(
+                num_steps=num_steps, timestep_shift=0.3,
+                cfg_interval_start=0.11, sampling_method=method,
+                multistep_order=multistep_order, cache_interval=cache_interval,
+            )
 
         @jax.jit
         def generate(p, zz):
@@ -87,14 +108,31 @@ def main() -> None:
 
         return generate
 
-    def sample_set(num_steps, order=1, k=1):
-        gen = make_generate(num_steps, order, k)
-        outs = []
+    def sample_set(num_steps, order=1, k=1, method="euler", rtol=None):
+        """Returns (samples, cost): cost is per-batch CFG-forward-equivalent
+        model evals (cond-phase half-batch calls count 0.5) — the same
+        accounting as bench_multistep_matrix.py, so error-vs-cost tables
+        are comparable across the two benches."""
+        gen = make_generate(num_steps, order, k, method, rtol)
+        outs, cost = [], None
         for b in range(n_batches):
             z = jax.random.normal(jax.random.PRNGKey(1000 + b),
                                   (B,) + bc.LATENT_SHAPE, jnp.float32)
-            outs.append(np.asarray(gen(ema, z), np.float32))
-        return np.concatenate(outs)  # (n, 16, 16, 32)
+            res = gen(ema, z)
+            if method == "dopri5":
+                res, stats = res
+                cost = sum(
+                    wgt * (2 + 6 * (int(st["naccept"]) + int(st["nreject"])))
+                    for ph, wgt in (("cond", 0.5), ("cfg", 1.0))
+                    for st in [stats[ph]] if st is not None)
+            outs.append(np.asarray(res, np.float32))
+        if cost is None:
+            s = cfg_split(num_steps)
+            per = 2.0 if method == "heun" else 1.0
+            n_cfg = (num_steps - s if k <= 1
+                     else int(np.ceil((num_steps - s) / k)))
+            cost = per * (0.5 * s + n_cfg)
+        return np.concatenate(outs), float(cost)  # (n, 16, 16, 32)
 
     # fixed seeded projection: same features for every method & every run
     D = int(np.prod(bc.LATENT_SHAPE))
@@ -107,19 +145,37 @@ def main() -> None:
     ref_steps = 250 if not args.smoke else 32
     print(f"generating exact euler-{ref_steps} reference set "
           f"({n_batches * B} samples)", flush=True)
-    exact = sample_set(ref_steps)
+    exact, ref_cost = sample_set(ref_steps)
     mu_e, sig_e = activation_statistics(features(exact))
     enorm = np.linalg.norm(exact.reshape(len(exact), -1), axis=-1)
 
-    methods = ([("euler", 125, 1, 1), ("euler", 100, 1, 1), ("euler", 50, 1, 1),
-                ("ab3", 125, 3, 1), ("ab3", 100, 3, 1), ("ab3", 83, 3, 1),
-                ("ab3", 62, 3, 1), ("ab3", 50, 3, 1),
-                ("vcache3", 250, 1, 3), ("vcache6", 250, 1, 6)]
+    # (label, num_steps, multistep_order, cache_interval, method, rtol)
+    methods = ([("euler_125", 125, 1, 1, "euler", None),
+                ("euler_100", 100, 1, 1, "euler", None),
+                ("euler_50", 50, 1, 1, "euler", None),
+                ("ab3_125", 125, 3, 1, "euler", None),
+                ("ab3_100", 100, 3, 1, "euler", None),
+                ("ab3_83", 83, 3, 1, "euler", None),
+                ("ab3_62", 62, 3, 1, "euler", None),
+                ("ab3_50", 50, 3, 1, "euler", None),
+                ("vcache3_250", 250, 1, 3, "euler", None),
+                ("vcache6_250", 250, 1, 6, "euler", None),
+                ("heun_100", 100, 1, 1, "heun", None),
+                ("heun_83", 83, 1, 1, "heun", None),
+                ("heun_62", 62, 1, 1, "heun", None),
+                ("dopri5_rtol0.01", 0, 1, 1, "dopri5", 1e-2),
+                ("dopri5_rtol0.001", 0, 1, 1, "dopri5", 1e-3)]
                if not args.smoke else
-               [("euler", 16, 1, 1), ("euler", 8, 1, 1), ("ab3", 16, 3, 1)])
+               [("euler_16", 16, 1, 1, "euler", None),
+                ("euler_8", 8, 1, 1, "euler", None),
+                ("ab3_16", 16, 3, 1, "euler", None),
+                ("heun_8", 8, 1, 1, "heun", None),
+                ("dopri5_rtol0.01", 0, 1, 1, "dopri5", 1e-2)])
 
     doc = {"platform": jax.default_backend(), "train_steps": train_steps,
+           "cfg_scale": args.cfg_scale,
            "n_samples": n_batches * B, "reference": f"euler_{ref_steps}",
+           "reference_cost": ref_cost,
            "proj_dim": PROJ_DIM, "methods": {}}
 
     def dump():
@@ -127,13 +183,14 @@ def main() -> None:
         with open(out, "w") as f:
             json.dump(doc, f, indent=2)
 
-    for name, n, order, k in methods:
-        s = sample_set(n, order, k)
+    for label, n, order, k, method, rtol in methods:
+        s, cost = sample_set(n, order, k, method, rtol)
         mu, sig = activation_statistics(features(s))
         fid = frechet_distance(mu_e, sig_e, mu, sig)
         dev = np.linalg.norm((s - exact).reshape(len(s), -1), axis=-1) / enorm
         rec = {
             "latent_fid_vs_exact": fid,
+            "cost": cost,
             "per_sample_rel_l2": {
                 "p50": float(np.percentile(dev, 50)),
                 "p90": float(np.percentile(dev, 90)),
@@ -142,8 +199,8 @@ def main() -> None:
                 "mean": float(dev.mean()),
             },
         }
-        doc["methods"][f"{name}_{n}"] = rec
-        print(f"{name:7s} N={n:4d}: latent-FID {fid:10.6f}  "
+        doc["methods"][label] = rec
+        print(f"{label:16s}: latent-FID {fid:10.6f}  cost {cost:7.1f}  "
               f"relL2 p50 {rec['per_sample_rel_l2']['p50']:.5f} "
               f"p99 {rec['per_sample_rel_l2']['p99']:.5f}", flush=True)
         dump()

@@ -173,6 +173,52 @@ def test_sharded_multistep_sampling_matches_single_device(mesh8):
     np.testing.assert_allclose(np.asarray(sharded), single, rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_heun_dopri5_sampling_matches_single_device(mesh8):
+    """heun and dopri5 through the SPLIT-CFG pipeline path (round-3
+    sampling_method plumbing in build_sample_fn) under GSPMD DP over 8 CPU
+    devices must equal the single-device result. dopri5 is the interesting
+    one: its while_loop error-norm is a global RMS over the whole batch, so
+    the sharded program inserts collectives — and every shard must agree on
+    the accept/reject sequence."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vavae_tpu.models.dit import create_dit
+    from vavae_tpu.pipelines.sample import build_sample_fn
+    from vavae_tpu.utils.config import Config
+
+    base = {
+        "data": {"image_size": 32, "num_classes": 4, "latent_norm": False,
+                 "latent_multiplier": 1.0},
+        "vae": {"downsample_ratio": 16},
+        "model": {"model_type": "LightningDiT-S/2", "use_swiglu": True,
+                  "use_rope": True, "use_rmsnorm": True, "in_chans": 32},
+        "transport": {"path_type": "Linear", "prediction": "velocity"},
+    }
+    model = create_dit(Config(base).model, 2, 4)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 2, 2, 32)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+    )["params"]
+    labels = jnp.asarray(np.arange(8) % 4, jnp.int32)
+    rng = jax.random.PRNGKey(7)
+
+    for sample_cfg in (
+        {"mode": "ODE", "sampling_method": "heun", "num_sampling_steps": 5,
+         "cfg_scale": 3.0, "cfg_interval_start": 0.11, "timestep_shift": 0.3},
+        {"mode": "ODE", "sampling_method": "dopri5", "rtol": 1e-3,
+         "atol": 1e-6, "cfg_scale": 3.0, "cfg_interval_start": 0.11},
+    ):
+        cfg = Config(dict(base, sample=sample_cfg))
+        single = np.asarray(build_sample_fn(cfg, model, params)(rng, labels))
+        assert np.isfinite(single).all()
+        sharded = build_sample_fn(cfg, model, params, mesh=mesh8)(rng, labels)
+        assert not sharded.sharding.is_fully_replicated
+        np.testing.assert_allclose(np.asarray(sharded), single,
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_do_sample_refuses_missing_latent_stats(tmp_path):
     """latent_norm: true with a missing latents dir must fail fast — the old
     silent latent_stats=None skip decoded wrongly-scaled samples after hours

@@ -667,3 +667,112 @@ def test_shift_lg_partial_train_rejected(rng):
     )
     with pytest.raises(ValueError, match="partial_train"):
         tr.sample_t(rng, 8)
+
+
+def _cfg_testbed(rng, B=2):
+    """Shared synthetic CFG testbed: a label-dependent velocity field plus
+    the (cond, cfg) model-fn pair sample_ode_cfg expects."""
+    shape = (B, 2, 2, 4)
+    w = jax.random.normal(rng, shape[1:])
+
+    def field(x, t, y):
+        scale = (y.astype(jnp.float32) + 1.0)[:, None, None, None]
+        return jnp.sin(3.0 * t)[:, None, None, None] * scale * (w[None] - 0.3 * x)
+
+    labels = jnp.arange(B, dtype=jnp.int32)
+    y_cfg = jnp.concatenate([labels, jnp.full((B,), 7, jnp.int32)])
+
+    def model_cond_fn(x, t):
+        return field(x, t, labels)
+
+    def model_cfg_fn(x, t):
+        half = x[:B]
+        both = field(jnp.concatenate([half, half]), jnp.tile(t[:B], 2), y_cfg)
+        guided = both[B:] + 4.0 * (both[:B] - both[B:])
+        return jnp.concatenate([guided, guided])
+
+    z = jax.random.normal(jax.random.fold_in(rng, 1), shape)
+    return z, model_cond_fn, model_cfg_fn, field, labels
+
+
+def test_sample_ode_cfg_heun(rng):
+    """heun through sample_ode_cfg: with cfg_interval_start=0 it equals
+    sample_ode('heun') on the duplicated batch (pure facade plumbing); with
+    a split it converges to the SAME piecewise-field truth as split euler,
+    at O(h^2) — heun-N beats euler-N and even euler-2N at equal eval cost."""
+    z, cond_fn, cfg_fn, _, _ = _cfg_testbed(rng)
+    B = z.shape[0]
+    sampler = Sampler(create_transport("Linear", "velocity"))
+
+    # (1) no interval: facade == sample_ode heun on [x|x]
+    got = sampler.sample_ode_cfg(
+        num_steps=16, timestep_shift=0.3, cfg_interval_start=0.0,
+        sampling_method="heun",
+    )(z, cond_fn, cfg_fn)
+    ref = sampler.sample_ode(sampling_method="heun", num_steps=16,
+                             timestep_shift=0.3)(
+        jnp.concatenate([z, z]), cfg_fn)[:B]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+
+    # (2) split phases: same truth as the euler split program, order 2
+    base = dict(timestep_shift=0.3, cfg_interval_start=0.3)
+    truth = np.asarray(sampler.sample_ode_cfg(num_steps=4000, **base)(
+        z, cond_fn, cfg_fn))
+
+    def err(method, n):
+        out = sampler.sample_ode_cfg(
+            num_steps=n, sampling_method=method, **base)(z, cond_fn, cfg_fn)
+        return np.abs(np.asarray(out) - truth).max()
+
+    assert err("heun", 24) < err("euler", 24)
+    assert err("heun", 24) < err("euler", 48)  # better at EQUAL eval budget
+    # grid halving cuts the error ~4x (global order 2); the split boundary
+    # would break this if the phase grids were wrong
+    r = err("heun", 24) / err("heun", 48)
+    assert 2.8 < r < 5.5, r
+
+
+def test_sample_ode_cfg_dopri5(rng):
+    """Adaptive dopri5 through sample_ode_cfg: matches the fine-grid euler
+    split program at tight tolerances (the phase boundary sits exactly at
+    model-t = cfg_interval_start), reports controller stats for eval
+    accounting, and the knob validation rejects euler-only compositions."""
+    z, cond_fn, cfg_fn, _, _ = _cfg_testbed(rng)
+    sampler = Sampler(create_transport("Linear", "velocity"))
+
+    base = dict(cfg_interval_start=0.3)
+    truth = np.asarray(sampler.sample_ode_cfg(
+        num_steps=4000, timestep_shift=0.0, **base)(z, cond_fn, cfg_fn))
+    out, stats = sampler.sample_ode_cfg(
+        sampling_method="dopri5", rtol=1e-5, atol=1e-8, return_stats=True,
+        **base)(z, cond_fn, cfg_fn)
+    scale = np.abs(truth).max()
+    assert np.abs(np.asarray(out) - truth).max() < 2e-3 * scale
+    # both phases ran and accepted steps; eval cost = 2 + 6*(na+nr) per phase
+    assert int(stats["cond"]["naccept"]) >= 1
+    assert int(stats["cfg"]["naccept"]) >= 1
+
+    # start=0 degenerates to a single CFG phase (no cond stats)
+    out0, stats0 = sampler.sample_ode_cfg(
+        sampling_method="dopri5", rtol=1e-4, cfg_interval_start=0.0,
+        return_stats=True)(z, cond_fn, cfg_fn)
+    assert stats0["cond"] is None and int(stats0["cfg"]["naccept"]) >= 1
+    assert np.isfinite(np.asarray(out0)).all()
+
+    # reverse mode mirrors the boundary (model time 1-grid-t)
+    rtruth = np.asarray(sampler.sample_ode_cfg(
+        num_steps=4000, reverse=True, **base)(z, cond_fn, cfg_fn))
+    rout = sampler.sample_ode_cfg(
+        sampling_method="dopri5", rtol=1e-5, atol=1e-8, reverse=True,
+        **base)(z, cond_fn, cfg_fn)
+    assert np.abs(np.asarray(rout) - rtruth).max() < 2e-3 * np.abs(rtruth).max()
+
+    with pytest.raises(ValueError, match="not composable"):
+        sampler.sample_ode_cfg(sampling_method="heun", cache_interval=2)
+    with pytest.raises(ValueError, match="not composable"):
+        sampler.sample_ode_cfg(sampling_method="dopri5", multistep_order=3)
+    with pytest.raises(ValueError, match="return_stats"):
+        sampler.sample_ode_cfg(return_stats=True)
+    with pytest.raises(NotImplementedError, match="rk9"):
+        sampler.sample_ode_cfg(sampling_method="rk9")

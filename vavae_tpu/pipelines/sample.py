@@ -118,15 +118,20 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None,
     multiplier = cfg.data.get("latent_multiplier", 1.0)
 
     # CFG-interval split: run the below-interval phase with the conditional
-    # model at half batch (numerically identical for euler; ~15% fewer FLOPs)
+    # model at half batch (numerically identical for euler; ~15% fewer
+    # FLOPs). heun and dopri5 ride the same split program (the per-STEP
+    # phase boundary is the natural generalization of the reference's
+    # per-eval gate, lightningdit.py:436-439).
     interval_start = sc.get("cfg_interval_start", 0.0)
+    method = sc.get("sampling_method", "euler").lower()
     use_split_cfg = (
         use_cfg
         and mode.upper() == "ODE"
-        and sc.get("sampling_method", "euler").lower() == "euler"
+        and method in ("euler", "heun", "dopri5")
         and interval_start > 0.0
     )
-    if sc.get("velocity_cache_interval", 1) > 1 and not use_split_cfg:
+    is_split_euler = use_split_cfg and method == "euler"
+    if sc.get("velocity_cache_interval", 1) > 1 and not is_split_euler:
         import warnings
 
         warnings.warn(
@@ -137,21 +142,32 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None,
             stacklevel=2,
         )
     if use_split_cfg:
+        euler_knobs = (
+            dict(
+                # opt-in training-free acceleration: reuse the velocity
+                # between model evaluations (1 = exact; 2-4 trade small
+                # quality for FLOPs)
+                cache_interval=sc.get("velocity_cache_interval", 1),
+                # 1 = linear forecast from the last two evals (default; same
+                # cost, lower error), 0 = hold the last velocity
+                cache_order=sc.get("velocity_cache_order", 1),
+                # >1 switches the integrator to Adams-Bashforth of that
+                # order: an EXACT-solver acceleration — same per-step cost,
+                # O(h^order) accuracy (BASELINE.md testbed matrix)
+                multistep_order=sc.get("multistep_order", 1),
+            )
+            if is_split_euler
+            else {}
+        )
         cfg_sample_fn = sampler.sample_ode_cfg(
             num_steps=sc.get("num_sampling_steps", 250),
             timestep_shift=sc.get("timestep_shift", 0.0),
             cfg_interval_start=interval_start,
             reverse=sc.get("reverse", False),
-            # opt-in training-free acceleration: reuse the velocity between
-            # model evaluations (1 = exact; 2-4 trade small quality for FLOPs)
-            cache_interval=sc.get("velocity_cache_interval", 1),
-            # 1 = linear forecast from the last two evals (default; same
-            # cost, lower error), 0 = hold the last velocity
-            cache_order=sc.get("velocity_cache_order", 1),
-            # >1 switches the integrator to Adams-Bashforth of that order:
-            # an EXACT-solver acceleration — same per-step cost, O(h^order)
-            # accuracy, so num_sampling_steps can drop ~3x (BASELINE.md)
-            multistep_order=sc.get("multistep_order", 1),
+            sampling_method=method,
+            rtol=sc.get("rtol", 1e-3),
+            atol=sc.get("atol", 1e-6),
+            **euler_knobs,
         )
 
     is_sde = mode.upper() != "ODE"

@@ -78,6 +78,10 @@ class Sampler:
         cache_interval: int = 1,
         cache_order: int = 1,
         multistep_order: int = 1,
+        sampling_method: str = "euler",
+        rtol: float = 1e-3,
+        atol: float = 1e-6,
+        return_stats: bool = False,
     ) -> Callable:
         """Euler CFG sampler with the interval split run as two scan phases.
 
@@ -105,7 +109,41 @@ class Sampler:
         ``num_steps`` (measured in BASELINE.md). History restarts at the
         CFG-interval boundary, where the integrated field genuinely changes.
         Mutually exclusive with ``cache_interval > 1``.
+
+        ``sampling_method`` picks the per-phase integrator:
+          - "euler" (default): the reference-identical fixed-grid program —
+            all acceleration knobs above apply to it.
+          - "heun": fixed-grid RK2 on the same (possibly shifted) grid —
+            TWO model evals per step, O(h²) global accuracy, and unlike the
+            AB family it carries NO history (each step is self-contained),
+            so it cannot amplify a stiff field's roughness across steps.
+            heun-N costs the same model evals as euler-2N. The step that
+            crosses the CFG-interval boundary is integrated entirely in its
+            phase (the gate is per-STEP, not per-eval — for euler the two
+            are identical; the reference gate is lightningdit.py:436-439).
+          - "dopri5": adaptive RK45 per phase (odeint_dopri5, torchdiffeq-
+            matching controller) with ``rtol``/``atol`` — the step size is
+            chosen by the measured local error, so stiff regions get small
+            steps automatically. ``num_steps``/``timestep_shift`` are
+            ignored (adaptivity replaces the grid); the phase boundary sits
+            exactly at model-t = cfg_interval_start. Model-eval cost per
+            phase is 2 + 6·(naccept+nreject) CFG forwards;
+            ``return_stats=True`` makes the sampler return
+            ``(x, {"cond": stats|None, "cfg": stats})`` for eval accounting.
+        Both are mutually exclusive with the euler-only ``cache_interval``/
+        ``multistep_order`` knobs.
         """
+        if sampling_method not in ("euler", "Euler", "heun", "Heun", "dopri5"):
+            raise NotImplementedError(f"CFG ODE method {sampling_method}")
+        if sampling_method not in ("euler", "Euler") and (
+            cache_interval > 1 or multistep_order > 1
+        ):
+            raise ValueError(
+                "cache_interval/multistep_order are euler-grid accelerations "
+                f"— not composable with sampling_method={sampling_method!r}"
+            )
+        if return_stats and sampling_method != "dopri5":
+            raise ValueError("return_stats is only meaningful for dopri5")
         if multistep_order > 1 and cache_interval > 1:
             raise ValueError(
                 "multistep_order and cache_interval are mutually exclusive "
@@ -150,6 +188,31 @@ class Sampler:
             B = x.shape[0]
             d_cond = lambda xv, tv: drift(xv, tv, model_cond_fn)
             d_cfg = lambda xv, tv: drift(xv, tv, model_cfg_fn)
+            if sampling_method in ("heun", "Heun"):
+                if split_idx > 0:
+                    x = ode_mod.odeint_heun(d_cond, x, grid[: split_idx + 1])
+                x2 = jnp.concatenate([x, x], axis=0)
+                out = ode_mod.odeint_heun(d_cfg, x2, grid[split_idx:])
+                return out[:B]
+            if sampling_method == "dopri5":
+                # phase boundary at model-t == cfg_interval_start exactly;
+                # under the reverse mirror that is grid-t = 1 - start. Clamp
+                # into the integration span so start=0 or start>=1 degrades
+                # to a single-phase program.
+                tb = (1.0 - cfg_interval_start) if reverse else cfg_interval_start
+                lo, hi = sorted((t0, t1))
+                tb = float(min(max(tb, lo), hi))
+                stats: dict = {"cond": None, "cfg": None}
+                if tb != t0:
+                    x, stats["cond"] = ode_mod.odeint_dopri5(
+                        d_cond, x, t0, tb, rtol=rtol, atol=atol, with_stats=True
+                    )
+                x2 = jnp.concatenate([x, x], axis=0)
+                out, stats["cfg"] = ode_mod.odeint_dopri5(
+                    d_cfg, x2, tb, t1, rtol=rtol, atol=atol, with_stats=True
+                )
+                out = out[:B]
+                return (out, stats) if return_stats else out
             if multistep_order > 1:
                 # AB phases with a history restart at the boundary
                 if split_idx > 0:
