@@ -158,11 +158,20 @@ def main() -> None:
     # opt-in velocity-cached sampler (report either ONLY alongside its
     # measured quality cost — BASELINE.md acceleration tables).
     cache_interval, multistep_order, num_steps = 1, 1, (250 if on_tpu else 4)
-    usage = "usage: bench.py [batch] [cache_interval] [multistep_order] [num_steps]"
-    if len(sys.argv) > 5:
+    method = "euler"
+    usage = ("usage: bench.py [batch] [cache_interval] [multistep_order] "
+             "[num_steps] [heun]")
+    argv = sys.argv[1:]
+    if argv and argv[-1] == "heun":
+        # heun-N: fixed-grid RK2 on the same split program — 2 model evals
+        # per step, no history (the stiff-regime-robust fixed-cost method;
+        # BASELINE.md quality tables). dopri5 is NOT benchable here: with
+        # random params its adaptive step count is meaningless.
+        method, argv = "heun", argv[:-1]
+    if len(argv) > 4:
         sys.exit(f"{usage}; got {len(sys.argv) - 1} args")
     vals = []
-    for a in sys.argv[1:5]:
+    for a in argv:
         if not a.isdigit():
             sys.exit(f"{usage}; got {a!r}")
         vals.append(int(a))
@@ -179,6 +188,8 @@ def main() -> None:
     if cache_interval > 1 and len(vals) <= 2:
         # velocity-cache sweeps ride the euler-250 program it was measured on
         multistep_order, num_steps = 1, (250 if on_tpu else 4)
+    if method != "euler" and (cache_interval > 1 or multistep_order > 1):
+        sys.exit(f"{usage}; cache/multistep are euler-only knobs")
 
     model = LightningDiT_models[model_name](
         input_size=16,
@@ -209,10 +220,13 @@ def main() -> None:
     def build(ms_order, n_steps):
         # CFG-interval split sampler: the below-interval phase runs the
         # conditional model at half batch (numerically identical)
+        euler_knobs = (dict(cache_interval=cache_interval,
+                            multistep_order=ms_order)
+                       if method == "euler" else {})
         sample_fn = sampler.sample_ode_cfg(
             num_steps=n_steps, timestep_shift=0.3,
             cfg_interval_start=interval_start,
-            cache_interval=cache_interval, multistep_order=ms_order,
+            sampling_method=method, **euler_knobs,
         )
 
         @jax.jit
@@ -265,8 +279,11 @@ def main() -> None:
     samples_per_sec_chip = (batch * n_iters) / dt
     value = round(samples_per_sec_chip, 4)
     ref_steps = 250 if on_tpu else 4
-    is_euler250 = multistep_order == 1 and cache_interval == 1 and num_steps == ref_steps
+    is_euler250 = (method == "euler" and multistep_order == 1
+                   and cache_interval == 1 and num_steps == ref_steps)
     tag = "" if cache_interval == 1 else f",vcache{cache_interval}"
+    if method != "euler":
+        tag += f",{method}"
     if multistep_order > 1:
         # exact-solver acceleration: AB-N ≤ euler-N at equal N on smooth
         # (asymptotic-regime) fields, but one stiff on-chip point reversed
