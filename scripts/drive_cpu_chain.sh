@@ -85,6 +85,21 @@ run "sample --demo ab3 (python -m vavae_tpu)" python -m vavae_tpu sample \
   --config "$W/tiny_dit.yaml" --demo \
   ckpt_path="$W/out/tiny/checkpoints/0000005.safetensors" demo_labels='[0,1]' \
   sample.multistep_order=3 sample.num_sampling_steps=6
+# round-3 split-CFG integrators (history-free RK2 / adaptive RK45)
+run "sample --demo heun" python -m vavae_tpu.pipelines.sample \
+  --config "$W/tiny_dit.yaml" --demo \
+  ckpt_path="$W/out/tiny/checkpoints/0000005.safetensors" demo_labels='[0,1]' \
+  sample.sampling_method=heun sample.num_sampling_steps=4
+run "sample --demo dopri5 (split CFG)" python -m vavae_tpu.pipelines.sample \
+  --config "$W/tiny_dit.yaml" --demo \
+  ckpt_path="$W/out/tiny/checkpoints/0000005.safetensors" demo_labels='[0,1]' \
+  sample.sampling_method=dopri5 sample.rtol=0.01
+# bench runbooks: --smoke keeps the acceleration-gauge scripts executable
+# (the same bit-rot protection the golden-numbers runbook test gives)
+run "bench_sampler_quality --smoke" \
+  python scripts/bench_sampler_quality.py --smoke --out "$W/squality.json"
+run "bench_multistep_matrix --smoke" python scripts/bench_multistep_matrix.py \
+  --smoke --points 10:2:0 --out "$W/smatrix.json"
 run "evaluate_tokenizer" python -m vavae_tpu.pipelines.evaluate_tokenizer \
   --data_path "$W/data" --image_size 32 --max_images 8
 run "train_vavae (1 epoch)" python -m vavae_tpu.pipelines.train_vavae \
