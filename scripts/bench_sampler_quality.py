@@ -160,6 +160,10 @@ def main() -> None:
                 ("ab3_50", 50, 3, 1, "euler", None),
                 ("vcache3_250", 250, 1, 3, "euler", None),
                 ("vcache6_250", 250, 1, 6, "euler", None),
+                # beyond the round-2 table's k=6: where does the cache's
+                # sublinear error growth stop paying? (~31 and ~21 evals)
+                ("vcache8_250", 250, 1, 8, "euler", None),
+                ("vcache12_250", 250, 1, 12, "euler", None),
                 ("heun_100", 100, 1, 1, "heun", None),
                 ("heun_83", 83, 1, 1, "heun", None),
                 ("heun_62", 62, 1, 1, "heun", None),
