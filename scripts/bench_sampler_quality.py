@@ -21,7 +21,13 @@ on two gauges that are nonzero and monotone in the ODE error:
    LPIPS-deviation habit.
 
 Usage: python scripts/bench_sampler_quality.py [--n 1024] [--train_steps N]
-       [--out F] [--smoke]
+       [--cfg_scale S] [--out F] [--smoke]
+   or: python scripts/bench_sampler_quality.py --config YOUR_DIT.yaml
+       [--ckpt CKPT] — the "measure on YOUR model" mode: gauges every
+       acceleration (euler-N/AB3/vcache/heun/dopri5) against YOUR
+       checkpoint's exact euler-250 output at YOUR production sampler
+       settings (cfg_scale/timestep_shift/cfg_interval_start from the
+       config), with CFG-forward-equivalent cost per method.
 Writes one JSON document incrementally (tunnel-drop safe).
 """
 from __future__ import annotations
@@ -42,10 +48,22 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=None,
                     help="samples per method (default 1024 TPU / 64 CPU)")
     ap.add_argument("--train_steps", type=int, default=None)
-    ap.add_argument("--cfg_scale", type=float, default=2.0,
-                    help="CFG scale of the gauged sampler (the on-chip "
-                         "matrix found a STIFF regime at cfg 6.7 on a "
-                         "sharply-trained field — gauge that too)")
+    ap.add_argument("--cfg_scale", type=float, default=None,
+                    help="CFG scale of the gauged sampler (testbed default "
+                         "2.0; with --config defaults to the config's own "
+                         "sample.cfg_scale). The on-chip matrix found a "
+                         "STIFF regime at cfg 6.7 on a sharply-trained "
+                         "field — gauge that too")
+    ap.add_argument("--config", default=None,
+                    help="gauge a REAL model instead of the synthetic "
+                         "testbed: a DiT sampling config yaml (the same "
+                         "one pipelines.sample takes — model/transport/"
+                         "sample sections; ckpt_path inside or --ckpt). "
+                         "This is the 'measure on YOUR model' gate README "
+                         "points every acceleration decision at")
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint override for --config (.safetensors/"
+                         ".msgpack ours, .pt torch — EMA preferred)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
@@ -62,41 +80,67 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     n_total = args.n or (1024 if on_tpu else 64)
     train_steps = args.train_steps or (1200 if on_tpu else (10 if args.smoke else 600))
-    cfg_tag = "" if args.cfg_scale == 2.0 else f"_cfg{args.cfg_scale:g}"
-    out = args.out or ("docs/bench/sampler_quality_"
-                       f"{'tpu' if on_tpu else 'cpu'}{cfg_tag}.json")
 
-    class_means, rng_np = bc.make_class_means()
-    model, transport, ema, _ = bc.train_synthetic_dit(
-        train_steps, on_tpu, class_means, rng_np
-    )
+    shift, start = 0.3, 0.11  # testbed defaults = the production settings
+    if args.config:
+        # REAL-model mode: everything comes from the user's sampling config
+        from vavae_tpu.models.dit import create_dit
+        from vavae_tpu.pipelines.sample import load_dit_params
+        from vavae_tpu.pipelines.train_dit import build_transport
+        from vavae_tpu.utils.config import load_config
+
+        ucfg = load_config(args.config)
+        sc = ucfg.sample
+        latent_size = (ucfg.data.image_size
+                       // ucfg.get("vae", {}).get("downsample_ratio", 16))
+        model = create_dit(ucfg.model, latent_size, ucfg.data.num_classes)
+        ema = load_dit_params(ucfg, model, args.ckpt or ucfg.ckpt_path)
+        transport = build_transport(ucfg)
+        n_classes = ucfg.data.num_classes
+        null_class = sc.get("null_class", n_classes)
+        cfg_scale = args.cfg_scale or sc.get("cfg_scale", 4.0)
+        shift = sc.get("timestep_shift", 0.3)
+        start = sc.get("cfg_interval_start", 0.11)
+        latent_shape = (latent_size, latent_size, model.in_channels)
+        mode_tag = "model"
+    else:
+        cfg_scale = args.cfg_scale or 2.0
+        class_means, rng_np = bc.make_class_means()
+        model, transport, ema, _ = bc.train_synthetic_dit(
+            train_steps, on_tpu, class_means, rng_np
+        )
+        n_classes, null_class = bc.N_CLASSES, bc.N_CLASSES
+        latent_shape = bc.LATENT_SHAPE
+        mode_tag = "tpu" if on_tpu else "cpu"
     sampler = Sampler(transport)
+
+    cfg_tag = "" if cfg_scale == 2.0 else f"_cfg{cfg_scale:g}"
+    out = args.out or f"docs/bench/sampler_quality_{mode_tag}{cfg_tag}.json"
 
     B = 32 if on_tpu else 16
     n_batches = max(1, n_total // B)
-    labels = jnp.asarray(np.arange(B) % bc.N_CLASSES, jnp.int32)
-    y_cfg = jnp.concatenate([labels, jnp.full((B,), bc.N_CLASSES, jnp.int32)])
-    cfg_scale = args.cfg_scale
+    labels = jnp.asarray(np.arange(B) % n_classes, jnp.int32)
+    y_cfg = jnp.concatenate([labels, jnp.full((B,), null_class, jnp.int32)])
 
     from vavae_tpu.transport import ode as ode_mod
 
     t0_i, t1_i = transport.check_interval(eval=True, sde=False)
 
     def cfg_split(n):
-        g = np.asarray(ode_mod.time_grid(t0_i, t1_i, n, 0.3))
-        return int(np.searchsorted(g[:-1], 0.11))
+        g = np.asarray(ode_mod.time_grid(t0_i, t1_i, n, shift))
+        return int(np.searchsorted(g[:-1], start))
 
     def make_generate(num_steps, multistep_order=1, cache_interval=1,
                       method="euler", rtol=None):
         if method == "dopri5":
             fn = sampler.sample_ode_cfg(
-                sampling_method="dopri5", cfg_interval_start=0.11,
+                sampling_method="dopri5", cfg_interval_start=start,
                 rtol=rtol, atol=1e-6, return_stats=True,
             )
         else:
             fn = sampler.sample_ode_cfg(
-                num_steps=num_steps, timestep_shift=0.3,
-                cfg_interval_start=0.11, sampling_method=method,
+                num_steps=num_steps, timestep_shift=shift,
+                cfg_interval_start=start, sampling_method=method,
                 multistep_order=multistep_order, cache_interval=cache_interval,
             )
 
@@ -117,7 +161,7 @@ def main() -> None:
         outs, cost = [], None
         for b in range(n_batches):
             z = jax.random.normal(jax.random.PRNGKey(1000 + b),
-                                  (B,) + bc.LATENT_SHAPE, jnp.float32)
+                                  (B,) + latent_shape, jnp.float32)
             res = gen(ema, z)
             if method == "dopri5":
                 res, stats = res
@@ -135,7 +179,7 @@ def main() -> None:
         return np.concatenate(outs), float(cost)  # (n, 16, 16, 32)
 
     # fixed seeded projection: same features for every method & every run
-    D = int(np.prod(bc.LATENT_SHAPE))
+    D = int(np.prod(latent_shape))
     proj = (np.random.default_rng(42)
             .normal(size=(D, PROJ_DIM)).astype(np.float32) / np.sqrt(D))
 
@@ -176,8 +220,12 @@ def main() -> None:
                 ("heun_8", 8, 1, 1, "heun", None),
                 ("dopri5_rtol0.01", 0, 1, 1, "dopri5", 1e-2)])
 
-    doc = {"platform": jax.default_backend(), "train_steps": train_steps,
-           "cfg_scale": args.cfg_scale,
+    doc = {"platform": jax.default_backend(),
+           "model": (args.config if args.config
+                     else f"synthetic_testbed[{train_steps} steps]"),
+           "train_steps": None if args.config else train_steps,
+           "cfg_scale": cfg_scale, "timestep_shift": shift,
+           "cfg_interval_start": start,
            "n_samples": n_batches * B, "reference": f"euler_{ref_steps}",
            "reference_cost": ref_cost,
            "proj_dim": PROJ_DIM, "methods": {}}
