@@ -303,6 +303,11 @@ def main() -> None:
     # built big jits), reusing this process's probe verdict via DIRECT=1.
     if is_euler250:
         result["baseline_euler250"] = value
+    elif os.environ.get("VAVAE_BENCH_NO_RIDER"):
+        # sweep drivers measure their own euler-250 point — re-measuring it
+        # per accelerated point (~5 min each on-chip) would blow the
+        # battery's step timeout (bench_common.xl_throughput sets this)
+        pass
     else:
         env = dict(os.environ)
         env["VAVAE_BENCH_DIRECT"] = "1"

@@ -122,8 +122,52 @@ def xl_throughput(batch: int, cache_interval: int = 1,
     """One XL/1 sampling-throughput point via a fresh `bench.py` process."""
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), str(batch),
            str(cache_interval), str(multistep_order), str(num_steps)]
-    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    env = dict(os.environ)
+    # the sweep records its own euler-250 point — bench.py's euler-250
+    # baseline rider would re-measure that identical number once per
+    # accelerated point (~5 min each on-chip, enough to blow the battery's
+    # step timeout)
+    env["VAVAE_BENCH_NO_RIDER"] = "1"
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
     if out.returncode != 0:
         raise RuntimeError(f"bench.py failed: {out.stderr[-2000:]}")
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     return float(rec["value"])
+
+
+def split_idx(transport, num_steps: int, shift: float, start: float) -> int:
+    """Cond-only step count before model-t crosses ``cfg_interval_start`` on
+    the shifted grid — mirrors sample_ode_cfg's split rule
+    (transport/sampler.py). Shared so the benches' cost accounting cannot
+    silently diverge from the sampler or from each other."""
+    import numpy as np
+
+    from vavae_tpu.transport import ode as ode_mod
+
+    t0_i, t1_i = transport.check_interval(eval=True, sde=False)
+    g = np.asarray(ode_mod.time_grid(t0_i, t1_i, num_steps, shift))
+    return int(np.searchsorted(g[:-1], start))
+
+
+def fixed_grid_cost(transport, num_steps: int, shift: float, start: float,
+                    method: str = "euler", cache_interval: int = 1) -> float:
+    """CFG-forward-equivalent model evals for the fixed-grid methods: the
+    cond-only phase runs at half batch (0.5 per call), heun makes 2 evals
+    per step, and the velocity cache thins only the CFG phase."""
+    import math
+
+    s = split_idx(transport, num_steps, shift, start)
+    per = 2.0 if method == "heun" else 1.0
+    n_cfg = (num_steps - s if cache_interval <= 1
+             else math.ceil((num_steps - s) / cache_interval))
+    return per * (0.5 * s + n_cfg)
+
+
+def dopri5_cost(stats) -> float:
+    """CFG-forward-equivalent evals from one dopri5 run's controller stats:
+    2 evals seed the integrator, 6 per attempted (accepted or rejected) RK45
+    step; the cond phase runs at half batch (0.5 weight)."""
+    return float(sum(
+        wgt * (2 + 6 * (int(st["naccept"]) + int(st["nreject"])))
+        for ph, wgt in (("cond", 0.5), ("cfg", 1.0))
+        for st in [stats[ph]] if st is not None))

@@ -66,11 +66,16 @@ DOPRI_RTOLS = (1e-2, 1e-3, 1e-4)
 
 def matched_n(ab3_errors: dict, target: float) -> float:
     """Smallest step count whose interpolated error equals ``target``
-    (log-log linear between grid points; inf if even N=max exceeds it)."""
+    (log-log linear between grid points; inf if even N=max exceeds it).
+
+    The scan walks ASCENDING N and returns at the first bracketing segment,
+    which is what gives "smallest" on a non-monotone error curve. If every
+    grid error is already below the target, min(N) is returned as a
+    CONSERVATIVE upper bound — the true matched count is ≤ that (the sweep
+    didn't go low enough to bracket it), so the summary understates, never
+    overstates, the method."""
     pts = sorted(ab3_errors.items())  # ascending N
-    # errors decrease with N; walk from large N down
     pts = [(n, e) for n, e in pts if e > 0]
-    best = float("inf")
     for (n0, e0), (n1, e1) in zip(pts, pts[1:]):
         lo, hi = sorted((e0, e1))
         if lo <= target <= hi and e0 != e1:
@@ -78,8 +83,9 @@ def matched_n(ab3_errors: dict, target: float) -> float:
             return float(math.exp(math.log(n0) + t * (math.log(n1) - math.log(n0))))
     # target below every grid error → even N=max doesn't reach it
     if target < min(e for _, e in pts):
-        return best
-    # target above every grid error → matched by fewer than min(N)
+        return float("inf")
+    # target above every grid error → matched at-or-below the smallest
+    # swept N (conservative: see docstring)
     return float(min(n for n, _ in pts))
 
 
@@ -90,7 +96,6 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
 
     import bench_common as bc
     from vavae_tpu.transport import Sampler
-    from vavae_tpu.transport import ode as ode_mod
 
     on_tpu = jax.default_backend() == "tpu"
     class_means, rng_np = bc.make_class_means(seed)
@@ -105,18 +110,11 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
     z = jax.random.normal(jax.random.PRNGKey(seed + 7), (Bs,) + bc.LATENT_SHAPE,
                           jnp.float32)
 
-    t0_i, t1_i = transport.check_interval(eval=True, sde=False)
-
-    def cfg_split(n):
-        # same split the sampler computes: cond-only steps before model-t
-        # crosses cfg_interval_start on the shifted grid
-        g = np.asarray(ode_mod.time_grid(t0_i, t1_i, n, 0.3))
-        return int(np.searchsorted(g[:-1], 0.11))
-
     def sample(num_steps=250, multistep_order=1, cache_interval=1,
                method="euler", rtol=None):
         """Returns (samples, cost) where cost is CFG-forward-equivalent
-        model evals: cond-phase half-batch calls count 0.5."""
+        model evals (shared accounting: bench_common.fixed_grid_cost /
+        dopri5_cost — cond-phase half-batch calls count 0.5)."""
         if method == "dopri5":
             fn = sampler.sample_ode_cfg(
                 sampling_method="dopri5", cfg_interval_start=0.11,
@@ -138,18 +136,10 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
         res = generate(ema, z)
         if method == "dopri5":
             out, stats = res
-            cost = 0.0
-            for phase, wgt in (("cond", 0.5), ("cfg", 1.0)):
-                st = stats[phase]
-                if st is not None:
-                    cost += wgt * (
-                        2 + 6 * (int(st["naccept"]) + int(st["nreject"])))
-            return np.asarray(out, np.float32), float(cost)
-        s = cfg_split(num_steps)
-        per = 2.0 if method == "heun" else 1.0  # heun: 2 model evals/step
-        n_cfg = (num_steps - s if cache_interval <= 1
-                 else math.ceil((num_steps - s) / cache_interval))
-        return np.asarray(res, np.float32), per * (0.5 * s + n_cfg)
+            return np.asarray(out, np.float32), bc.dopri5_cost(stats)
+        return (np.asarray(res, np.float32),
+                bc.fixed_grid_cost(transport, num_steps, 0.3, 0.11,
+                                   method, cache_interval))
 
     gt_steps = 4000 if full_truth else 64
     truth, _ = sample(gt_steps)

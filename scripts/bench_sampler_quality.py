@@ -98,19 +98,27 @@ def main() -> None:
         transport = build_transport(ucfg)
         n_classes = ucfg.data.num_classes
         null_class = sc.get("null_class", n_classes)
-        cfg_scale = args.cfg_scale or sc.get("cfg_scale", 4.0)
-        shift = sc.get("timestep_shift", 0.3)
-        start = sc.get("cfg_interval_start", 0.11)
+        # defaults MUST match pipelines/sample.py's (cfg_scale 1.0, shift
+        # 0.0, start 0.0, cfg_channels None, reverse False) — this gauge's
+        # whole point is ranking methods on the sampler the config actually
+        # runs in production, not on a different ODE grid
+        cfg_scale = (args.cfg_scale if args.cfg_scale is not None
+                     else sc.get("cfg_scale", 1.0))
+        shift = sc.get("timestep_shift", 0.0)
+        start = sc.get("cfg_interval_start", 0.0)
+        cfg_channels = sc.get("cfg_channels")
+        reverse = sc.get("reverse", False)
         latent_shape = (latent_size, latent_size, model.in_channels)
         mode_tag = "model"
     else:
-        cfg_scale = args.cfg_scale or 2.0
+        cfg_scale = args.cfg_scale if args.cfg_scale is not None else 2.0
         class_means, rng_np = bc.make_class_means()
         model, transport, ema, _ = bc.train_synthetic_dit(
             train_steps, on_tpu, class_means, rng_np
         )
         n_classes, null_class = bc.N_CLASSES, bc.N_CLASSES
         latent_shape = bc.LATENT_SHAPE
+        cfg_channels, reverse = None, False
         mode_tag = "tpu" if on_tpu else "cpu"
     sampler = Sampler(transport)
 
@@ -122,61 +130,51 @@ def main() -> None:
     labels = jnp.asarray(np.arange(B) % n_classes, jnp.int32)
     y_cfg = jnp.concatenate([labels, jnp.full((B,), null_class, jnp.int32)])
 
-    from vavae_tpu.transport import ode as ode_mod
-
-    t0_i, t1_i = transport.check_interval(eval=True, sde=False)
-
-    def cfg_split(n):
-        g = np.asarray(ode_mod.time_grid(t0_i, t1_i, n, shift))
-        return int(np.searchsorted(g[:-1], start))
-
     def make_generate(num_steps, multistep_order=1, cache_interval=1,
                       method="euler", rtol=None):
         if method == "dopri5":
             fn = sampler.sample_ode_cfg(
                 sampling_method="dopri5", cfg_interval_start=start,
-                rtol=rtol, atol=1e-6, return_stats=True,
+                rtol=rtol, atol=1e-6, reverse=reverse, return_stats=True,
             )
         else:
             fn = sampler.sample_ode_cfg(
                 num_steps=num_steps, timestep_shift=shift,
                 cfg_interval_start=start, sampling_method=method,
                 multistep_order=multistep_order, cache_interval=cache_interval,
+                reverse=reverse,
             )
 
         @jax.jit
         def generate(p, zz):
             cond = lambda x, t: model.apply({"params": p}, x, t, labels)
-            cfgf = lambda x, t: model.forward_with_cfg(p, x, t, y_cfg, cfg_scale)
+            cfgf = lambda x, t: model.forward_with_cfg(
+                p, x, t, y_cfg, cfg_scale, cfg_channels=cfg_channels)
             return fn(zz, cond, cfgf)
 
         return generate
 
     def sample_set(num_steps, order=1, k=1, method="euler", rtol=None):
         """Returns (samples, cost): cost is per-batch CFG-forward-equivalent
-        model evals (cond-phase half-batch calls count 0.5) — the same
-        accounting as bench_multistep_matrix.py, so error-vs-cost tables
-        are comparable across the two benches."""
+        model evals (cond-phase half-batch calls count 0.5; shared
+        accounting in bench_common, so error-vs-cost tables are comparable
+        with bench_multistep_matrix.py). dopri5's step count is
+        data-dependent, so its cost is the MEAN over all batches, not one
+        batch's sample."""
         gen = make_generate(num_steps, order, k, method, rtol)
-        outs, cost = [], None
+        outs, dopri_costs = [], []
         for b in range(n_batches):
             z = jax.random.normal(jax.random.PRNGKey(1000 + b),
                                   (B,) + latent_shape, jnp.float32)
             res = gen(ema, z)
             if method == "dopri5":
                 res, stats = res
-                cost = sum(
-                    wgt * (2 + 6 * (int(st["naccept"]) + int(st["nreject"])))
-                    for ph, wgt in (("cond", 0.5), ("cfg", 1.0))
-                    for st in [stats[ph]] if st is not None)
+                dopri_costs.append(bc.dopri5_cost(stats))
             outs.append(np.asarray(res, np.float32))
-        if cost is None:
-            s = cfg_split(num_steps)
-            per = 2.0 if method == "heun" else 1.0
-            n_cfg = (num_steps - s if k <= 1
-                     else int(np.ceil((num_steps - s) / k)))
-            cost = per * (0.5 * s + n_cfg)
-        return np.concatenate(outs), float(cost)  # (n, 16, 16, 32)
+        cost = (float(np.mean(dopri_costs)) if dopri_costs
+                else bc.fixed_grid_cost(transport, num_steps, shift, start,
+                                        method, k))
+        return np.concatenate(outs), cost  # (n, 16, 16, 32)
 
     # fixed seeded projection: same features for every method & every run
     D = int(np.prod(latent_shape))
@@ -225,7 +223,8 @@ def main() -> None:
                      else f"synthetic_testbed[{train_steps} steps]"),
            "train_steps": None if args.config else train_steps,
            "cfg_scale": cfg_scale, "timestep_shift": shift,
-           "cfg_interval_start": start,
+           "cfg_interval_start": start, "cfg_channels": cfg_channels,
+           "reverse": reverse,
            "n_samples": n_batches * B, "reference": f"euler_{ref_steps}",
            "reference_cost": ref_cost,
            "proj_dim": PROJ_DIM, "methods": {}}
@@ -252,7 +251,9 @@ def main() -> None:
             },
         }
         doc["methods"][label] = rec
-        print(f"{label:16s}: latent-FID {fid:10.6f}  cost {cost:7.1f}  "
+        # label spelled latent_fid (not latent-FID): the battery's step()
+        # checks logs for a result line with this exact token
+        print(f"{label:16s}: latent_fid {fid:10.6f}  cost {cost:7.1f}  "
               f"relL2 p50 {rec['per_sample_rel_l2']['p50']:.5f} "
               f"p99 {rec['per_sample_rel_l2']['p99']:.5f}", flush=True)
         dump()

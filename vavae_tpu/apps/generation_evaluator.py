@@ -254,10 +254,14 @@ def main() -> None:
         from vavae_tpu.models.lpips import load_lpips
 
         lpips_model, lpips_vars = load_lpips()
-        _lp = jax.jit(lambda a, b: lpips_model.apply(lpips_vars, a, b))
+        # vars ride as a jit ARGUMENT: closing over the ~14.7M-param VGG
+        # tree would inline it as module constants (slow trace, bloated
+        # executable)
+        _lp = jax.jit(lambda v, a, b: lpips_model.apply(v, a, b))
 
         def lpips_pair_fn(a, b):
-            return np.asarray(_lp(jnp.asarray(a), jnp.asarray(b))).reshape(-1)
+            return np.asarray(
+                _lp(lpips_vars, jnp.asarray(a), jnp.asarray(b))).reshape(-1)
 
     ev = ComprehensiveGenerationEvaluator(diversity_metric=args.diversity)
     report = {}
