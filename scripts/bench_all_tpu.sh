@@ -12,6 +12,8 @@ OUT=${1:-"$R/docs/bench/onchip"}
 mkdir -p "$OUT"
 cd "$R"
 export PYTHONPATH="${PYTHONPATH:+$PYTHONPATH:}$R"
+START_SHA=$(git -C "$R" rev-parse --short HEAD 2>/dev/null || echo unknown)
+rm -f "$OUT/battery_complete"  # stale stamp would claim a finished battery
 
 step() {  # step <name> <timeout_s> <cmd...>
   local name=$1 to=$2; shift 2
@@ -19,8 +21,10 @@ step() {  # step <name> <timeout_s> <cmd...>
   timeout "$to" "$@" >"$OUT/$name.log" 2>&1
   local rc=$?
   # a log without a result line is a FAILED step, not a record — committing
-  # one round-2 log with only probe-failure lines misled the verdict
-  if ! grep -qE '"metric"|"n_points"|rel_l2|latent_fid|img/s|ms/step' "$OUT/$name.log"; then
+  # one round-2 log with only probe-failure lines misled the verdict.
+  # (round-3 lesson: the regex must know EVERY step's output format — it
+  # mis-filed a successful bench_fwd run; 'fwd=' and ' ms' now covered)
+  if ! grep -qE '"metric"|"n_points"|rel_l2|latent_fid|img/s|ms/step|fwd=|[0-9] ms\b' "$OUT/$name.log"; then
     mv "$OUT/$name.log" "$OUT/$name.FAILED.log"
     echo "rc=$rc NO RESULT LINE — kept as $OUT/$name.FAILED.log"
     return 1
@@ -58,20 +62,52 @@ step sampler_quality_cfg67 10800 python scripts/bench_sampler_quality.py \
 #    understates the ratio) — train the production f16d32 arch briefly on
 #    procedural images unless a real checkpoint is supplied via
 #    $VAVAE_BENCH_VAE_CKPT.
+# NB: the ckpt goes to output/ (gitignored), NOT the docs tree — round 3's
+# battery wrote a 279 MB safetensors into docs/bench/onchip and the end-of-
+# round `git add -A` committed it.
+CKPT_DIR="$R/output"
+mkdir -p "$CKPT_DIR"
 if [ -z "${VAVAE_BENCH_VAE_CKPT:-}" ]; then
-  step train_vae_gauge 3600 python scripts/train_vae_gauge_ckpt.py 300 \
-    "$OUT/vae_gauge_ckpt.safetensors" \
-    && VAVAE_BENCH_VAE_CKPT="$OUT/vae_gauge_ckpt.safetensors"
+  if [ -f "$CKPT_DIR/vae_gauge_ckpt.safetensors" ]; then
+    VAVAE_BENCH_VAE_CKPT="$CKPT_DIR/vae_gauge_ckpt.safetensors"
+    echo "reusing existing gauge ckpt $VAVAE_BENCH_VAE_CKPT"
+  else
+    step train_vae_gauge 3600 python scripts/train_vae_gauge_ckpt.py 300 \
+      "$CKPT_DIR/vae_gauge_ckpt.safetensors" \
+      && VAVAE_BENCH_VAE_CKPT="$CKPT_DIR/vae_gauge_ckpt.safetensors"
+  fi
 fi
 step vae_infer_fp32 1800 python scripts/bench_vae_infer.py 8
 step vae_infer_bf16 1800 python scripts/bench_vae_infer.py 8 bf16 ${VAVAE_BENCH_VAE_CKPT:-}
+
+# 3b. adaptive-cache wall-clock sanity on XL/1 (random field — the trained-
+#     field eval counts/quality come from the gauges above)
+step headline_vcacheA 2400 python bench.py 8 vcacheA
 
 # 4. XL/1 train step: bf16 baseline, amortized-EMA A/B
 step train_step_bf16 2400 python scripts/bench_train_step.py 16 --bf16
 step train_step_bf16_ema4 2400 python scripts/bench_train_step.py 16 --bf16 --ema_every 4
 step train_step_fp32_mu16 2400 python scripts/bench_train_step.py 16 --mu_bf16
 
+# 4b. train-step ATTRIBUTION (round-4 verdict item 5): fwd / loss-fwd /
+#     fwd+bwd / opt / EMA / full, one fresh process per part
+step train_attrib 7200 python scripts/bench_train_attrib.py --all 16
+
 # 5. forward-only MFU reference point
 step fwd_b32 1800 python scripts/bench_fwd.py 32
 
+# completion stamp: rounds 2 AND 3 both ended with the snapshot landing
+# mid-battery and the logs unreconciled. The stamp records what ran; with
+# VAVAE_BATTERY_AUTOCOMMIT=1 the battery commits its own output so the
+# end-of-round snapshot contains the battery it cites by construction.
+{
+  echo "start_sha=$START_SHA"
+  echo "end_sha=$(git -C "$R" rev-parse --short HEAD 2>/dev/null || echo unknown)"
+  echo "end_time=$(date -u +%Y-%m-%dT%H:%M:%SZ)"
+} > "$OUT/battery_complete"
 echo "battery done → $OUT"
+if [ "${VAVAE_BATTERY_AUTOCOMMIT:-0}" = "1" ]; then
+  git -C "$R" add docs/bench \
+    && git -C "$R" commit -q -m "on-chip battery @ $START_SHA (autocommitted on completion)" \
+    && echo "battery output committed"
+fi

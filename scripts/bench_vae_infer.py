@@ -55,7 +55,10 @@ def main() -> None:
         # trained weights via the tokenizer facade's loader (same f16d32 arch)
         from vavae_tpu.tokenizer import VA_VAE
 
-        params = VA_VAE(None, ckpt_path=sys.argv[3]).params
+        # device_put BEFORE timing: the loader returns host numpy leaves, and
+        # host-resident jit args are re-uploaded (~280 MB) on EVERY call —
+        # round-3's battery recorded 3.3 img/s for a 844 img/s model this way
+        params = jax.device_put(VA_VAE(None, ckpt_path=sys.argv[3]).params)
         print(f"loaded checkpoint {sys.argv[3]}", flush=True)
     else:
         params = vae.init({"params": rng}, jnp.zeros((1, 32, 32, 3)), sample=False)["params"]

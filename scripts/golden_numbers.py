@@ -75,6 +75,34 @@ def check() -> bool:
     # supplies the conv backbone
     lpips_params_from_torch({k: v.numpy() for k, v in sd.items()}, vgg_sd)
     print("ok      LPIPS checkpoint converts")
+    # acceleration-gauge artifact set (round-4): the day real weights land,
+    # one --check run validates everything needed to reproduce BOTH the
+    # reference table AND the sampler-acceleration gauge on them
+    gauge_ckpt = os.environ.get("VAVAE_BENCH_VAE_CKPT")
+    if gauge_ckpt:
+        if not os.path.exists(gauge_ckpt):
+            print(f"MISSING VAVAE_BENCH_VAE_CKPT (image-space gauge decoder): "
+                  f"{gauge_ckpt!r}")
+            return False
+        print(f"ok      VAVAE_BENCH_VAE_CKPT -> {gauge_ckpt}")
+    else:
+        print("note    VAVAE_BENCH_VAE_CKPT unset — the sampler gauge will "
+              "skip its image-space (decoded) columns; the REAL VA-VAE ckpt "
+              "(VAVAE_GN_VAE_CKPT) works there too")
+    import glob
+    import json as _json
+
+    gauge_jsons = sorted(
+        glob.glob(os.path.join(REPO, "docs/bench/sampler_quality_*.json"))
+        + glob.glob(os.path.join(REPO, "docs/bench/multistep_matrix*.json")))
+    for p in gauge_jsons:
+        try:
+            doc = _json.load(open(p))
+        except Exception as e:  # a corrupt committed gauge is a CI failure
+            print(f"BAD     gauge json {p}: {e}")
+            return False
+        n = len(doc.get("methods", doc.get("points", [])))
+        print(f"ok      gauge json {os.path.relpath(p, REPO)} ({n} entries)")
     print("all artifacts present — run without --check to execute")
     return True
 
@@ -100,6 +128,9 @@ def main() -> None:
     ap.add_argument("--skip_extraction", action="store_true")
     ap.add_argument("--skip_sampling", action="store_true",
                     help="stop after tokenizer/extraction (rFID rehearsals)")
+    ap.add_argument("--skip_gauge", action="store_true",
+                    help="skip the sampler-acceleration gauge on the real "
+                         "model (bench_sampler_quality --config)")
     # rehearsal knobs: the CI runbook test drives the real legs at tiny
     # scale (tests/test_golden_numbers.py) so the runbook can't bit-rot
     ap.add_argument("--image_size", type=int, default=256)
@@ -156,6 +187,18 @@ def main() -> None:
          f"vae.ckpt_path={env['VAVAE_GN_VAE_CKPT']}",
          f"data.data_path={args.latents}",
          f"data.fid_reference_file={env['VAVAE_GN_FID_NPZ']}"])
+    if not args.skip_gauge:
+        # acceleration gauge on the REAL model (round-4): every method
+        # (euler-N/AB3/vcache/adaptive-vcache/heun/dopri5) ranked against
+        # the real checkpoint's exact euler-250 output, image-space columns
+        # decoded through the REAL VA-VAE — one command, both tables
+        genv = dict(env)
+        genv.setdefault("VAVAE_BENCH_VAE_CKPT", env["VAVAE_GN_VAE_CKPT"])
+        cmd = [py, os.path.join(REPO, "scripts", "bench_sampler_quality.py"),
+               "--config", args.config, "--ckpt", env["VAVAE_GN_DIT_CKPT"],
+               "--out", os.path.join(args.workdir, "sampler_gauge.json")]
+        print("+", " ".join(cmd), flush=True)
+        subprocess.run(cmd, check=True, cwd=REPO, env=genv)
 
 
 if __name__ == "__main__":
