@@ -160,14 +160,25 @@ def main() -> None:
     cache_interval, multistep_order, num_steps = 1, 1, (250 if on_tpu else 4)
     method = "euler"
     usage = ("usage: bench.py [batch] [cache_interval] [multistep_order] "
-             "[num_steps] [heun]")
+             "[num_steps] [heun|vcacheA[TOL]]")
     argv = sys.argv[1:]
+    vcache_tol = 0.02
     if argv and argv[-1] == "heun":
         # heun-N: fixed-grid RK2 on the same split program — 2 model evals
         # per step, no history (the stiff-regime-robust fixed-cost method;
         # BASELINE.md quality tables). dopri5 is NOT benchable here: with
         # random params its adaptive step count is meaningless.
         method, argv = "heun", argv[:-1]
+    elif argv and argv[-1].startswith("vcacheA"):
+        # adaptive velocity cache on the euler-250 program. NOTE: with
+        # random params the controller's eval count reflects the RANDOM
+        # field's smoothness, not a trained model's — this mode is a
+        # wall-clock sanity check of the adaptive scan (cond overhead,
+        # measured evals ride in the JSON); quality/eval claims come from
+        # the trained-field gauges (bench_sampler_quality/matrix).
+        method = "vcacheA"
+        vcache_tol = float(argv[-1][len("vcacheA"):] or vcache_tol)
+        argv = argv[:-1]
     if len(argv) > 4:
         sys.exit(f"{usage}; got {len(sys.argv) - 1} args")
     vals = []
@@ -220,13 +231,19 @@ def main() -> None:
     def build(ms_order, n_steps):
         # CFG-interval split sampler: the below-interval phase runs the
         # conditional model at half batch (numerically identical)
-        euler_knobs = (dict(cache_interval=cache_interval,
-                            multistep_order=ms_order)
-                       if method == "euler" else {})
+        if method == "vcacheA":
+            knobs = dict(cache_adaptive=True, cache_tol=vcache_tol,
+                         return_stats=True)
+            build_method = "euler"
+        else:
+            knobs = (dict(cache_interval=cache_interval,
+                          multistep_order=ms_order)
+                     if method == "euler" else {})
+            build_method = method
         sample_fn = sampler.sample_ode_cfg(
             num_steps=n_steps, timestep_shift=0.3,
             cfg_interval_start=interval_start,
-            sampling_method=method, **euler_knobs,
+            sampling_method=build_method, **knobs,
         )
 
         @jax.jit
@@ -247,10 +264,16 @@ def main() -> None:
 
     generate = build(multistep_order, num_steps)
 
+    last_evals = [0]
+
     def run(rng):
         # fetch a value: on async backends block_until_ready alone can
         # return before the computation has actually finished
-        out = np.asarray(generate(params, rng))
+        res = generate(params, rng)
+        if method == "vcacheA":
+            res, stats = res
+            last_evals[0] = int(stats["cfg_evals"])
+        out = np.asarray(res)
         assert np.isfinite(out.astype(np.float32)).all()
 
     # warmup/compile; if the default AB program fails to build or run for
@@ -282,7 +305,9 @@ def main() -> None:
     is_euler250 = (method == "euler" and multistep_order == 1
                    and cache_interval == 1 and num_steps == ref_steps)
     tag = "" if cache_interval == 1 else f",vcache{cache_interval}"
-    if method != "euler":
+    if method == "vcacheA":
+        tag += f",vcacheA_tol{vcache_tol:g}"
+    elif method != "euler":
         tag += f",{method}"
     if multistep_order > 1:
         # exact-solver acceleration: AB-N ≤ euler-N at equal N on smooth
@@ -296,6 +321,10 @@ def main() -> None:
         "unit": "samples/sec/chip",
         "vs_baseline": round(value / A100_BASELINE_SAMPLES_PER_SEC, 4),
     }
+    if method == "vcacheA":
+        # eval count on THIS (random-init) field — plumbing sanity only;
+        # trained-field eval counts come from the quality gauges
+        result["vcacheA_cfg_evals_random_field"] = last_evals[0]
     # keep the BENCH_r* series comparable across rounds even if the default
     # solver changes: the reference-identical euler-250 number always rides
     # along. Same-config runs self-report; others measure it in a FRESH

@@ -62,6 +62,10 @@ AB3_NS = (250, 200, 150, 125, 100, 83, 62, 50)
 VCACHE_KS = (3, 6)
 HEUN_NS = (125, 100, 83, 62, 50)
 DOPRI_RTOLS = (1e-2, 1e-3, 1e-4)
+# round-4 adaptive velocity cache (error-controlled interval): the fixed-k
+# cache's robustness at a controller-chosen cost — the round-3 verdict's
+# one unbuilt credible route to beats-euler250-everywhere
+VCACHEA_TOLS = (0.01, 0.02, 0.05)
 
 
 def matched_n(ab3_errors: dict, target: float) -> float:
@@ -120,6 +124,13 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
                 sampling_method="dopri5", cfg_interval_start=0.11,
                 rtol=rtol, atol=1e-6, return_stats=True,
             )
+        elif method == "vcacheA":
+            # adaptive cache: rtol is repurposed as the controller tolerance
+            fn = sampler.sample_ode_cfg(
+                num_steps=num_steps, timestep_shift=0.3,
+                cfg_interval_start=0.11, cache_adaptive=True,
+                cache_tol=rtol, cache_max_interval=8, return_stats=True,
+            )
         else:
             fn = sampler.sample_ode_cfg(
                 num_steps=num_steps, timestep_shift=0.3,
@@ -137,6 +148,10 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
         if method == "dopri5":
             out, stats = res
             return np.asarray(out, np.float32), bc.dopri5_cost(stats)
+        if method == "vcacheA":
+            out, stats = res
+            return np.asarray(out, np.float32), bc.adaptive_cache_cost(
+                transport, num_steps, 0.3, 0.11, stats["cfg_evals"])
         return (np.asarray(res, np.float32),
                 bc.fixed_grid_cost(transport, num_steps, 0.3, 0.11,
                                    method, cache_interval))
@@ -160,7 +175,10 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
             + [(f"heun_{n}", dict(num_steps=n, method="heun"))
                for n in HEUN_NS]
             + [(f"dopri5_rtol{r:g}", dict(method="dopri5", rtol=r))
-               for r in DOPRI_RTOLS])
+               for r in DOPRI_RTOLS]
+            + [(f"vcacheA_tol{tl:g}", dict(num_steps=250, method="vcacheA",
+                                           rtol=tl))
+               for tl in VCACHEA_TOLS])
     if not full_truth:  # smoke: tiny grid
         grid = [("euler_16", dict(num_steps=16)),
                 ("euler_8", dict(num_steps=8)),
@@ -168,6 +186,8 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
                 ("ab3_8", dict(num_steps=8, multistep_order=3)),
                 ("ab3_12", dict(num_steps=12, multistep_order=3)),
                 ("heun_8", dict(num_steps=8, method="heun")),
+                ("vcacheA_tol0.05", dict(num_steps=16, method="vcacheA",
+                                         rtol=0.05)),
                 ("dopri5_rtol0.01", dict(method="dopri5", rtol=1e-2))]
     for label, kw in grid:
         out, cost = sample(**kw)
@@ -194,6 +214,15 @@ def run_point(train_steps: int, cfg_scale: float, seed: int, full_truth: bool):
         # so the JSON stays strictly parseable; float("inf") round-trips it
         "ab3_matched_n": _inf(matched_n(ab3_errs, target_err)),
         "heun_matched_n": _inf(matched_n(heun_errs, target_err))
+        if heun_errs else None,
+        # matched COST (CFG-forward-equivalent evals, same interpolator on
+        # (cost, error) pairs): heun's matched_n is a step count on a
+        # 2-evals-per-step basis, so raw N's are not comparable across
+        # methods — these are (round-3 advisor finding)
+        "ab3_matched_cost": _inf(matched_n(
+            {costs[f"ab3_{n}"]: e for n, e in ab3_errs.items()}, target_err)),
+        "heun_matched_cost": _inf(matched_n(
+            {costs[f"heun_{n}"]: e for n, e in heun_errs.items()}, target_err))
         if heun_errs else None,
         # invariant: AB3 ≤ euler at every shared N (the claim BASELINE keeps)
         "ab3_dominates_equal_n": all(

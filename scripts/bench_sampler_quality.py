@@ -137,6 +137,15 @@ def main() -> None:
                 sampling_method="dopri5", cfg_interval_start=start,
                 rtol=rtol, atol=1e-6, reverse=reverse, return_stats=True,
             )
+        elif method == "vcacheA":
+            # round-4 adaptive velocity cache: rtol is repurposed as the
+            # controller tolerance; eval count is data-dependent (stats)
+            fn = sampler.sample_ode_cfg(
+                num_steps=num_steps, timestep_shift=shift,
+                cfg_interval_start=start, cache_adaptive=True,
+                cache_tol=rtol, cache_max_interval=8,
+                reverse=reverse, return_stats=True,
+            )
         else:
             fn = sampler.sample_ode_cfg(
                 num_steps=num_steps, timestep_shift=shift,
@@ -162,18 +171,23 @@ def main() -> None:
         data-dependent, so its cost is the MEAN over all batches, not one
         batch's sample."""
         gen = make_generate(num_steps, order, k, method, rtol)
-        outs, dopri_costs = [], []
+        outs, dyn_costs = [], []
         for b in range(n_batches):
             z = jax.random.normal(jax.random.PRNGKey(1000 + b),
                                   (B,) + latent_shape, jnp.float32)
             res = gen(ema, z)
             if method == "dopri5":
                 res, stats = res
-                dopri_costs.append(bc.dopri5_cost(stats))
+                dyn_costs.append(bc.dopri5_cost(stats))
+            elif method == "vcacheA":
+                res, stats = res
+                dyn_costs.append(bc.adaptive_cache_cost(
+                    transport, num_steps, shift, start,
+                    stats["cfg_evals"], reverse))
             outs.append(np.asarray(res, np.float32))
-        cost = (float(np.mean(dopri_costs)) if dopri_costs
+        cost = (float(np.mean(dyn_costs)) if dyn_costs
                 else bc.fixed_grid_cost(transport, num_steps, shift, start,
-                                        method, k))
+                                        method, k, reverse))
         return np.concatenate(outs), cost  # (n, 16, 16, 32)
 
     # fixed seeded projection: same features for every method & every run
@@ -191,6 +205,54 @@ def main() -> None:
     mu_e, sig_e = activation_statistics(features(exact))
     enorm = np.linalg.norm(exact.reshape(len(exact), -1), axis=-1)
 
+    # image-space gauge through a TRAINED decoder (round-3 verdict item 4):
+    # decode exact vs accelerated latents with the f16d32 VAE the battery
+    # trains (scripts/train_vae_gauge_ckpt.py, $VAVAE_BENCH_VAE_CKPT) and
+    # report decoded PSNR/SSIM plus a decoded-feature Fréchet distance next
+    # to the latent-space columns — the reference's quality culture is
+    # image-space (evaluate_tokenizer.py:150-165, calculate_fid.py:629-651).
+    # Caveat (recorded in the JSON): the testbed latents are synthetic
+    # patterns, not real VAE posteriors, so absolute decoded quality is
+    # meaningless — only the DELTA between exact and accelerated decodes is.
+    vae_ckpt = os.environ.get("VAVAE_BENCH_VAE_CKPT")
+    decode_batched = dec_exact = dec_features = None
+    if vae_ckpt and latent_shape[-1] == 32:
+        from vavae_tpu.eval.metrics import psnr as img_psnr, ssim as img_ssim
+        from vavae_tpu.tokenizer import VA_VAE
+
+        vae = VA_VAE(None, ckpt_path=vae_ckpt, img_size=latent_shape[0] * 16)
+        # host-resident leaves would re-upload ~280 MB per decode call
+        vae.params = jax.device_put(vae.params)
+        n_dec = min(len(exact), 256 if on_tpu else 16)
+
+        def decode_batched(lat):
+            outs = []
+            for i in range(0, n_dec, B):
+                outs.append(np.asarray(
+                    vae.decode(jnp.asarray(lat[i:i + B])), np.float32))
+            return np.concatenate(outs)
+
+        dec_exact = decode_batched(exact)
+        # decoded-feature Fréchet: 4×4 average-pool then a fixed seeded
+        # projection (no released Inception weights in this image)
+        Dd = ((dec_exact.shape[1] // 4) * (dec_exact.shape[2] // 4)
+              * dec_exact.shape[3])
+        dproj = (np.random.default_rng(43)
+                 .normal(size=(Dd, PROJ_DIM)).astype(np.float32)
+                 / np.sqrt(Dd))
+
+        def dec_features(img):
+            Bn, H, W, C = img.shape
+            pooled = img.reshape(Bn, H // 4, 4, W // 4, 4, C).mean((2, 4))
+            return pooled.reshape(Bn, -1) @ dproj
+
+        mu_de, sig_de = activation_statistics(dec_features(dec_exact))
+        print(f"image-space gauge ON: {n_dec} decodes/method through "
+              f"{vae_ckpt}", flush=True)
+    elif vae_ckpt:
+        print(f"VAVAE_BENCH_VAE_CKPT set but latent shape {latent_shape} "
+              "is not f16d32-decodable — image-space gauge skipped", flush=True)
+
     # (label, num_steps, multistep_order, cache_interval, method, rtol)
     methods = ([("euler_125", 125, 1, 1, "euler", None),
                 ("euler_100", 100, 1, 1, "euler", None),
@@ -206,6 +268,11 @@ def main() -> None:
                 # sublinear error growth stop paying? (~31 and ~21 evals)
                 ("vcache8_250", 250, 1, 8, "euler", None),
                 ("vcache12_250", 250, 1, 12, "euler", None),
+                # round-4 adaptive cache: interval controlled by realized
+                # forecast error; rtol column holds the controller tol
+                ("vcacheA_tol0.05", 250, 1, 1, "vcacheA", 0.05),
+                ("vcacheA_tol0.02", 250, 1, 1, "vcacheA", 0.02),
+                ("vcacheA_tol0.01", 250, 1, 1, "vcacheA", 0.01),
                 ("heun_100", 100, 1, 1, "heun", None),
                 ("heun_83", 83, 1, 1, "heun", None),
                 ("heun_62", 62, 1, 1, "heun", None),
@@ -216,6 +283,7 @@ def main() -> None:
                 ("euler_8", 8, 1, 1, "euler", None),
                 ("ab3_16", 16, 3, 1, "euler", None),
                 ("heun_8", 8, 1, 1, "heun", None),
+                ("vcacheA_tol0.05", 16, 1, 1, "vcacheA", 0.05),
                 ("dopri5_rtol0.01", 0, 1, 1, "dopri5", 1e-2)])
 
     doc = {"platform": jax.default_backend(),
@@ -227,7 +295,15 @@ def main() -> None:
            "reverse": reverse,
            "n_samples": n_batches * B, "reference": f"euler_{ref_steps}",
            "reference_cost": ref_cost,
-           "proj_dim": PROJ_DIM, "methods": {}}
+           "proj_dim": PROJ_DIM,
+           "decoded_gauge": (
+               None if decode_batched is None else {
+                   "vae_ckpt": vae_ckpt, "n_decoded_per_method": int(n_dec),
+                   "note": "decoded deltas vs exact through a TRAINED "
+                           "f16d32 decoder; testbed latents are synthetic, "
+                           "so only exact-vs-accelerated DELTAS are "
+                           "meaningful, not absolute quality"}),
+           "methods": {}}
 
     def dump():
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
@@ -250,12 +326,31 @@ def main() -> None:
                 "mean": float(dev.mean()),
             },
         }
+        if decode_batched is not None:
+            dec_s = decode_batched(s)
+            pair = dec_exact[: len(dec_s)]
+            p = np.asarray(img_psnr(jnp.asarray(dec_s), jnp.asarray(pair),
+                                    data_range=2.0))
+            ss = np.asarray(img_ssim(jnp.asarray(dec_s), jnp.asarray(pair),
+                                     data_range=2.0))
+            mu_d, sig_d = activation_statistics(dec_features(dec_s))
+            rec["decoded"] = {
+                "psnr_db": {"p50": float(np.percentile(p, 50)),
+                            "p10": float(np.percentile(p, 10)),
+                            "mean": float(p.mean())},
+                "ssim": {"mean": float(ss.mean()),
+                         "p10": float(np.percentile(ss, 10))},
+                "feature_fid_vs_exact": float(
+                    frechet_distance(mu_de, sig_de, mu_d, sig_d)),
+            }
         doc["methods"][label] = rec
         # label spelled latent_fid (not latent-FID): the battery's step()
         # checks logs for a result line with this exact token
+        dtag = ("" if "decoded" not in rec else
+                f"  decPSNR p50 {rec['decoded']['psnr_db']['p50']:.1f}dB")
         print(f"{label:16s}: latent_fid {fid:10.6f}  cost {cost:7.1f}  "
               f"relL2 p50 {rec['per_sample_rel_l2']['p50']:.5f} "
-              f"p99 {rec['per_sample_rel_l2']['p99']:.5f}", flush=True)
+              f"p99 {rec['per_sample_rel_l2']['p99']:.5f}{dtag}", flush=True)
         dump()
 
     dump()

@@ -354,3 +354,46 @@ def test_run_stages_chains_best_val_checkpoint(tmp_path):
     want = s_best.gen_params
     for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_adaptive_vcache_sampling_matches_single_device(mesh8):
+    """The round-4 adaptive velocity cache through the pipeline path
+    (sample.velocity_cache_adaptive) under GSPMD DP over 8 CPU devices must
+    equal the single-device result. The controller's evaluate-vs-forecast
+    decision is a batch-GLOBAL scalar (fp32 RMS over the whole batch), so
+    the sharded scan inserts collectives and every shard must take the same
+    eval schedule."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vavae_tpu.models.dit import create_dit
+    from vavae_tpu.pipelines.sample import build_sample_fn
+    from vavae_tpu.utils.config import Config
+
+    cfg = Config({
+        "data": {"image_size": 32, "num_classes": 4, "latent_norm": False,
+                 "latent_multiplier": 1.0},
+        "vae": {"downsample_ratio": 16},
+        "model": {"model_type": "LightningDiT-S/2", "use_swiglu": True,
+                  "use_rope": True, "use_rmsnorm": True, "in_chans": 32},
+        "sample": {"mode": "ODE", "sampling_method": "euler",
+                   "num_sampling_steps": 10, "cfg_scale": 3.0,
+                   "cfg_interval_start": 0.11, "timestep_shift": 0.3,
+                   "velocity_cache_adaptive": True,
+                   "velocity_cache_tol": 0.05,
+                   "velocity_cache_max_interval": 4},
+        "transport": {"path_type": "Linear", "prediction": "velocity"},
+    })
+    model = create_dit(cfg.model, 2, 4)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 2, 2, 32)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+    )["params"]
+    labels = jnp.asarray(np.arange(8) % 4, jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    single = np.asarray(build_sample_fn(cfg, model, params)(rng, labels))
+    assert np.isfinite(single).all()
+    sharded = build_sample_fn(cfg, model, params, mesh=mesh8)(rng, labels)
+    assert not sharded.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(sharded), single, rtol=2e-4, atol=2e-5)

@@ -776,3 +776,190 @@ def test_sample_ode_cfg_dopri5(rng):
         sampler.sample_ode_cfg(return_stats=True)
     with pytest.raises(NotImplementedError, match="rk9"):
         sampler.sample_ode_cfg(sampling_method="rk9")
+
+
+def test_velocity_cached_adaptive_tight_tol_is_exact_euler(rng):
+    """tol so tight the controller can never stretch -> every step evaluates
+    and the trajectory is exactly euler's (n_evals == num grid steps)."""
+    from vavae_tpu.transport.ode import (
+        odeint_euler,
+        odeint_euler_cached_adaptive,
+        time_grid,
+    )
+
+    x0 = jax.random.normal(rng, (2, 3, 3, 4))
+    grid = jnp.asarray(time_grid(0.0, 1.0, 25, timestep_shift=0.3))
+
+    def drift(x, t):
+        return jnp.sin(5.0 * t)[:, None, None, None] * (1.0 + 0.2 * x)
+
+    exact = odeint_euler(drift, x0, grid)
+    got, n_evals = odeint_euler_cached_adaptive(
+        drift, x0, grid, tol=1e-12, max_interval=8, order=1, with_stats=True
+    )
+    assert int(n_evals) == grid.shape[0] - 1
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="order"):
+        odeint_euler_cached_adaptive(drift, x0, grid, order=5)
+    with pytest.raises(ValueError, match="max_interval"):
+        odeint_euler_cached_adaptive(drift, x0, grid, max_interval=0)
+
+
+def test_velocity_cached_adaptive_stretches_on_linear_field(rng):
+    """On a field linear in t the order-1 forecast is EXACT, so the
+    controller stretches the gap to max_interval and the eval count
+    collapses toward N/max_interval — while the answer stays euler's."""
+    from vavae_tpu.transport.ode import (
+        odeint_euler,
+        odeint_euler_cached_adaptive,
+        time_grid,
+    )
+
+    shape = (2, 3, 3, 4)
+    x0 = jax.random.normal(rng, shape)
+    a = jax.random.normal(jax.random.fold_in(rng, 1), shape[1:])
+    b = jax.random.normal(jax.random.fold_in(rng, 2), shape[1:])
+
+    def drift(x, t):
+        return a[None] + t[:, None, None, None] * b[None]
+
+    grid = jnp.asarray(time_grid(0.0, 1.0, 65, timestep_shift=0.3))
+    exact = odeint_euler(drift, x0, grid)
+    got, n_evals = odeint_euler_cached_adaptive(
+        drift, x0, grid, tol=0.02, max_interval=8, order=1, with_stats=True
+    )
+    # 64 steps at gaps growing 1,2,4,8,8,... -> well under a third of euler's
+    assert int(n_evals) <= 64 // 3, int(n_evals)
+    # exact forecast => the cached trajectory IS euler's, up to fp32
+    # divided-difference rounding accumulated over 64 steps
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(exact), rtol=1e-3, atol=5e-4
+    )
+
+
+def test_velocity_cached_adaptive_beats_fixed_k_on_mixed_field(rng):
+    """A field that is trivial early and oscillatory late (the shape of a
+    stiff CFG trajectory): the controller spends its evals where the field
+    turns, beating the fixed-interval cache at the SAME measured eval
+    budget."""
+    from vavae_tpu.transport.ode import (
+        odeint_euler,
+        odeint_euler_cached,
+        odeint_euler_cached_adaptive,
+        time_grid,
+    )
+
+    x0 = jax.random.normal(rng, (2, 3, 3, 4))
+    N = 96
+    grid = jnp.asarray(time_grid(0.0, 1.0, N + 1))
+
+    def drift(x, t):
+        rough = jnp.where(t > 0.6, jnp.sin(40.0 * t), 0.0)
+        return (1.0 + rough)[:, None, None, None] * (1.0 - 0.2 * x)
+
+    exact = odeint_euler(drift, x0, grid)
+    en = float(jnp.linalg.norm(exact))
+    got, n_evals = odeint_euler_cached_adaptive(
+        drift, x0, grid, tol=0.05, max_interval=8, order=1, with_stats=True
+    )
+    n = int(n_evals)
+    assert n < N, n  # it actually accelerated
+    e_adaptive = float(jnp.linalg.norm(got - exact)) / en
+    # fixed cache at the same (rounded-down => CHEAPER for the fixed one
+    # only if k larger; use ceil so the fixed variant gets >= adaptive's
+    # budget and still loses) eval budget
+    k = max(2, int(np.floor(N / n)))
+    fixed = odeint_euler_cached(drift, x0, grid, cache_interval=k, order=1)
+    e_fixed = float(jnp.linalg.norm(fixed - exact)) / en
+    assert e_adaptive < e_fixed, (n, k, e_adaptive, e_fixed)
+
+
+def test_sample_ode_cfg_cache_adaptive(rng):
+    """Production split-CFG program with the adaptive cache: validation,
+    stats plumbing, tight-tol equivalence to the exact split program."""
+    transport = create_transport("Linear", "velocity")
+    sampler = Sampler(transport)
+    B, shape = 2, (2, 2, 2, 4)
+    w = jax.random.normal(rng, shape[1:])
+
+    def field(x, t, y):
+        scale = (y.astype(jnp.float32) + 1.0)[:, None, None, None]
+        return jnp.sin(3.0 * t)[:, None, None, None] * scale * (w[None] - 0.3 * x)
+
+    labels = jnp.array([0, 1], jnp.int32)
+    y_cfg = jnp.concatenate([labels, jnp.full((B,), 7, jnp.int32)])
+
+    def model_cond_fn(x, t):
+        return field(x, t, labels)
+
+    def model_cfg_fn(x, t):
+        half = x[:B]
+        both = field(jnp.concatenate([half, half]), jnp.tile(t[:B], 2), y_cfg)
+        guided = both[B:] + 4.0 * (both[:B] - both[B:])
+        return jnp.concatenate([guided, guided])
+
+    z = jax.random.normal(jax.random.fold_in(rng, 1), shape)
+    kw = dict(num_steps=32, timestep_shift=0.3, cfg_interval_start=0.11)
+    exact = np.asarray(
+        sampler.sample_ode_cfg(**kw)(z, model_cond_fn, model_cfg_fn)
+    )
+
+    # tight tol -> every CFG step evaluates -> identical to the exact program
+    tight, stats = sampler.sample_ode_cfg(
+        **kw, cache_adaptive=True, cache_tol=1e-12, return_stats=True
+    )(z, model_cond_fn, model_cfg_fn)
+    np.testing.assert_allclose(np.asarray(tight), exact, rtol=1e-5, atol=1e-6)
+    n_cfg_steps = int(stats["cfg_evals"])
+
+    # loose tol accelerates (fewer CFG evals) and stays finite/close
+    loose, lstats = sampler.sample_ode_cfg(
+        **kw, cache_adaptive=True, cache_tol=0.05, return_stats=True
+    )(z, model_cond_fn, model_cfg_fn)
+    assert int(lstats["cfg_evals"]) < n_cfg_steps
+    got = np.asarray(loose)
+    assert got.shape == exact.shape and np.isfinite(got).all()
+    assert np.abs(got - exact).max() < 0.1 * np.abs(exact).max()
+
+    with pytest.raises(ValueError, match="not composable"):
+        sampler.sample_ode_cfg(sampling_method="heun", cache_adaptive=True)
+    with pytest.raises(ValueError, match="mutually"):
+        sampler.sample_ode_cfg(cache_adaptive=True, multistep_order=3)
+    with pytest.raises(ValueError, match="fixed cache_interval"):
+        sampler.sample_ode_cfg(cache_adaptive=True, cache_interval=3)
+    with pytest.raises(ValueError, match="cache_tol"):
+        sampler.sample_ode_cfg(cache_adaptive=True, cache_tol=0.0)
+    with pytest.raises(ValueError, match="cache_max_interval"):
+        sampler.sample_ode_cfg(cache_adaptive=True, cache_max_interval=0)
+
+
+def test_dopri5_max_steps_exhaustion_is_surfaced(rng):
+    """A starved step budget must be visible: stats['exhausted'] flips and
+    the result is the partially-integrated state, not the initial one."""
+    from vavae_tpu.transport.ode import odeint_dopri5
+
+    x0 = jax.random.normal(rng, (2, 3, 3, 4))
+
+    def drift(x, t):
+        return jnp.sin(20.0 * t)[:, None, None, None] * (1.0 + x)
+
+    full, st_full = odeint_dopri5(drift, x0, 0.0, 1.0, rtol=1e-6, atol=1e-9,
+                                  with_stats=True)
+    assert not bool(st_full["exhausted"])
+    part, st_part = odeint_dopri5(drift, x0, 0.0, 1.0, rtol=1e-6, atol=1e-9,
+                                  max_steps=2, with_stats=True)
+    assert bool(st_part["exhausted"])
+    assert int(st_part["naccept"]) + int(st_part["nreject"]) <= 2
+    # partially integrated: moved off x0, not equal to the full solution
+    assert np.abs(np.asarray(part) - np.asarray(x0)).max() > 1e-6
+    assert np.abs(np.asarray(part) - np.asarray(full)).max() > 1e-3
+
+    # the sampler exposes the budget: a tiny max_steps changes the output
+    tr = create_transport("Linear", "velocity")
+    s = Sampler(tr)
+    z = jax.random.normal(jax.random.fold_in(rng, 1), (2, 3, 3, 4))
+    f_ok = s.sample_ode(sampling_method="dopri5", rtol=1e-5)
+    f_starved = s.sample_ode(sampling_method="dopri5", rtol=1e-5, max_steps=1)
+    a = np.asarray(f_ok(z, drift))
+    b = np.asarray(f_starved(z, drift))
+    assert np.abs(a - b).max() > 1e-4

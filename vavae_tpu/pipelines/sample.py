@@ -94,6 +94,10 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None,
             num_steps=sc.get("num_sampling_steps", 250),
             atol=sc.get("atol", 1e-6),
             rtol=sc.get("rtol", 1e-3),
+            # dopri5 step budget: on a stiff field at tight rtol, exhaustion
+            # silently returns a partially-integrated state — raise this if
+            # the controller stats (return_stats) show it being hit
+            max_steps=sc.get("dopri5_max_steps", 1000),
             reverse=sc.get("reverse", False),
             timestep_shift=sc.get("timestep_shift", 0.0),
         )
@@ -131,14 +135,22 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None,
         and interval_start > 0.0
     )
     is_split_euler = use_split_cfg and method == "euler"
-    if sc.get("velocity_cache_interval", 1) > 1 and not is_split_euler:
+    # euler-only acceleration knobs that a non-euler (or non-split) program
+    # silently ignores — warn by NAME so a config combining e.g. dopri5 with
+    # multistep_order: 3 doesn't quietly run plain dopri5
+    _euler_only = {
+        "velocity_cache_interval": sc.get("velocity_cache_interval", 1) > 1,
+        "velocity_cache_adaptive": bool(sc.get("velocity_cache_adaptive", False)),
+        "multistep_order": sc.get("multistep_order", 1) > 1,
+    }
+    if any(_euler_only.values()) and not is_split_euler:
         import warnings
 
         warnings.warn(
-            "sample.velocity_cache_interval is only implemented on the "
-            "split-CFG euler path (cfg_scale > 1, mode ODE, sampling_method "
-            "euler, cfg_interval_start > 0) — sampling will run EXACT with "
-            "no speedup.",
+            f"sample.{'/'.join(k for k, v in _euler_only.items() if v)} "
+            "only applies on the split-CFG euler path (cfg_scale > 1, mode "
+            "ODE, sampling_method euler, cfg_interval_start > 0) — sampling "
+            f"will run plain {method} with no acceleration.",
             stacklevel=2,
         )
     if use_split_cfg:
@@ -155,6 +167,13 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None,
                 # order: an EXACT-solver acceleration — same per-step cost,
                 # O(h^order) accuracy (BASELINE.md testbed matrix)
                 multistep_order=sc.get("multistep_order", 1),
+                # error-CONTROLLED cache interval (round-4): the realized
+                # forecast error at each model eval drives the next gap
+                # toward velocity_cache_tol, capped at
+                # velocity_cache_max_interval — see odeint_euler_cached_adaptive
+                cache_adaptive=bool(sc.get("velocity_cache_adaptive", False)),
+                cache_tol=sc.get("velocity_cache_tol", 0.02),
+                cache_max_interval=sc.get("velocity_cache_max_interval", 8),
             )
             if is_split_euler
             else {}
@@ -167,6 +186,7 @@ def build_sample_fn(cfg: Config, model, params, latent_stats=None, mesh=None,
             sampling_method=method,
             rtol=sc.get("rtol", 1e-3),
             atol=sc.get("atol", 1e-6),
+            max_steps=sc.get("dopri5_max_steps", 1000),
             **euler_knobs,
         )
 

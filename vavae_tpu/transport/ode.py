@@ -173,6 +173,125 @@ def odeint_euler_cached(
     return x
 
 
+def odeint_euler_cached_adaptive(
+    drift: Callable,
+    x: jax.Array,
+    t: jax.Array,
+    tol: float = 0.02,
+    max_interval: int = 8,
+    order: int = 1,
+    with_stats: bool = False,
+):
+    """Velocity-cached euler whose cache interval is CONTROLLED, not fixed.
+
+    Round-3's 33-point acceleration matrix proved two things (BASELINE.md):
+    the velocity cache is the robust accelerated family (it inherits euler's
+    stability and never extrapolates past one window), and its FIXED k is a
+    blunt instrument — a k that is cheap on a mild field blows up the error
+    on a stiff one (vcache-k3 2.10% on the 2400:6.7 point) while a safe k
+    buys little on the mild fields. This variant closes that gap with a
+    step-size-controller-style loop on information the sampler already has
+    for free:
+
+      at every model evaluation, compare the velocity the model just
+      returned against what the cache's ``order``-degree forecast predicted
+      for that time — the REALIZED forecast error over the elapsed gap.
+      With e = rms(v − v_forecast)/rms(v) (batch-global, fp32) and the
+      forecast error growing ~ gap^(order+1) on a smooth field, the next
+      gap is   k ← clip(round(k · 0.9 · (tol/e)^(1/(order+1))), 1,
+      max_interval)   — exactly the classic local-error controller, applied
+      to the cache interval instead of the step size.
+
+    Cost stays static-shaped: the program is the same ``lax.scan`` over the
+    fixed (possibly timestep-shifted) grid as ``odeint_euler_cached``, each
+    step choosing evaluate-vs-forecast with a scalar ``lax.cond``; worst
+    case is one evaluation per step (= exact euler), best case one per
+    ``max_interval`` steps. The actually-used evaluation count is data-
+    dependent — ``with_stats=True`` returns ``(x, n_evals)`` so benchmarks
+    can report the TRUE cost instead of a nominal one.
+
+    The first ``order + 1`` evaluations are forced to consecutive steps
+    (the forecast needs that much history before its error means anything);
+    ``tol=0`` degenerates to exact euler. Reference being accelerated: the
+    production euler-250 program, LightningDiT/transport/integrators.py:
+    77-126 + configs/lightningdit_xl_vavae_f16d32.yaml:71-82.
+    """
+    if order not in (0, 1, 2):
+        raise ValueError(f"velocity-cache order must be 0, 1 or 2, got {order}")
+    if max_interval < 1:
+        raise ValueError(f"max_interval must be >= 1, got {max_interval}")
+    B = x.shape[0]
+    pairs = jnp.stack([t[:-1], t[1:]], axis=-1)
+    zero = jnp.zeros_like(x)
+    o1 = 1.0 if order >= 1 else 0.0
+    o2 = 1.0 if order >= 2 else 0.0
+    tol = float(tol)
+    warm = order + 1  # evals of history before the forecast error is real
+
+    def step(carry, tt):
+        x, v_e, d1, d2, t_e, t_pe, wait, k_cur, n_evals = carry
+        t_cur, t_next = tt[0], tt[1]
+
+        def forecast_at(tq):
+            dt = (tq - t_e).astype(x.dtype)
+            dtp = (tq - t_pe).astype(x.dtype)
+            return v_e + o1 * dt * d1 + o2 * dt * dtp * d2
+
+        def evaluate():
+            v = drift(x, jnp.full((B,), t_cur, x.dtype)).astype(x.dtype)
+            # controller signal: realized forecast error over the elapsed gap
+            dv = (v - forecast_at(t_cur)).astype(jnp.float32)
+            e = jnp.sqrt(jnp.mean(jnp.square(dv)))
+            vn = jnp.sqrt(jnp.mean(jnp.square(v.astype(jnp.float32))))
+            e_rel = e / jnp.maximum(vn, 1e-20)
+            factor = jnp.where(
+                e_rel <= 1e-12,
+                2.0,
+                jnp.clip(0.9 * (tol / jnp.maximum(e_rel, 1e-12)) ** (1.0 / (order + 1)),
+                         0.25, 2.0),
+            )
+            new_k = jnp.clip(
+                jnp.round(k_cur.astype(jnp.float32) * factor).astype(jnp.int32),
+                1, max_interval,
+            )
+            new_k = jnp.where(n_evals < warm, 1, new_k)
+            # divided differences, gated in as evaluation history accumulates
+            dt1 = t_cur - t_e
+            safe1 = jnp.where(n_evals == 0, jnp.ones_like(dt1), dt1)
+            g1 = jnp.where(n_evals >= 1, 1.0, 0.0).astype(x.dtype)
+            new_d1 = g1 * (v - v_e) / safe1.astype(x.dtype)
+            dt2 = t_cur - t_pe
+            safe2 = jnp.where(n_evals <= 1, jnp.ones_like(dt2), dt2)
+            g2 = jnp.where(n_evals >= 2, 1.0, 0.0).astype(x.dtype)
+            new_d2 = g2 * (new_d1 - d1) / safe2.astype(x.dtype)
+            # wait counts the FORECAST steps before the next eval: new_k - 1
+            # of them gives an eval-to-eval gap of exactly new_k steps
+            return (v, v, new_d1, new_d2, t_cur, t_e, new_k - 1, new_k,
+                    n_evals + 1)
+
+        def use_cache():
+            return (forecast_at(t_cur), v_e, d1, d2, t_e, t_pe, wait - 1,
+                    k_cur, n_evals)
+
+        v, v_e, d1, d2, t_e, t_pe, wait, k_cur, n_evals = jax.lax.cond(
+            wait <= 0, evaluate, use_cache
+        )
+        x = x + (t_next - t_cur).astype(x.dtype) * v
+        return (x, v_e, d1, d2, t_e, t_pe, wait, k_cur, n_evals), None
+
+    init = (
+        x, zero, zero, zero, t[0], t[0],
+        jnp.asarray(0, jnp.int32),   # wait: evaluate at the first step
+        jnp.asarray(1, jnp.int32),   # current interval
+        jnp.asarray(0, jnp.int32),   # evaluations used
+    )
+    (x, *rest), _ = jax.lax.scan(step, init, pairs)
+    n_evals = rest[-1]
+    if with_stats:
+        return x, n_evals
+    return x
+
+
 def odeint_heun(drift: Callable, x: jax.Array, t: jax.Array) -> jax.Array:
     B = x.shape[0]
 
@@ -318,7 +437,9 @@ def odeint_dopri5(
     torchdiffeq wraps tuples the same way); the error norm is the RMS over
     the concatenated elements. All controller math in fp32; the model is
     called at each leaf's own dtype. ``with_stats`` additionally returns
-    {"naccept", "nreject"}.
+    {"naccept", "nreject", "exhausted"} — ``exhausted`` is True when
+    ``max_steps`` ran out before crossing t1 (the result is then the
+    partially-integrated state, not garbage, but callers should know).
     """
     if t1 < t0:
         # decreasing interval (sample_ode(reverse=True) hands (1, 0)): the
@@ -462,5 +583,9 @@ def odeint_dopri5(
         treedef, [l.astype(d) for l, d in zip(out, in_dtypes)]
     )
     if with_stats:
-        return result, {"naccept": na, "nreject": nr}
+        # exhausted: max_steps hit before crossing t1 — the result is the
+        # partially-integrated state, which callers must be able to SEE
+        # (round-3 advisor: silent partial integration on stiff fields)
+        return result, {"naccept": na, "nreject": nr,
+                        "exhausted": jnp.logical_not(done)}
     return result

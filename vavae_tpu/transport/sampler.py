@@ -36,6 +36,7 @@ class Sampler:
         num_steps: int = 50,
         atol: float = 1e-6,
         rtol: float = 1e-3,
+        max_steps: int = 1000,
         reverse: bool = False,
         timestep_shift: float = 0.0,
     ) -> Callable:
@@ -63,7 +64,8 @@ class Sampler:
                 grid = jnp.asarray(ode_mod.time_grid(t0, t1, num_steps, timestep_shift))
                 return ode_mod.odeint_ab(d, x, grid, order=int(sampling_method[2]))
             if sampling_method == "dopri5":
-                return ode_mod.odeint_dopri5(d, x, t0, t1, rtol=rtol, atol=atol)
+                return ode_mod.odeint_dopri5(
+                    d, x, t0, t1, rtol=rtol, atol=atol, max_steps=max_steps)
             raise NotImplementedError(f"ODE method {sampling_method}")
 
         return _sample
@@ -77,10 +79,14 @@ class Sampler:
         reverse: bool = False,
         cache_interval: int = 1,
         cache_order: int = 1,
+        cache_adaptive: bool = False,
+        cache_tol: float = 0.02,
+        cache_max_interval: int = 8,
         multistep_order: int = 1,
         sampling_method: str = "euler",
         rtol: float = 1e-3,
         atol: float = 1e-6,
+        max_steps: int = 1000,
         return_stats: bool = False,
     ) -> Callable:
         """Euler CFG sampler with the interval split run as two scan phases.
@@ -101,6 +107,15 @@ class Sampler:
         last velocity, 1 = linear forecast from the last two evaluations —
         same cost, measurably lower error; 2 = quadratic Newton forecast
         from the last three — see odeint_euler_cached).
+
+        ``cache_adaptive=True`` replaces the fixed interval with the
+        error-controlled one (odeint_euler_cached_adaptive): the realized
+        forecast error at each evaluation drives the next gap toward
+        ``cache_tol``, bounded by ``cache_max_interval``. The eval count
+        becomes data-dependent; ``return_stats=True`` returns
+        ``(x, {"cfg_evals": n})`` with the CFG-phase model-eval count so
+        callers can account TRUE cost. Mutually exclusive with a fixed
+        ``cache_interval > 1`` and with ``multistep_order > 1``.
 
         ``multistep_order > 1`` integrates each phase with variable-step
         Adams–Bashforth of that order instead of euler (odeint_ab): the same
@@ -136,18 +151,32 @@ class Sampler:
         if sampling_method not in ("euler", "Euler", "heun", "Heun", "dopri5"):
             raise NotImplementedError(f"CFG ODE method {sampling_method}")
         if sampling_method not in ("euler", "Euler") and (
-            cache_interval > 1 or multistep_order > 1
+            cache_interval > 1 or multistep_order > 1 or cache_adaptive
         ):
             raise ValueError(
-                "cache_interval/multistep_order are euler-grid accelerations "
-                f"— not composable with sampling_method={sampling_method!r}"
+                "cache_interval/cache_adaptive/multistep_order are euler-grid "
+                f"accelerations — not composable with sampling_method="
+                f"{sampling_method!r}"
             )
-        if return_stats and sampling_method != "dopri5":
-            raise ValueError("return_stats is only meaningful for dopri5")
-        if multistep_order > 1 and cache_interval > 1:
+        if return_stats and sampling_method != "dopri5" and not cache_adaptive:
             raise ValueError(
-                "multistep_order and cache_interval are mutually exclusive "
-                "accelerations — pick one"
+                "return_stats is only meaningful for dopri5 or cache_adaptive"
+            )
+        if multistep_order > 1 and (cache_interval > 1 or cache_adaptive):
+            raise ValueError(
+                "multistep_order and the velocity cache are mutually "
+                "exclusive accelerations — pick one"
+            )
+        if cache_adaptive and cache_interval > 1:
+            raise ValueError(
+                "cache_adaptive replaces the fixed cache_interval — set "
+                "velocity_cache_interval back to 1 (or drop it)"
+            )
+        if cache_adaptive and not (cache_tol > 0.0):
+            raise ValueError(f"cache_adaptive needs cache_tol > 0, got {cache_tol}")
+        if cache_adaptive and cache_max_interval < 1:
+            raise ValueError(
+                f"cache_max_interval must be >= 1, got {cache_max_interval}"
             )
         # validate at BUILD time even when the knob is currently inert, so a
         # config typo (e.g. velocity_cache_order: 3, confusing it with
@@ -205,11 +234,13 @@ class Sampler:
                 stats: dict = {"cond": None, "cfg": None}
                 if tb != t0:
                     x, stats["cond"] = ode_mod.odeint_dopri5(
-                        d_cond, x, t0, tb, rtol=rtol, atol=atol, with_stats=True
+                        d_cond, x, t0, tb, rtol=rtol, atol=atol,
+                        max_steps=max_steps, with_stats=True
                     )
                 x2 = jnp.concatenate([x, x], axis=0)
                 out, stats["cfg"] = ode_mod.odeint_dopri5(
-                    d_cfg, x2, tb, t1, rtol=rtol, atol=atol, with_stats=True
+                    d_cfg, x2, tb, t1, rtol=rtol, atol=atol,
+                    max_steps=max_steps, with_stats=True
                 )
                 out = out[:B]
                 return (out, stats) if return_stats else out
@@ -224,6 +255,18 @@ class Sampler:
                     d_cfg, x2, grid[split_idx:], order=multistep_order
                 )
                 return out[:B]
+            if cache_adaptive:
+                # error-controlled cache: exact cond-only phase, adaptive CFG
+                if split_idx > 0:
+                    x = ode_mod.odeint_euler(d_cond, x, grid[: split_idx + 1])
+                x2 = jnp.concatenate([x, x], axis=0)
+                out, n_evals = ode_mod.odeint_euler_cached_adaptive(
+                    d_cfg, x2, grid[split_idx:], tol=cache_tol,
+                    max_interval=cache_max_interval, order=cache_order,
+                    with_stats=True,
+                )
+                out = out[:B]
+                return (out, {"cfg_evals": n_evals}) if return_stats else out
             if cache_interval <= 1:
                 lift = lambda xv: jnp.concatenate([xv, xv], axis=0)
                 out = ode_mod.odeint_euler_split(
