@@ -39,6 +39,26 @@ step() {  # step <name> <timeout_s> <cmd...>
 step headline_default 4800 python bench.py
 step headline_ab3_100 2400 python bench.py 8 1 3 100
 
+# 1b. resolve the trained-VAE gauge ckpt FIRST: the sampler-quality gauges
+#     below read $VAVAE_BENCH_VAE_CKPT for their image-space (decoded)
+#     columns, and the bf16 deviation gauge needs a TRAINED posterior.
+#     NB: the ckpt goes to output/ (gitignored), NOT the docs tree — round
+#     3's battery wrote a 279 MB safetensors into docs/bench/onchip and the
+#     end-of-round `git add -A` committed it.
+CKPT_DIR="$R/output"
+mkdir -p "$CKPT_DIR"
+if [ -z "${VAVAE_BENCH_VAE_CKPT:-}" ]; then
+  if [ -f "$CKPT_DIR/vae_gauge_ckpt.safetensors" ]; then
+    VAVAE_BENCH_VAE_CKPT="$CKPT_DIR/vae_gauge_ckpt.safetensors"
+    echo "reusing existing gauge ckpt $VAVAE_BENCH_VAE_CKPT"
+  else
+    step train_vae_gauge 3600 python scripts/train_vae_gauge_ckpt.py 300 \
+      "$CKPT_DIR/vae_gauge_ckpt.safetensors" \
+      && VAVAE_BENCH_VAE_CKPT="$CKPT_DIR/vae_gauge_ckpt.safetensors"
+  fi
+fi
+export VAVAE_BENCH_VAE_CKPT
+
 # 2. multistep error sweep + throughput on-chip (updates the BASELINE table)
 step multistep_sweep 5400 python scripts/bench_multistep.py --sweep auto
 
@@ -62,21 +82,6 @@ step sampler_quality_cfg67 10800 python scripts/bench_sampler_quality.py \
 #    understates the ratio) — train the production f16d32 arch briefly on
 #    procedural images unless a real checkpoint is supplied via
 #    $VAVAE_BENCH_VAE_CKPT.
-# NB: the ckpt goes to output/ (gitignored), NOT the docs tree — round 3's
-# battery wrote a 279 MB safetensors into docs/bench/onchip and the end-of-
-# round `git add -A` committed it.
-CKPT_DIR="$R/output"
-mkdir -p "$CKPT_DIR"
-if [ -z "${VAVAE_BENCH_VAE_CKPT:-}" ]; then
-  if [ -f "$CKPT_DIR/vae_gauge_ckpt.safetensors" ]; then
-    VAVAE_BENCH_VAE_CKPT="$CKPT_DIR/vae_gauge_ckpt.safetensors"
-    echo "reusing existing gauge ckpt $VAVAE_BENCH_VAE_CKPT"
-  else
-    step train_vae_gauge 3600 python scripts/train_vae_gauge_ckpt.py 300 \
-      "$CKPT_DIR/vae_gauge_ckpt.safetensors" \
-      && VAVAE_BENCH_VAE_CKPT="$CKPT_DIR/vae_gauge_ckpt.safetensors"
-  fi
-fi
 step vae_infer_fp32 1800 python scripts/bench_vae_infer.py 8
 step vae_infer_bf16 1800 python scripts/bench_vae_infer.py 8 bf16 ${VAVAE_BENCH_VAE_CKPT:-}
 
