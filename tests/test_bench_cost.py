@@ -67,3 +67,37 @@ def test_dopri5_cost_stats():
     both = {"cond": {"naccept": 4, "nreject": 0},
             "cfg": {"naccept": 10, "nreject": 2}}
     assert bc.dopri5_cost(both) == 0.5 * (2 + 6 * 4) + (2 + 6 * 12)
+
+
+def test_reverse_split_matches_sampler_mirror(transport):
+    """With reverse=True the grid descends and MODEL time is 1 − grid-t; a
+    shifted reverse grid is NOT the mirror of the forward one, so the cost
+    helper must mirror the sampler's own rule, not reuse the forward split
+    (round-3 advisor finding)."""
+    import numpy as np
+
+    from vavae_tpu.transport import ode as ode_mod
+
+    t0_r, t1_r = transport.check_interval(eval=True, sde=False, reverse=True)
+    g = np.asarray(ode_mod.time_grid(t0_r, t1_r, 64, 0.3))
+    model_t = 1.0 - g
+    expect = int(np.searchsorted(model_t[:-1], 0.11))
+    assert bc.split_idx(transport, 64, 0.3, 0.11, reverse=True) == expect
+    # and it genuinely differs from the forward split on a shifted grid
+    assert expect != bc.split_idx(transport, 64, 0.3, 0.11)
+    # fixed_grid_cost threads the flag
+    s = expect
+    assert bc.fixed_grid_cost(transport, 64, 0.3, 0.11, reverse=True) == (
+        0.5 * s + (64 - s))
+
+
+def test_adaptive_cache_cost(transport):
+    """Adaptive cache: exact half-batch cond phase + the measured CFG eval
+    count from the sampler's own stats."""
+    s = bc.split_idx(transport, 250, 0.3, 0.11)
+    assert bc.adaptive_cache_cost(transport, 250, 0.3, 0.11, 57) == 0.5 * s + 57
+    # a jax/np scalar works too
+    import numpy as np
+
+    assert bc.adaptive_cache_cost(
+        transport, 250, 0.3, 0.11, np.int32(57)) == 0.5 * s + 57
