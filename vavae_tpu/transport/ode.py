@@ -211,10 +211,26 @@ def odeint_euler_cached_adaptive(
     can report the TRUE cost instead of a nominal one.
 
     The first ``order + 1`` evaluations are forced to consecutive steps
-    (the forecast needs that much history before its error means anything);
-    ``tol=0`` degenerates to exact euler. Reference being accelerated: the
-    production euler-250 program, LightningDiT/transport/integrators.py:
-    77-126 + configs/lightningdit_xl_vavae_f16d32.yaml:71-82.
+    (the forecast needs that much history before its error means anything).
+
+    **Noise floor.** On TRAINED fields the one-step velocity difference is
+    dominated by high-frequency model noise, not by the smooth drift the
+    forecast can actually track: measured on the matrix testbed the gap-1
+    order-1 residual is ~4.1% while the order-0 (hold) residual is ~2.4% —
+    a √3 ratio, the exact signature of iid per-eval noise (ε₂−2ε₁+ε₀ vs
+    ε₂−ε₁). That noise floor is irreducible (the evaluation being compared
+    against contains it) and nearly harmless to the trajectory (it averages
+    out across windows — the fixed cache's measured errors prove it), but
+    it would blind an absolute-error controller: any tol below the floor
+    pins k at 1 forever. So the controller estimates the floor online — the
+    MIN of the first three post-warmup gap-1 residuals — and steers on the
+    EXCESS over it, e_x = sqrt(max(e² − floor², 0)): on noise-free fields
+    the floor is ~0 and the behavior is the plain error controller; on a
+    stiff field the smooth component rises far above the floor and the
+    gap still shrinks to 1 (cost ceiling: exact euler).
+    Reference being accelerated: the production euler-250 program,
+    LightningDiT/transport/integrators.py:77-126 +
+    configs/lightningdit_xl_vavae_f16d32.yaml:71-82.
     """
     if order not in (0, 1, 2):
         raise ValueError(f"velocity-cache order must be 0, 1 or 2, got {order}")
@@ -227,9 +243,10 @@ def odeint_euler_cached_adaptive(
     o2 = 1.0 if order >= 2 else 0.0
     tol = float(tol)
     warm = order + 1  # evals of history before the forecast error is real
+    n_floor = 3       # post-warmup gap-1 residuals that calibrate the floor
 
     def step(carry, tt):
-        x, v_e, d1, d2, t_e, t_pe, wait, k_cur, n_evals = carry
+        x, v_e, d1, d2, t_e, t_pe, wait, k_f, floor, n_evals = carry
         t_cur, t_next = tt[0], tt[1]
 
         def forecast_at(tq):
@@ -244,17 +261,24 @@ def odeint_euler_cached_adaptive(
             e = jnp.sqrt(jnp.mean(jnp.square(dv)))
             vn = jnp.sqrt(jnp.mean(jnp.square(v.astype(jnp.float32))))
             e_rel = e / jnp.maximum(vn, 1e-20)
-            factor = jnp.where(
-                e_rel <= 1e-12,
-                2.0,
-                jnp.clip(0.9 * (tol / jnp.maximum(e_rel, 1e-12)) ** (1.0 / (order + 1)),
-                         0.25, 2.0),
-            )
-            new_k = jnp.clip(
-                jnp.round(k_cur.astype(jnp.float32) * factor).astype(jnp.int32),
-                1, max_interval,
-            )
-            new_k = jnp.where(n_evals < warm, 1, new_k)
+            # calibrate the noise floor on the first n_floor post-warmup
+            # gap-1 residuals (min: a genuinely-stiff sample must not
+            # inflate the floor), then steer on the EXCESS over it
+            calibrating = (n_evals >= warm) & (n_evals < warm + n_floor)
+            new_floor = jnp.where(calibrating, jnp.minimum(floor, e_rel), floor)
+            excess = jnp.sqrt(jnp.maximum(
+                jnp.square(e_rel) - jnp.square(new_floor), 0.0))
+            factor = jnp.clip(
+                0.9 * (tol / jnp.maximum(excess, 1e-12)) ** (1.0 / (order + 1)),
+                0.25, 2.0)
+            # the interval is carried as a FLOAT and rounded only when
+            # scheduling: an integer carry has a growth deadband at k=1
+            # (round(1·factor) needs factor ≥ 1.5 to ever leave 1, so
+            # moderate errors froze the controller at exact-euler cost —
+            # caught by the first matrix run)
+            new_kf = jnp.clip(k_f * factor, 1.0, float(max_interval))
+            new_kf = jnp.where(n_evals < warm + n_floor, 1.0, new_kf)
+            new_k = jnp.round(new_kf).astype(jnp.int32)
             # divided differences, gated in as evaluation history accumulates
             dt1 = t_cur - t_e
             safe1 = jnp.where(n_evals == 0, jnp.ones_like(dt1), dt1)
@@ -266,24 +290,25 @@ def odeint_euler_cached_adaptive(
             new_d2 = g2 * (new_d1 - d1) / safe2.astype(x.dtype)
             # wait counts the FORECAST steps before the next eval: new_k - 1
             # of them gives an eval-to-eval gap of exactly new_k steps
-            return (v, v, new_d1, new_d2, t_cur, t_e, new_k - 1, new_k,
-                    n_evals + 1)
+            return (v, v, new_d1, new_d2, t_cur, t_e, new_k - 1, new_kf,
+                    new_floor, n_evals + 1)
 
         def use_cache():
             return (forecast_at(t_cur), v_e, d1, d2, t_e, t_pe, wait - 1,
-                    k_cur, n_evals)
+                    k_f, floor, n_evals)
 
-        v, v_e, d1, d2, t_e, t_pe, wait, k_cur, n_evals = jax.lax.cond(
+        v, v_e, d1, d2, t_e, t_pe, wait, k_f, floor, n_evals = jax.lax.cond(
             wait <= 0, evaluate, use_cache
         )
         x = x + (t_next - t_cur).astype(x.dtype) * v
-        return (x, v_e, d1, d2, t_e, t_pe, wait, k_cur, n_evals), None
+        return (x, v_e, d1, d2, t_e, t_pe, wait, k_f, floor, n_evals), None
 
     init = (
         x, zero, zero, zero, t[0], t[0],
-        jnp.asarray(0, jnp.int32),   # wait: evaluate at the first step
-        jnp.asarray(1, jnp.int32),   # current interval
-        jnp.asarray(0, jnp.int32),   # evaluations used
+        jnp.asarray(0, jnp.int32),      # wait: evaluate at the first step
+        jnp.asarray(1.0, jnp.float32),  # current interval (float carry)
+        jnp.asarray(jnp.inf, jnp.float32),  # noise floor (min-calibrated)
+        jnp.asarray(0, jnp.int32),      # evaluations used
     )
     (x, *rest), _ = jax.lax.scan(step, init, pairs)
     n_evals = rest[-1]
