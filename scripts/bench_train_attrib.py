@@ -50,7 +50,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PARTS = ("model_fwd", "loss_fwd", "fwdbwd", "opt", "ema", "full", "flops")
 
 
-def build(batch: int):
+def build(batch: int, policy: str = "nothing"):
     from vavae_tpu.models.dit import LightningDiT_models
     from vavae_tpu.parallel.mesh import make_mesh
     from vavae_tpu.train.dit_trainer import DiTTrainer, TrainState
@@ -59,7 +59,7 @@ def build(batch: int):
     model = LightningDiT_models["LightningDiT-XL/1"](
         input_size=16, in_channels=32, num_classes=1000, use_swiglu=True,
         use_rope=True, use_rmsnorm=True, use_checkpoint=True,
-        dtype=jnp.bfloat16,
+        checkpoint_policy=policy, dtype=jnp.bfloat16,
     )
     trainer = DiTTrainer(
         model=model, transport=create_transport("Linear", "velocity"),
@@ -109,9 +109,9 @@ def cost(jitted, *args):
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
-def run_part(part: str, batch: int) -> dict:
-    model, trainer, state, rng, x, y = build(batch)
-    rec: dict = {"part": part, "batch": batch}
+def run_part(part: str, batch: int, policy: str = "nothing") -> dict:
+    model, trainer, state, rng, x, y = build(batch, policy)
+    rec: dict = {"part": part, "batch": batch, "policy": policy}
 
     if part == "model_fwd":
         t = jax.random.uniform(rng, (batch,))
@@ -191,11 +191,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", choices=PARTS)
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--policy", choices=("nothing", "dots"), default="nothing")
     ap.add_argument("batch", nargs="?", type=int, default=16)
     args = ap.parse_args()
 
     if args.part:
-        rec = run_part(args.part, args.batch)
+        rec = run_part(args.part, args.batch, args.policy)
         print(json.dumps(rec), flush=True)
         return
 
@@ -205,7 +206,7 @@ def main() -> None:
     recs = {}
     for part in PARTS:
         cmd = [sys.executable, os.path.abspath(__file__), "--part", part,
-               str(args.batch)]
+               "--policy", args.policy, str(args.batch)]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if not line:

@@ -1,10 +1,14 @@
 """Microbench: one DiT-XL/1 training step (fwd+bwd+Adam+EMA), single chip.
 
 Usage: python scripts/bench_train_step.py [batch] [--bf16] [--mu_bf16] [--ema_every K]
+                                          [--policy nothing|dots]
   --bf16       bf16 params (EMA stays f32)
   --mu_bf16    Adam first moment in bf16 (optimizer.adam_mu_dtype)
   --ema_every  amortized EMA cadence (train.ema_every); the reported ms is
                the average over the cadence, i.e. the amortized cost
+  --policy     remat policy (model.checkpoint_policy): "nothing" recomputes
+               the full block (+1 fwd of FLOPs — measured ~25 ms of the
+               140 ms step, train_attrib.log), "dots" saves matmul outputs
 Env: VAVAE_ATTN_NATURAL=0 restores the padded-layout attention for A/B.
 """
 from __future__ import annotations
@@ -29,6 +33,11 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--mu_bf16", action="store_true")
     ap.add_argument("--ema_every", type=int, default=1)
+    # round-4 attribution (BASELINE.md): under the default "nothing" policy
+    # the backward's HLO FLOPs are 3.99x the forward's (ideal 3x) — the
+    # remat recomputes one FULL forward, ~25 ms of the 140 ms step. "dots"
+    # saves matmul outputs and recomputes only the elementwise ops.
+    ap.add_argument("--policy", choices=("nothing", "dots"), default="nothing")
     args = ap.parse_args()
     batch = args.batch
     model = LightningDiT_models["LightningDiT-XL/1"](
@@ -39,6 +48,7 @@ def main() -> None:
         use_rope=True,
         use_rmsnorm=True,
         use_checkpoint=True,
+        checkpoint_policy=args.policy,
         dtype=jnp.bfloat16,
     )
     mesh = make_mesh()
