@@ -7,8 +7,10 @@ Usage: python scripts/bench_train_step.py [batch] [--bf16] [--mu_bf16] [--ema_ev
   --ema_every  amortized EMA cadence (train.ema_every); the reported ms is
                the average over the cadence, i.e. the amortized cost
   --policy     remat policy (model.checkpoint_policy): "nothing" recomputes
-               the full block (+1 fwd of FLOPs — measured ~25 ms of the
-               140 ms step, train_attrib.log), "dots" saves matmul outputs
+               the full block (+1 fwd of HLO FLOPs, but only ~4.7 ms wall on
+               fwdbwd / ~2.1 ms full-step — the recompute overlaps backward
+               memory traffic; BASELINE.md train attribution), "dots" saves
+               matmul outputs and recomputes only the elementwise ops
 Env: VAVAE_ATTN_NATURAL=0 restores the padded-layout attention for A/B.
 """
 from __future__ import annotations

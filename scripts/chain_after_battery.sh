@@ -14,12 +14,17 @@ while [ ! -f "$STAMP" ]; do sleep 120; done
 echo "battery stamp seen: $(cat "$STAMP" | tr '\n' ' ')"
 
 # probe the tunnel before an 1.5h suite (battery may have ended on a dead one)
+TUNNEL_OK=0
 for i in $(seq 1 60); do
   if timeout 180 python -c "import vavae_tpu.utils.jax_cache, jax; jax.devices()" >/dev/null 2>&1; then
-    break
+    TUNNEL_OK=1; break
   fi
   echo "tunnel down, probe $i; sleeping 120s"; sleep 120
 done
+if [ "$TUNNEL_OK" != 1 ]; then
+  echo "tunnel never answered after 60 probes (~5h) — refusing to run the TPU suite against a dead backend" >&2
+  exit 1
+fi
 
 SHA=$(git rev-parse --short HEAD)
 LOG="$R/docs/bench/onchip/pytest_tpu.log"
@@ -28,6 +33,13 @@ LOG="$R/docs/bench/onchip/pytest_tpu.log"
   timeout 10800 python -m pytest tests/ -p no:warnings 2>&1 | tail -n 40
   echo "end=$(date -u +%Y-%m-%dT%H:%M:%SZ)"
 } > "$LOG.tmp"
-mv "$LOG.tmp" "$LOG"
+# only replace the committed record when the run actually produced a summary
+# (a dead tunnel yields a hung/garbage tail — keep the old log in that case)
+if grep -qE "[0-9]+ (passed|failed)" "$LOG.tmp"; then
+  mv "$LOG.tmp" "$LOG"
+else
+  echo "pytest produced no pass/fail summary — keeping previous $LOG (tmp left at $LOG.tmp)" >&2
+  exit 1
+fi
 echo "pytest done → $LOG"
 grep -E "passed|failed" "$LOG" | tail -2
