@@ -135,55 +135,8 @@ def xl_throughput(batch: int, cache_interval: int = 1,
     return float(rec["value"])
 
 
-def split_idx(transport, num_steps: int, shift: float, start: float,
-              reverse: bool = False) -> int:
-    """Cond-only step count before MODEL-t crosses ``cfg_interval_start`` on
-    the shifted grid — mirrors sample_ode_cfg's split rule
-    (transport/sampler.py). Shared so the benches' cost accounting cannot
-    silently diverge from the sampler or from each other. ``reverse``
-    mirrors the sampler exactly: the grid descends and model time is
-    1 − grid-t (a shifted REVERSE grid is NOT the mirror of the forward
-    one, so the flag matters for the published cost column)."""
-    import numpy as np
-
-    from vavae_tpu.transport import ode as ode_mod
-
-    t0_i, t1_i = transport.check_interval(eval=True, sde=False, reverse=reverse)
-    g = np.asarray(ode_mod.time_grid(t0_i, t1_i, num_steps, shift))
-    model_t = (1.0 - g) if reverse else g
-    return int(np.searchsorted(model_t[:-1], start))
-
-
-def fixed_grid_cost(transport, num_steps: int, shift: float, start: float,
-                    method: str = "euler", cache_interval: int = 1,
-                    reverse: bool = False) -> float:
-    """CFG-forward-equivalent model evals for the fixed-grid methods: the
-    cond-only phase runs at half batch (0.5 per call), heun makes 2 evals
-    per step, and the velocity cache thins only the CFG phase."""
-    import math
-
-    s = split_idx(transport, num_steps, shift, start, reverse)
-    per = 2.0 if method == "heun" else 1.0
-    n_cfg = (num_steps - s if cache_interval <= 1
-             else math.ceil((num_steps - s) / cache_interval))
-    return per * (0.5 * s + n_cfg)
-
-
-def adaptive_cache_cost(transport, num_steps: int, shift: float, start: float,
-                        cfg_evals, reverse: bool = False) -> float:
-    """CFG-forward-equivalent evals for the ADAPTIVE velocity cache: the
-    cond-only phase is exact euler at half batch; the CFG phase's
-    data-dependent eval count comes from the sampler's own stats
-    (``return_stats=True`` → ``{"cfg_evals": n}``)."""
-    s = split_idx(transport, num_steps, shift, start, reverse)
-    return 0.5 * s + float(int(cfg_evals))
-
-
-def dopri5_cost(stats) -> float:
-    """CFG-forward-equivalent evals from one dopri5 run's controller stats:
-    2 evals seed the integrator, 6 per attempted (accepted or rejected) RK45
-    step; the cond phase runs at half batch (0.5 weight)."""
-    return float(sum(
-        wgt * (2 + 6 * (int(st["naccept"]) + int(st["nreject"])))
-        for ph, wgt in (("cond", 0.5), ("cfg", 1.0))
-        for st in [stats[ph]] if st is not None))
+# cost accounting moved into the package (round-5: the autotune CLI needs it
+# product-side); re-exported here so every existing bench keeps its import
+from vavae_tpu.transport.cost import (  # noqa: E402,F401
+    adaptive_cache_cost, dopri5_cost, fixed_grid_cost, split_idx,
+)

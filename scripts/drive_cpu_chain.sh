@@ -94,6 +94,15 @@ run "sample --demo dopri5 (split CFG)" python -m vavae_tpu.pipelines.sample \
   --config "$W/tiny_dit.yaml" --demo \
   ckpt_path="$W/out/tiny/checkpoints/0000005.safetensors" demo_labels='[0,1]' \
   sample.sampling_method=dopri5 sample.rtol=0.01
+# round-5: the autotune CLI — measure the acceleration ladder on the tiny
+# trained model and emit a recommended sample: block (+ overlay yaml)
+run "autotune_sampler --smoke" python -m vavae_tpu.apps.autotune_sampler \
+  --config "$W/tiny_dit.yaml" \
+  --ckpt "$W/out/tiny/checkpoints/0000005.safetensors" \
+  --smoke --budget 0.05 --out "$W/autotune.json" \
+  --emit_yaml "$W/autotune_overlay.yaml"
+test -s "$W/autotune.json" && test -s "$W/autotune_overlay.yaml"
+
 # bench runbooks: --smoke keeps the acceleration-gauge scripts executable
 # (the same bit-rot protection the golden-numbers runbook test gives)
 run "bench_sampler_quality --smoke" \

@@ -50,6 +50,9 @@ COMMANDS = {
                       "LoRA adapters on a frozen DiT"),
     "quantize_dit": ("vavae_tpu.apps.quantize_dit",
                      "INT8 post-training quantization harness"),
+    "autotune_sampler": ("vavae_tpu.apps.autotune_sampler",
+                         "measure accelerations on YOUR model, recommend a "
+                         "sample: block"),
     "validate_export": ("vavae_tpu.apps.validate_export",
                         "VAE recon/VF/discrimination report + encoder export"),
     "domain_adaptation": ("vavae_tpu.apps.domain_adaptation",

@@ -181,6 +181,7 @@ def odeint_euler_cached_adaptive(
     max_interval: int = 8,
     order: int = 1,
     with_stats: bool = False,
+    with_floor: bool = False,
 ):
     """Velocity-cached euler whose cache interval is CONTROLLED, not fixed.
 
@@ -313,6 +314,13 @@ def odeint_euler_cached_adaptive(
     (x, *rest), _ = jax.lax.scan(step, init, pairs)
     n_evals = rest[-1]
     if with_stats:
+        if with_floor:
+            # the min-calibrated relative noise floor (inf if the run never
+            # completed calibration, i.e. < warm + n_floor evaluations) —
+            # the practical lower end of the tol knob's useful range
+            # (BASELINE.md: below it, tol saturates); surfaced for the
+            # autotune CLI's floor-relative tol recommendation
+            return x, n_evals, rest[-2]
         return x, n_evals
     return x
 

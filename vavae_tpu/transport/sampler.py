@@ -260,13 +260,17 @@ class Sampler:
                 if split_idx > 0:
                     x = ode_mod.odeint_euler(d_cond, x, grid[: split_idx + 1])
                 x2 = jnp.concatenate([x, x], axis=0)
-                out, n_evals = ode_mod.odeint_euler_cached_adaptive(
+                out, n_evals, floor = ode_mod.odeint_euler_cached_adaptive(
                     d_cfg, x2, grid[split_idx:], tol=cache_tol,
                     max_interval=cache_max_interval, order=cache_order,
-                    with_stats=True,
+                    with_stats=True, with_floor=True,
                 )
                 out = out[:B]
-                return (out, {"cfg_evals": n_evals}) if return_stats else out
+                # noise_floor: the controller's min-calibrated relative
+                # model-noise floor — the useful lower end of cache_tol
+                # (below it the knob saturates, BASELINE.md)
+                return ((out, {"cfg_evals": n_evals, "noise_floor": floor})
+                        if return_stats else out)
             if cache_interval <= 1:
                 lift = lambda xv: jnp.concatenate([xv, xv], axis=0)
                 out = ode_mod.odeint_euler_split(
