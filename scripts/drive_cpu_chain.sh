@@ -94,6 +94,12 @@ run "sample --demo dopri5 (split CFG)" python -m vavae_tpu.pipelines.sample \
   --config "$W/tiny_dit.yaml" --demo \
   ckpt_path="$W/out/tiny/checkpoints/0000005.safetensors" demo_labels='[0,1]' \
   sample.sampling_method=dopri5 sample.rtol=0.01
+# round-5: the whole-workflow e2e driver (VAE train -> extract -> DiT train
+# -> production sampling -> tokenizer eval -> gauge FID, one metrics JSON)
+run "e2e_onchip --smoke" python scripts/e2e_onchip.py --smoke \
+  --workdir "$W/e2e" --out "$W/e2e/e2e_workflow.json"
+test -s "$W/e2e/e2e_workflow.json"
+
 # round-5: the autotune CLI — measure the acceleration ladder on the tiny
 # trained model and emit a recommended sample: block (+ overlay yaml)
 run "autotune_sampler --smoke" python -m vavae_tpu.apps.autotune_sampler \

@@ -124,6 +124,34 @@ def test_vavae_facade_missing_ckpt_raises():
         VA_VAE(img_size=32, ckpt_path="/nonexistent/vavae.ckpt")
 
 
+def test_vavae_facade_null_config_ckpt_does_not_shadow_explicit(tmp_path):
+    """A config carrying ``ckpt_path: null`` (every training config does)
+    must NOT override an explicitly-passed ckpt_path with None — that
+    shadowing made ``extract_features --vae_ckpt`` run on random weights
+    (caught by the round-5 e2e rehearsal)."""
+    import pytest
+    import yaml
+
+    from vavae_tpu.tokenizer import VA_VAE
+
+    cfg = {"ckpt_path": None, "model": {"params": {"embed_dim": 4,
+           "ddconfig": {"z_channels": 4, "resolution": 32, "ch": 32,
+                        "ch_mult": [1, 1], "num_res_blocks": 1,
+                        "attn_resolutions": []}}}}
+    cfg_path = tmp_path / "vae.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    # the explicit (nonexistent) ckpt must WIN over the config's null and
+    # therefore raise — before the fix this silently used random weights
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        VA_VAE(str(cfg_path), img_size=32,
+               ckpt_path="/nonexistent/vavae.safetensors")
+    # a config that NAMES a ckpt still wins over the argument
+    cfg["ckpt_path"] = "/cfg/named.safetensors"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(FileNotFoundError, match="cfg/named"):
+        VA_VAE(str(cfg_path), img_size=32, ckpt_path=None)
+
+
 def test_vavae_facade_mesh_sharded_matches_single(mesh8):
     """Mesh-sharded facade (batch over 8 CPU devices, with remainder padding)
     must equal the single-device facade."""

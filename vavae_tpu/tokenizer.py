@@ -70,7 +70,12 @@ class VA_VAE:
             with open(config) as f:
                 cfg = yaml.safe_load(f)
             embed_dim = cfg["model"]["params"]["embed_dim"]
-            ckpt_path = cfg.get("ckpt_path", ckpt_path)
+            # config wins only when it actually NAMES a checkpoint: a yaml
+            # carrying `ckpt_path: null` (every training config does) must
+            # not silently discard an explicitly-passed ckpt_path — that
+            # exact shadowing made extract_features --vae_ckpt run on
+            # random weights (round-5 e2e rehearsal caught it)
+            ckpt_path = cfg.get("ckpt_path") or ckpt_path
             # honor the FULL ddconfig when the yaml carries one (the
             # reference facade reads only embed_dim, vavae.py:30-42, but its
             # trainer builds from **ddconfig — a non-default architecture
