@@ -40,9 +40,13 @@ def main() -> None:
     # remat recomputes one FULL forward, ~25 ms of the 140 ms step. "dots"
     # saves matmul outputs and recomputes only the elementwise ops.
     ap.add_argument("--policy", choices=("nothing", "dots"), default="nothing")
+    # round-5 verdict item 5: the registry's big variants (1p0B/1p6B) must
+    # be shown actually training, with the same accounting as XL/1
+    ap.add_argument("--model", default="LightningDiT-XL/1",
+                    help="registry name, e.g. LightningDiT-1p0B/1")
     args = ap.parse_args()
     batch = args.batch
-    model = LightningDiT_models["LightningDiT-XL/1"](
+    model = LightningDiT_models[args.model](
         input_size=16,
         in_channels=32,
         num_classes=1000,
@@ -109,7 +113,29 @@ def main() -> None:
         state, metrics = trainer.train_step(state, rng, (x, y))
     np.asarray(metrics["loss"])
     dt = (time.perf_counter() - t0) / n * 1e3
-    print(f"batch={batch} train_step={dt:.2f} ms ({batch / dt * 1e3:.1f} img/s/chip)")
+    # true-FLOPs accounting (BASELINE round-5 attribution): dot+attn FLOPs
+    # from the model dims; fwdbwd = 3x fwd under the dots policy
+    h, d_, heads = model.hidden_size, model.depth, model.num_heads
+    N = 256
+    # SwiGLU per-projection width, exactly as DiTBlock builds it
+    # (models/dit.py:122-125): int(2/3 * int(h * mlp_ratio))
+    mlp_h = int(2 / 3 * int(h * 4.0))
+    # per-block fwd dot FLOPs at this batch: qkv + proj + w12 (2*mlp_h wide)
+    # + w3 + adaLN (contracts over B rows, NOT tokens) + attention einsums
+    blk = (2 * batch * N * h * 3 * h + 2 * batch * N * h * h
+           + 2 * batch * N * h * 2 * mlp_h + 2 * batch * N * mlp_h * h
+           + 2 * batch * h * 6 * h + 4 * batch * heads * N * N * (h // heads))
+    fwd_tf = d_ * blk / 1e12
+    step_tfs = 3 * fwd_tf / (dt / 1e3)
+    try:
+        import jax as _jax
+        mem = _jax.local_devices()[0].memory_stats() or {}
+        peak_gb = mem.get("peak_bytes_in_use", 0) / 2**30
+    except Exception:
+        peak_gb = 0.0
+    print(f"model={args.model} batch={batch} train_step={dt:.2f} ms "
+          f"({batch / dt * 1e3:.1f} img/s/chip, ~{step_tfs:.0f} TF/s true "
+          f"dot-FLOPs, peak HBM {peak_gb:.1f} GB)")
 
 
 if __name__ == "__main__":
