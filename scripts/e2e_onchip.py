@@ -133,8 +133,13 @@ def main() -> int:
         vae_epochs, dit_steps, fid_num, sample_steps = 1, 5, 4, 4
         vae_batch, dit_batch, sample_batch = 4, 4, 2
     else:
-        n_classes, per_train, per_val, img = 8, 64, 16, 256
-        vae_epochs, dit_steps, fid_num, sample_steps = 32, 2000, 256, 250
+        # epoch structure sized for this VM's ~12 MB/s disk: the trainer
+        # checkpoints PER EPOCH (~1.2 GB VAE train state ≈ 100 s/write), so
+        # the same 2048 steps run as 4 long epochs over a 4096-image
+        # dataset instead of 32 short ones (32 writes strangled the first
+        # attempt before step 100)
+        n_classes, per_train, per_val, img = 8, 512, 16, 256
+        vae_epochs, dit_steps, fid_num, sample_steps = 4, 2000, 256, 250
         vae_batch, dit_batch, sample_batch = 8, 32, 32
 
     sha = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
