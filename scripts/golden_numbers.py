@@ -103,6 +103,28 @@ def check() -> bool:
             return False
         n = len(doc.get("methods", doc.get("points", [])))
         print(f"ok      gauge json {os.path.relpath(p, REPO)} ({n} entries)")
+    # round-5: the committed whole-workflow record must stay well-formed —
+    # every stage present with finite wall time, the sha stamped
+    e2e_path = os.path.join(REPO, "docs/bench/onchip/e2e_workflow.json")
+    if os.path.exists(e2e_path):
+        try:
+            doc = _json.load(open(e2e_path))
+            stages = doc["stages"]
+            for st in ("dataset", "train_vavae", "extract_features",
+                       "train_dit", "sample", "evaluate_tokenizer",
+                       "gauge_fid"):
+                assert st in stages, f"stage {st} missing"
+                assert stages[st]["wall_s"] >= 0
+            assert doc.get("sha"), "e2e record is not sha-stamped"
+        except Exception as e:
+            print(f"BAD     e2e workflow record {e2e_path}: {e}")
+            return False
+        print(f"ok      e2e workflow record ({len(doc['stages'])} stages, "
+              f"sha {doc['sha'][:9]}, {doc.get('total_wall_s')} s)")
+    else:
+        print("note    docs/bench/onchip/e2e_workflow.json absent — run "
+              "scripts/e2e_onchip.py on the chip to create the "
+              "whole-workflow record")
     print("all artifacts present — run without --check to execute")
     return True
 
