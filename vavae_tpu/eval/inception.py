@@ -37,6 +37,9 @@ class BasicConv2d(nn.Module):
             padding=self.padding,
             use_bias=False,
             name="conv",
+            # metric net: fp32 conv math even on TPU (default bf16 multiplies
+            # perturb FID features; the SSIM incident, eval/metrics.py)
+            precision=jax.lax.Precision.HIGHEST,
         )(x)
         x = nn.BatchNorm(
             use_running_average=True, epsilon=1e-3, momentum=0.1, name="bn"

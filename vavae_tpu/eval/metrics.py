@@ -40,6 +40,12 @@ def ssim(a: jax.Array, b: jax.Array, data_range: float = 1.0) -> jax.Array:
     kernel = jnp.tile(kernel, (1, 1, 1, C))  # depthwise
 
     def filt(x):
+        # precision pinned HERE, not left to the global default: on TPU the
+        # default conv precision is bf16 multiplies, and the variance terms
+        # below (filt(a*a) − mu²) cancel catastrophically — the round-5 e2e
+        # run measured mean SSIM 1.19 (mathematically ≤ 1) through this
+        # exact path before the pin. The test suite never caught it because
+        # conftest pins jax_default_matmul_precision=highest globally.
         return jax.lax.conv_general_dilated(
             x.astype(jnp.float32),
             kernel,
@@ -47,6 +53,7 @@ def ssim(a: jax.Array, b: jax.Array, data_range: float = 1.0) -> jax.Array:
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     a = a.astype(jnp.float32)

@@ -46,7 +46,8 @@ class VGG16Features(nn.Module):
                     x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
                 )
             else:
-                x = nn.Conv(item, (3, 3), padding=1, name=f"conv{conv_i}")(x)
+                x = nn.Conv(item, (3, 3), padding=1, name=f"conv{conv_i}",
+                            precision=jax.lax.Precision.HIGHEST)(x)
                 x = nn.relu(x)
                 if conv_i in _TAP_AFTER_CONV:
                     taps[_TAP_AFTER_CONV[conv_i]] = x
@@ -72,7 +73,8 @@ class LPIPS(nn.Module):
         total = 0.0
         for i, (xa, xb) in enumerate(zip(fa, fb)):
             d = jnp.square(_unit_normalize(xa) - _unit_normalize(xb))
-            lin = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{i}")(d)
+            lin = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{i}",
+                          precision=jax.lax.Precision.HIGHEST)(d)
             total = total + jnp.mean(lin, axis=(1, 2, 3))
         return total
 
