@@ -136,7 +136,12 @@ def xl_throughput(batch: int, cache_interval: int = 1,
 
 
 # cost accounting moved into the package (round-5: the autotune CLI needs it
-# product-side); re-exported here so every existing bench keeps its import
+# product-side); re-exported here so every existing bench keeps its import.
+# jax_cache FIRST: importing vavae_tpu.transport at module scope without it
+# initializes the axon backend on the wrong platform / hangs on a dead
+# tunnel (CLAUDE.md) — the deleted in-file versions dodged this by lazy
+# in-function imports
+import vavae_tpu.utils.jax_cache  # noqa: E402,F401
 from vavae_tpu.transport.cost import (  # noqa: E402,F401
     adaptive_cache_cost, dopri5_cost, fixed_grid_cost, split_idx,
 )

@@ -116,7 +116,9 @@ def main() -> None:
     # true-FLOPs accounting (BASELINE round-5 attribution): dot+attn FLOPs
     # from the model dims; fwdbwd = 3x fwd under the dots policy
     h, d_, heads = model.hidden_size, model.depth, model.num_heads
-    N = 256
+    # token count follows the patch size (a /2 registry name halves the
+    # grid): N=256 for /1 models at input_size 16, 64 for /2
+    N = (16 // model.patch_size) ** 2
     # SwiGLU per-projection width, exactly as DiTBlock builds it
     # (models/dit.py:122-125): int(2/3 * int(h * mlp_ratio))
     mlp_h = int(2 / 3 * int(h * 4.0))

@@ -121,6 +121,42 @@ def test_autotune_impossible_budget_falls_back_to_exact(tiny_dit_setup):
     assert block["num_sampling_steps"] == 16  # the smoke exact reference
 
 
+def test_autotune_gates_accel_on_production_path(tiny_dit_setup, tmp_path):
+    """A config whose production sampler never takes the split-CFG euler
+    path (cfg_interval_start 0) must only be offered euler step-count
+    candidates — pipelines.sample would silently ignore every other knob
+    (sample.py:130-146), so recommending one would emit an inert config."""
+    import yaml
+
+    from vavae_tpu.apps.autotune_sampler import main
+
+    cfg_path, ckpt, w = tiny_dit_setup
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["sample"]["cfg_interval_start"] = 0.0
+    gated = tmp_path / "dit_nostart.yaml"
+    gated.write_text(yaml.safe_dump(cfg))
+    out = str(tmp_path / "evidence_gated.json")
+    rc = main(["--config", str(gated), "--ckpt", ckpt, "--smoke",
+               "--budget", "0.5", "--batch", "4", "--n", "4", "--out", out])
+    assert rc == 0
+    doc = json.load(open(out))
+    assert doc["accel_exercised_by_production_path"] is False
+    assert all(k.startswith("euler_") for k in doc["methods"]), doc["methods"]
+    block = doc["recommendation"]["sample_block"]
+    assert block["multistep_order"] == 1
+    assert block["velocity_cache_interval"] == 1
+
+
+def test_autotune_requires_checkpoint(tiny_dit_setup):
+    import pytest
+
+    from vavae_tpu.apps.autotune_sampler import main
+
+    cfg_path, _, _ = tiny_dit_setup
+    with pytest.raises(SystemExit, match="trained checkpoint"):
+        main(["--config", cfg_path, "--smoke"])
+
+
 def test_adaptive_stats_expose_noise_floor():
     """return_stats now surfaces the controller's calibrated floor (the
     autotune CLI's tol candidates are placed relative to it)."""

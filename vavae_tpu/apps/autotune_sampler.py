@@ -39,7 +39,7 @@ import os
 import sys
 
 
-def _method_config(label: str, rec: dict) -> dict:
+def _method_config(rec: dict) -> dict:
     """The ``sample:`` keys that reproduce a gauged method (the same keys
     pipelines/sample.py:130-190 reads)."""
     kind, spec = rec["kind"], rec
@@ -111,7 +111,13 @@ def main(argv=None) -> int:
     latent_size = (ucfg.data.image_size
                    // ucfg.get("vae", {}).get("downsample_ratio", 16))
     model = create_dit(ucfg.model, latent_size, ucfg.data.num_classes)
-    ema = load_dit_params(ucfg, model, args.ckpt or ucfg.get("ckpt_path"))
+    ckpt = args.ckpt or ucfg.get("ckpt_path")
+    if not ckpt:
+        raise SystemExit(
+            "autotune needs a trained checkpoint: pass --ckpt or set "
+            "ckpt_path in the config (gauging a random-init model would "
+            "recommend a sampler for noise)")
+    ema = load_dit_params(ucfg, model, ckpt)
     transport = build_transport(ucfg)
     sampler = Sampler(transport)
     n_classes = ucfg.data.num_classes
@@ -134,7 +140,7 @@ def main(argv=None) -> int:
     y_cfg = jnp.concatenate([labels, jnp.full((B,), null_class, jnp.int32)])
 
     def make_generate(num_steps, order=1, k=1, method="euler", tol=None,
-                      max_interval=8, stats=False):
+                      max_interval=8):
         if method == "vcacheA":
             fn = sampler.sample_ode_cfg(
                 num_steps=num_steps, timestep_shift=shift,
@@ -213,7 +219,27 @@ def main(argv=None) -> int:
           f" -> adaptive tol candidates {tol_cands}", flush=True)
 
     # ---- candidate ladder ----------------------------------------------
-    if args.smoke:
+    # the acceleration knobs (multistep/vcache/adaptive, and the split-CFG
+    # heun program) are only EXERCISED by pipelines/sample.py on the
+    # split-CFG path: cfg_scale > 1, mode ODE, cfg_interval_start > 0
+    # (sample.py:130-146 warns and runs plain euler otherwise). When the
+    # user's production settings don't take that path, recommending those
+    # knobs would emit a config that silently runs UNaccelerated — so the
+    # ladder collapses to plain step-count reduction, which always applies.
+    accel_exercised = (
+        cfg_scale > 1.0
+        and str(sc.get("mode", "ODE")).upper() == "ODE"
+        and start > 0.0
+    )
+    if not accel_exercised:
+        print("[autotune] NOTE: this config does not take the split-CFG "
+              "euler path (needs cfg_scale > 1, mode ODE, "
+              "cfg_interval_start > 0) — pipelines.sample would ignore "
+              "multistep/velocity-cache knobs, so only euler step-count "
+              "candidates are gauged", flush=True)
+    if args.smoke and not accel_exercised:
+        cands = [("euler_8", {"kind": "euler", "num_steps": 8})]
+    elif args.smoke:
         cands = [
             ("euler_8", {"kind": "euler", "num_steps": 8}),
             ("ab3_16", {"kind": "ab", "num_steps": 16, "order": 3}),
@@ -223,6 +249,9 @@ def main(argv=None) -> int:
              {"kind": "vcacheA", "num_steps": 16, "tol": tol_cands[0],
               "max_interval": 4}),
         ]
+    elif not accel_exercised:
+        cands = [(f"euler_{n}", {"kind": "euler", "num_steps": n})
+                 for n in (125, 100, 50)]
     else:
         cands = (
             [(f"euler_{n}", {"kind": "euler", "num_steps": n})
@@ -246,6 +275,7 @@ def main(argv=None) -> int:
            "cfg_interval_start": start, "reverse": reverse,
            "n_samples": n_batches * B,
            "reference": f"euler_{ref_steps}", "reference_cost": ref_cost,
+           "accel_exercised_by_production_path": accel_exercised,
            "noise_floor": floor, "methods": {}}
 
     rows = []
@@ -273,7 +303,7 @@ def main(argv=None) -> int:
     feasible.sort(key=lambda r: (r["cost"], r["latent_fid"]))
     if feasible:
         best = feasible[0]
-        block = _method_config(best["label"], best["rec"])
+        block = _method_config(best["rec"])
         verdict = (f"{best['label']} meets the budget at "
                    f"{best['cost_pct']:.0f}% of exact cost "
                    f"(p99 rel-L2 {best['rel_l2_p99']:.5f} <= "
