@@ -15,10 +15,15 @@ inflated earlier standalone measurements up to 7x):
               trainer builds it), donated like the real step
   ema         f32 EMA blend alone, donated
   full        the real trainer.train_step (fwd+bwd+Adam+EMA, donated state)
-  flops       XLA cost-analysis FLOPs of model_fwd / loss_fwd / fwdbwd —
-              fwdbwd_flops − 3·loss_fwd_flops ≈ the remat recompute the
-              `dots` checkpoint policy pays (bwd of a matmul chain is ~2x
-              fwd FLOPs; anything beyond 3x fwd is recompute + dispatch)
+  flops       XLA cost-analysis FLOPs of model_fwd / loss_fwd / fwdbwd.
+              CAVEAT (measured round 5): compiled cost_analysis counts
+              while-loop BODIES ONCE — on this scanned model the absolute
+              numbers are ~28x low (0.40 "TF" vs the true 11.45 TF,
+              profile_bwd_ops.py HLO inventory). The RATIOS between parts
+              remain meaningful (equal trip counts cancel): fwdbwd ÷
+              loss_fwd ≈ 3.99 under policy `nothing` vs 3.0003 under
+              `dots` is the per-iteration recompute signature. For true
+              FLOPs use scripts/profile_bwd_ops.py --part hlo.
 
 Usage:
   python scripts/bench_train_attrib.py --all [batch]     # orchestrate: one
