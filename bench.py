@@ -334,10 +334,10 @@ def main() -> None:
         "vs_baseline": round(value / A100_BASELINE_SAMPLES_PER_SEC, 4),
     }
     if is_euler250 and on_tpu:
-        # headline framing against the MEASURED ceiling: euler-250 at 100%
-        # MFU on this chip is ~1.5 samples/s/chip — the A100 vs_baseline
-        # multiple rests on an estimated 45% MFU denominator (docstring),
-        # this fraction does not
+        # headline framing against the MEASURED ceiling (both factors
+        # measured — see EXACT_SOLVER_CEILING_SAMPLES_PER_SEC's derivation
+        # above); the A100 vs_baseline multiple rests on an estimated 45%
+        # MFU denominator (docstring), this fraction does not
         result["pct_of_exact_solver_ceiling"] = round(
             100 * value / EXACT_SOLVER_CEILING_SAMPLES_PER_SEC, 1)
         result["baseline_note"] = (

@@ -121,7 +121,7 @@ def main() -> None:
     N = (16 // model.patch_size) ** 2
     # SwiGLU per-projection width, exactly as DiTBlock builds it
     # (models/dit.py:122-125): int(2/3 * int(h * mlp_ratio))
-    mlp_h = int(2 / 3 * int(h * 4.0))
+    mlp_h = int(2 / 3 * int(h * model.mlp_ratio))
     # per-block fwd dot FLOPs at this batch: qkv + proj + w12 (2*mlp_h wide)
     # + w3 + adaLN (contracts over B rows, NOT tokens) + attention einsums
     blk = (2 * batch * N * h * 3 * h + 2 * batch * N * h * h

@@ -155,6 +155,34 @@ def main() -> int:
            "stages": {}}
     t_all = time.perf_counter()
 
+    def dump_partial():
+        # a tunnel drop mid-run must not discard the completed stages'
+        # metrics (the first e2e attempt died mid-run): always persist
+        # whatever was collected (CLAUDE.md partial-JSON pattern)
+        doc["total_wall_s"] = round(time.perf_counter() - t_all, 1)
+        os.makedirs(os.path.dirname(out_json), exist_ok=True)
+        with open(out_json, "w") as f:
+            json.dump(doc, f, indent=2)
+
+    try:
+        _run_stages(args, doc, dump_partial, W, logdir, os.path.join(W, "data"),
+                    smoke, img, n_classes, per_train, per_val, vae_epochs,
+                    dit_steps, fid_num, sample_steps, vae_batch, dit_batch,
+                    sample_batch, py)
+    finally:
+        dump_partial()
+    print(json.dumps({"e2e": "ok", "total_wall_s": doc["total_wall_s"],
+                      "gauge_fid": doc["stages"].get("gauge_fid", {}).get(
+                          "metrics", {}).get("gauge_fid_vs_real"),
+                      "out": out_json}), flush=True)
+    return 0
+
+
+def _run_stages(args, doc, dump_partial, W, logdir, data, smoke, img,
+                n_classes, per_train, per_val, vae_epochs, dit_steps,
+                fid_num, sample_steps, vae_batch, dit_batch, sample_batch,
+                py):
+
     # -- 0. dataset -------------------------------------------------------
     t0 = time.perf_counter()
     data = os.path.join(W, "data")
@@ -304,7 +332,6 @@ print("converted", {ckpts[-1]!r})
                             f"{dit_steps:07d}.safetensors")
     assert os.path.exists(dit_ckpt), dit_ckpt
     sample_dir = os.path.join(W, "samples")
-    t0 = time.perf_counter()
     run_stage("sample", [
         py, "-m", "vavae_tpu.pipelines.sample", "--config", dit_cfg_path,
         f"ckpt_path={dit_ckpt}", f"sample_folder={sample_dir}",
@@ -357,25 +384,23 @@ print("converted", {ckpts[-1]!r})
     mu_r, s_r = activation_statistics(feats(real))
     mu_f, s_f = activation_statistics(feats(fake))
     gauge_fid = float(frechet_distance(mu_r, s_r, mu_f, s_f))
-    # sanity anchor: real-vs-real split distance (the gauge's own floor)
-    h = len(real) // 2
-    mu_a, s_a = activation_statistics(feats(real[:h]))
-    mu_b, s_b = activation_statistics(feats(real[h:]))
+    # sanity anchor: real-vs-real split distance (the gauge's own floor).
+    # INTERLEAVED split, not sorted halves: the file list sorts by class
+    # dir, so real[:h] vs real[h:] would compare disjoint CLASS SETS of a
+    # dataset built to make classes distinct — an inflated floor that
+    # measured between-class separation, not estimator noise (caught by
+    # the round-5 self-review; the first committed record carried it)
+    mu_a, s_a = activation_statistics(feats(real[0::2]))
+    mu_b, s_b = activation_statistics(feats(real[1::2]))
     floor_fid = float(frechet_distance(mu_a, s_a, mu_b, s_b))
     doc["stages"]["gauge_fid"] = {
         "wall_s": round(time.perf_counter() - t0, 1),
         "metrics": {"gauge_fid_vs_real": gauge_fid,
                     "real_split_floor": floor_fid, "n": int(n_fid),
                     "note": "4x4-pooled seeded-projection Frechet (no "
-                            "released Inception weights in this image)"}}
-
-    doc["total_wall_s"] = round(time.perf_counter() - t_all, 1)
-    os.makedirs(os.path.dirname(out_json), exist_ok=True)
-    with open(out_json, "w") as f:
-        json.dump(doc, f, indent=2)
-    print(json.dumps({"e2e": "ok", "total_wall_s": doc["total_wall_s"],
-                      "gauge_fid": gauge_fid, "out": out_json}), flush=True)
-    return 0
+                            "released Inception weights in this image); "
+                            "floor is an interleaved real/real split"}}
+    dump_partial()
 
 
 if __name__ == "__main__":

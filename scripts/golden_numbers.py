@@ -114,7 +114,10 @@ def check() -> bool:
                        "train_dit", "sample", "evaluate_tokenizer",
                        "gauge_fid"):
                 assert st in stages, f"stage {st} missing"
-                assert stages[st]["wall_s"] >= 0
+                import math as _math
+
+                w = stages[st]["wall_s"]
+                assert _math.isfinite(w) and w >= 0
             assert doc.get("sha"), "e2e record is not sha-stamped"
         except Exception as e:
             print(f"BAD     e2e workflow record {e2e_path}: {e}")

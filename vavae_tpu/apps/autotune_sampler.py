@@ -200,25 +200,6 @@ def main(argv=None) -> int:
     feats = lambda x: x.reshape(len(x), -1) @ proj
     mu_e, sig_e = activation_statistics(feats(exact))
 
-    # ---- noise-floor probe ---------------------------------------------
-    # tol far below any plausible floor -> the controller evaluates densely
-    # and its min-calibration completes; the floor it reports is the lower
-    # end of the useful tol range on THIS model's field
-    probe = make_generate(ref_steps, method="vcacheA", tol=1e-6)
-    z0 = jax.random.normal(jax.random.PRNGKey(1000), (B,) + latent_shape,
-                           jnp.float32)
-    _, pstats = probe(ema, z0)
-    floor = float(np.asarray(pstats["noise_floor"]))
-    if not np.isfinite(floor) or floor <= 0:
-        floor = None
-    tol_cands = ([round(floor * m, 5) for m in (2.0, 4.0, 8.0)]
-                 if floor else [0.01, 0.02, 0.05])
-    tol_cands = sorted({min(max(t, 1e-3), 0.2) for t in tol_cands})
-    print(f"[autotune] measured noise floor: "
-          f"{'%.5f' % floor if floor else 'n/a (field below calibration)'}"
-          f" -> adaptive tol candidates {tol_cands}", flush=True)
-
-    # ---- candidate ladder ----------------------------------------------
     # the acceleration knobs (multistep/vcache/adaptive, and the split-CFG
     # heun program) are only EXERCISED by pipelines/sample.py on the
     # split-CFG path: cfg_scale > 1, mode ODE, cfg_interval_start > 0
@@ -237,6 +218,27 @@ def main(argv=None) -> int:
               "cfg_interval_start > 0) — pipelines.sample would ignore "
               "multistep/velocity-cache knobs, so only euler step-count "
               "candidates are gauged", flush=True)
+    # ---- noise-floor probe ---------------------------------------------
+    # tol far below any plausible floor -> the controller evaluates densely
+    # and its min-calibration completes; the floor it reports is the lower
+    # end of the useful tol range on THIS model's field
+    floor, tol_cands = None, [0.01, 0.02, 0.05]
+    if accel_exercised:
+        probe = make_generate(ref_steps, method="vcacheA", tol=1e-6)
+        z0 = jax.random.normal(jax.random.PRNGKey(1000),
+                               (B,) + latent_shape, jnp.float32)
+        _, pstats = probe(ema, z0)
+        floor = float(np.asarray(pstats["noise_floor"]))
+        if not np.isfinite(floor) or floor <= 0:
+            floor = None
+        tol_cands = ([round(floor * m, 5) for m in (2.0, 4.0, 8.0)]
+                     if floor else [0.01, 0.02, 0.05])
+        tol_cands = sorted({min(max(t, 1e-3), 0.2) for t in tol_cands})
+        print(f"[autotune] measured noise floor: "
+              f"{'%.5f' % floor if floor else 'n/a (below calibration)'}"
+              f" -> adaptive tol candidates {tol_cands}", flush=True)
+
+    # ---- candidate ladder ----------------------------------------------
     if args.smoke and not accel_exercised:
         cands = [("euler_8", {"kind": "euler", "num_steps": 8})]
     elif args.smoke:
@@ -268,7 +270,7 @@ def main(argv=None) -> int:
                  "max_interval": 8})
                for t in tol_cands]
         )
-    doc = {"config": os.path.abspath(args.config), "ckpt": args.ckpt,
+    doc = {"config": os.path.abspath(args.config), "ckpt": ckpt,
            "platform": jax.default_backend(),
            "budget_rel_l2_p99": args.budget,
            "cfg_scale": cfg_scale, "timestep_shift": shift,
